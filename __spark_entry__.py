@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship query (events → sliding z-norm → PAA →
+                 equi-width SFA words → numerosity-reduced bags →
+                 top-k patterns per entity) at sf0.001.
+queries()      — one entry per implemented SURVEY §2 operator.
+oracle_sql()   — matching DuckDB SQL (sfa_spark/oracles.py) for every
+                 SQL-expressible operator; non-SQL ops (FFT-based
+                 transforms) are registered without an oracle and get
+                 the driver's rows-only check.
 """
 
 from __future__ import annotations
@@ -13,26 +16,54 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from sfa_spark import oracles
+from sfa_spark import queries as Q
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return Q.q_bag_topk(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    regs = {
+        name: fn
+        for name, fn in vars(Q).items()
+        if name.startswith("q_") and callable(fn)
+    }
+    try:
+        from sfa_spark import queries_text as QT
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+        regs.update(
+            {
+                name: fn
+                for name, fn in vars(QT).items()
+                if name.startswith("q_") and callable(fn)
+            }
+        )
+    except ImportError:
+        pass
+    try:
+        from sfa_spark import queries_spectral as QS
+
+        regs.update(
+            {
+                name: fn
+                for name, fn in vars(QS).items()
+                if name.startswith("q_") and callable(fn)
+            }
+        )
+    except ImportError:
+        pass
+    return regs
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out = dict(oracles.ORACLES)
+    try:
+        from sfa_spark import oracles_text
+
+        out.update(oracles_text.ORACLES)
+    except ImportError:
+        pass
+    return out

@@ -1,0 +1,108 @@
+"""Bag-space 1-NN and Euclidean k-NN joins (SURVEY §2.7 C2, §2.8).
+
+Reference parity:
+  * BOSS 1-NN — BOSSEnsembleClassifier.predict
+    (`/root/reference/src/main/java/sfa/classification/BOSSEnsembleClassifier.java:184-236`):
+    asymmetric squared distance over the TEST bag's words only:
+    dist(q, c) = Σ_{w ∈ bag(q)} (tf_q[w] − tf_c[w])²; argmin candidate;
+    self-match skipped in leave-one-out mode.
+
+Decomposition (so only matching words are ever joined):
+    dist(q, c) = sumsq(q) + Σ_{w ∈ both} (tf_c[w]² − 2·tf_q[w]·tf_c[w])
+Candidates sharing no word with q keep dist = sumsq(q). Counts are
+integers so distances are EXACT bigints — no float-ordering ambiguity.
+
+Scale: the word-join is the shuffle; its key distribution is the word
+histogram (Zipfian) → AQE skew-join handles hot words. The full
+candidate set per query is materialized only as (q, c) pairs that share
+≥1 word plus a cheap cross of ids for the no-overlap fallback; at large
+scale the LB-prune index path (plans/) replaces the cross.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def boss_1nn(
+    test_bags: DataFrame,
+    train_bags: DataFrame,
+    loo: bool = False,
+) -> DataFrame:
+    """1-NN by BOSS distance. Inputs: (series_id, word, cnt).
+
+    Output: (series_id, nn_id, dist). loo=True skips self-matches
+    (leave-one-out over a single corpus).
+    """
+    q = test_bags.select(
+        F.col("series_id").alias("q_id"),
+        "word",
+        F.col("cnt").alias("q_cnt"),
+    )
+    c = train_bags.select(
+        F.col("series_id").alias("c_id"),
+        "word",
+        F.col("cnt").alias("c_cnt"),
+    )
+    sumsq = q.groupBy("q_id").agg(
+        F.sum(F.col("q_cnt") * F.col("q_cnt")).alias("sumsq")
+    )
+    corr = (
+        q.join(c, "word")
+        .groupBy("q_id", "c_id")
+        .agg(
+            F.sum(
+                F.col("c_cnt") * F.col("c_cnt")
+                - F.lit(2) * F.col("q_cnt") * F.col("c_cnt")
+            ).alias("corr")
+        )
+    )
+    pairs = (
+        sumsq.crossJoin(c.select("c_id").distinct())
+        .join(corr, ["q_id", "c_id"], "left")
+        .withColumn("dist", F.col("sumsq") + F.coalesce(F.col("corr"), F.lit(0)))
+    )
+    if loo:
+        pairs = pairs.where(F.col("q_id") != F.col("c_id"))
+    w = Window.partitionBy("q_id").orderBy(F.col("dist").asc(), F.col("c_id").asc())
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(F.col("q_id").alias("series_id"), F.col("c_id").alias("nn_id"), "dist")
+    )
+
+
+def euclidean_knn_long(
+    query_long: DataFrame, corpus_long: DataFrame, k: int
+) -> DataFrame:
+    """Brute-force ED k-NN between equal-length long-form series.
+
+    Join on pos → Σ(a−b)² per pair → top-k per query. This is the
+    correctness oracle for the indexed two-phase search (plans/index.py);
+    at scale the join is pos-partitioned and the pair aggregation is the
+    only wide shuffle.
+    Output: (series_id, nn_id, dist, rk).
+    """
+    qq = query_long.select(
+        F.col("series_id").alias("q_id"), "pos", F.col("value").alias("qv")
+    )
+    cc = corpus_long.select(
+        F.col("series_id").alias("c_id"), "pos", F.col("value").alias("cv")
+    )
+    d = (
+        qq.join(cc, "pos")
+        .groupBy("q_id", "c_id")
+        .agg(F.sum((F.col("qv") - F.col("cv")) ** 2).alias("sqdist"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sqdist").asc(), F.col("c_id").asc())
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(
+            F.col("q_id").alias("series_id"),
+            F.col("c_id").alias("nn_id"),
+            F.sqrt("sqdist").alias("dist"),
+            "rk",
+        )
+    )

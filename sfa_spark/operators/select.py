@@ -1,0 +1,105 @@
+"""Feature selection: χ² and ANOVA-F (SURVEY §2.4 Q8, §2.5 B5).
+
+Reference parity:
+  * χ² word selection — WEASEL.trainChiSquared
+    (`/root/reference/src/main/java/sfa/transformation/WEASEL.java:217-339`):
+    observed = per-(class, word) count sum; expected = p(class) ·
+    total(word); χ² = Σ_classes (obs − exp)²/exp; keep χ² ≥ limit,
+    capped at WORD_LIMIT by χ² desc.
+  * ANOVA F ranking  — SFASupervised.getFoneway
+    (`.../transformation/SFASupervised.java:105-219`, a port of sklearn
+    f_oneway): rank coefficient indices by F, keep top word_length.
+
+Both are pure group-aggregate cascades — Catalyst plans them as two
+hash aggregations + a broadcast join; at 100 TB the per-word/per-coef
+side is vocabulary-sized, not data-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def chi_squared(
+    bags_labeled: DataFrame,
+    limit: float = 2.0,
+    word_limit: int | None = 10000,
+    key_col: str = "word",
+) -> DataFrame:
+    """(series_id, word, cnt, label) → (word, chi2) surviving selection."""
+    per_cw = bags_labeled.groupBy("label", key_col).agg(
+        F.sum("cnt").cast("double").alias("obs")
+    )
+    per_w = per_cw.groupBy(key_col).agg(F.sum("obs").alias("tot_w"))
+    per_c = per_cw.groupBy("label").agg(F.sum("obs").alias("tot_c"))
+    total = per_cw.agg(F.sum("obs")).collect()[0][0]
+    chi = (
+        per_cw.join(per_w, key_col)
+        .join(F.broadcast(per_c), "label")
+        .withColumn("exp", F.col("tot_w") * F.col("tot_c") / F.lit(float(total)))
+        .withColumn(
+            "term", (F.col("obs") - F.col("exp")) ** 2 / F.col("exp")
+        )
+        .groupBy(key_col)
+        .agg(F.sum("term").alias("chi2"))
+        .where(F.col("chi2") >= limit)
+    )
+    if word_limit is not None:
+        w = Window.orderBy(F.col("chi2").desc(), F.col(key_col).asc())
+        chi = (
+            chi.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= word_limit)
+            .drop("rk")
+        )
+    return chi
+
+
+def filter_bags(bags: DataFrame, selected: DataFrame, key_col: str = "word") -> DataFrame:
+    """Prune bags to the selected vocabulary (reference filterChiSquared).
+    Broadcast semi-join — the selected set is vocabulary-sized."""
+    return bags.join(
+        F.broadcast(selected.select(key_col)), key_col, "left_semi"
+    )
+
+
+def anova_f(coef_labeled: DataFrame) -> DataFrame:
+    """One-way ANOVA F statistic per coefficient index.
+
+    Input: (seg int, coef double, label). Output: (seg, f_stat).
+    Sufficient statistics only — Σv, Σv², count per (seg, label):
+      ssbn = Σ_groups (Σv)²/n_g − (Σ_all v)²/N      (between-group)
+      sswn = Σ_all v² − Σ_groups (Σv)²/n_g          (within-group)
+      F    = (ssbn/(k−1)) / (sswn/(N−k))
+    Matches sklearn/reference f_oneway algebraically.
+    """
+    g = coef_labeled.groupBy("seg", "label").agg(
+        F.sum("coef").alias("s"),
+        F.sum(F.col("coef") * F.col("coef")).alias("ss"),
+        F.count(F.lit(1)).cast("double").alias("m"),
+    )
+    tot = g.groupBy("seg").agg(
+        F.sum("s").alias("S"),
+        F.sum("ss").alias("SS"),
+        F.sum("m").alias("N"),
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum(F.col("s") * F.col("s") / F.col("m")).alias("sq_over_m"),
+    )
+    ssbn = F.col("sq_over_m") - F.col("S") * F.col("S") / F.col("N")
+    sswn = F.col("SS") - F.col("sq_over_m")
+    msb = ssbn / (F.col("k") - 1)
+    msw = sswn / (F.col("N") - F.col("k"))
+    return tot.select(
+        "seg",
+        F.when(F.abs(msw) < 1e-12, F.lit(0.0)).otherwise(msb / msw).alias("f_stat"),
+    )
+
+
+def top_coefficients(f_stats: DataFrame, word_length: int) -> DataFrame:
+    """Keep the word_length best coefficient indices by F desc
+    (tie → seg asc), as the reference's bestValues array."""
+    w = Window.orderBy(F.col("f_stat").desc(), F.col("seg").asc())
+    return (
+        f_stats.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= word_length)
+    )

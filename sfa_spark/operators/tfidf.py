@@ -1,0 +1,72 @@
+"""BOSS VS tf-idf class model (SURVEY §2.6, M1-M2).
+
+Reference parity:
+  * fit   — BOSSVS.createTfIdf (`/root/reference/src/main/java/sfa/transformation/BOSSVS.java:58-110`):
+            tf = Σ counts over the class's series; idf uses
+            df = #classes whose corpus contains the word;
+            weight = (1 + log10(tf)) · log10(1 + C/df), forced to 0 when
+            the word occurs in every class; each class vector L2-normalized.
+  * score — BOSSVSClassifier.predict (`.../classification/BOSSVSClassifier.java:212-263`):
+            score(sample, class) = Σ_words tf_sample · weight_class,
+            argmax class.
+
+Scale: the fitted matrix is (#classes × vocab) — small relative to data;
+scoring broadcasts it, so predict is a broadcast join + one aggregation
+(zero wide shuffles of the test corpus beyond its own bag groupBy).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def fit_tfidf(bags_labeled: DataFrame) -> DataFrame:
+    """(series_id, word, cnt, label) → (label, word, weight).
+
+    Pure SQL: two aggregations + a window-normalize.
+    """
+    class_tf = bags_labeled.groupBy("label", "word").agg(
+        F.sum("cnt").alias("tf")
+    )
+    n_classes = class_tf.select("label").distinct().count()
+    df_ = class_tf.groupBy("word").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    raw = (
+        class_tf.join(F.broadcast(df_), "word")
+        .withColumn(
+            "weight",
+            F.when(F.col("df") >= n_classes, F.lit(0.0)).otherwise(
+                (F.lit(1.0) + F.log10(F.col("tf")))
+                * F.log10(F.lit(1.0) + F.lit(float(n_classes)) / F.col("df"))
+            ),
+        )
+    )
+    norm = F.sqrt(F.sum(F.col("weight") * F.col("weight")).over(Window.partitionBy("label")))
+    return raw.select(
+        "label",
+        "word",
+        F.when(norm < 1e-12, F.lit(0.0)).otherwise(F.col("weight") / norm).alias("weight"),
+    )
+
+
+def score_tfidf(test_bags: DataFrame, tfidf: DataFrame) -> DataFrame:
+    """Predict argmax_class Σ tf_test · weight_class per test series.
+
+    Broadcast the model; deterministic tie-break (score desc, label asc).
+    Output: (series_id, pred_label, score).
+    """
+    scored = (
+        test_bags.join(F.broadcast(tfidf), "word")
+        .groupBy("series_id", "label")
+        .agg(F.sum(F.col("cnt") * F.col("weight")).alias("score"))
+    )
+    w = Window.partitionBy("series_id").orderBy(
+        F.col("score").desc(), F.col("label").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("series_id", F.col("label").alias("pred_label"), "score")
+    )

@@ -1,0 +1,334 @@
+"""DuckDB oracle SQL mirroring sfa_spark/queries.py expression-for-
+expression (same rounding, same casts, same tie-breaks).
+
+The driver registers the parquet tables as views named
+region nation customer supplier part orders lineitem events documents
+embeddings, then compares row-count + schema + order-insensitive
+value-hash against the Spark result.
+"""
+
+from __future__ import annotations
+
+W, L, A = 16, 4, 4
+ROLL_W = 8
+N_LABELS = 3
+TEST_MOD = 5
+TOPK = 3
+
+SERIES = """series AS (
+  SELECT user_id AS series_id,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS BIGINT) AS pos,
+         value,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+)"""
+
+
+def _coef_ctes(w: int = W, l: int = L) -> str:
+    return f"""{SERIES},
+swin AS (
+  SELECT series_id, pos, value, n,
+         unnest(generate_series(greatest(pos - {w - 1}, 0), least(pos, n - {w}))) AS win
+  FROM series WHERE n >= {w}
+),
+z AS (
+  SELECT series_id, win, pos - win AS poff,
+         (value - avg(value) OVER ww) /
+         CASE WHEN stddev_pop(value) OVER ww < 1e-8 THEN 1.0
+              ELSE stddev_pop(value) OVER ww END AS vz
+  FROM swin WINDOW ww AS (PARTITION BY series_id, win)
+),
+paa AS (
+  SELECT series_id, win, CAST(floor(poff * {l} / {w}) AS INT) AS seg, avg(vz) AS coef
+  FROM z GROUP BY series_id, win, 3
+)"""
+
+
+def _words_ctes(w: int = W, l: int = L, a: int = A) -> str:
+    return f"""{_coef_ctes(w, l)},
+stats AS (
+  SELECT seg, min(coef) AS vmin, max(coef) AS vmax FROM paa GROUP BY seg
+),
+sym AS (
+  SELECT p.series_id, p.win, p.seg,
+         CASE WHEN s.vmax - s.vmin < 1e-12 THEN 0
+              ELSE least({a - 1}, greatest(0,
+                   CAST(floor((p.coef - s.vmin) * {a} / (s.vmax - s.vmin)) AS INT))) END AS symbol
+  FROM paa p JOIN stats s USING (seg)
+),
+words AS (
+  SELECT series_id, win,
+         CAST(sum(CAST(symbol AS BIGINT) << (2 * seg)) AS BIGINT) AS word
+  FROM sym GROUP BY series_id, win
+)"""
+
+
+def _bag_ctes(w: int = W, l: int = L, a: int = A) -> str:
+    return f"""{_words_ctes(w, l, a)},
+nr AS (
+  SELECT series_id, win, word,
+         lag(word) OVER (PARTITION BY series_id ORDER BY win) AS prev
+  FROM words
+),
+bag AS (
+  SELECT series_id, word, CAST(count(*) AS BIGINT) AS cnt
+  FROM nr WHERE prev IS NULL OR word <> prev
+  GROUP BY series_id, word
+)"""
+
+
+ORACLES: dict[str, str] = {}
+
+ORACLES["q_znorm"] = f"""WITH {SERIES}
+SELECT series_id, pos,
+       round((value - avg(value) OVER ww) /
+             CASE WHEN stddev_pop(value) OVER ww < 1e-8 THEN 1.0
+                  ELSE stddev_pop(value) OVER ww END + 1e-9, 4) + 0.0 AS znorm
+FROM series WINDOW ww AS (PARTITION BY series_id)"""
+
+ORACLES["q_rolling_stats"] = f"""WITH {SERIES}
+SELECT series_id, pos,
+       round(avg(value) OVER fr + 1e-9, 4) + 0.0 AS r_mean,
+       round(stddev_pop(value) OVER fr + 1e-9, 4) + 0.0 AS r_std
+FROM series
+WINDOW fr AS (PARTITION BY series_id ORDER BY pos
+              ROWS BETWEEN CURRENT ROW AND {ROLL_W - 1} FOLLOWING)
+QUALIFY pos <= n - {ROLL_W}"""
+
+ORACLES["q_sliding_count"] = f"""WITH {SERIES}
+SELECT series_id, CAST(max(n) AS BIGINT) AS n,
+       CAST(count(DISTINCT win) AS BIGINT) AS n_windows
+FROM (
+  SELECT series_id, n,
+         unnest(generate_series(greatest(pos - {W - 1}, 0), least(pos, n - {W}))) AS win
+  FROM series WHERE n >= {W}
+) GROUP BY series_id"""
+
+ORACLES["q_disjoint_paa"] = f"""WITH {SERIES},
+dwin AS (
+  SELECT series_id, CAST(floor(pos / {W}) AS BIGINT) AS win, pos % {W} AS poff, value
+  FROM series WHERE pos < n - (n % {W})
+),
+z AS (
+  SELECT series_id, win, poff,
+         (value - avg(value) OVER ww) /
+         CASE WHEN stddev_pop(value) OVER ww < 1e-8 THEN 1.0
+              ELSE stddev_pop(value) OVER ww END AS vz
+  FROM dwin WINDOW ww AS (PARTITION BY series_id, win)
+)
+SELECT series_id, win, CAST(floor(poff * {L} / {W}) AS INT) AS seg,
+       round(avg(vz) + 1e-9, 4) + 0.0 AS paa
+FROM z GROUP BY series_id, win, 3"""
+
+ORACLES["q_sfa_words"] = f"""WITH {_words_ctes()}
+SELECT series_id, win, word FROM words"""
+
+ORACLES["q_bag_topk"] = f"""WITH {_bag_ctes()}
+SELECT series_id, word, cnt,
+       CAST(row_number() OVER (PARTITION BY series_id ORDER BY cnt DESC, word ASC) AS INT) AS rk
+FROM bag
+QUALIFY rk <= {TOPK}"""
+
+ORACLES["q_equi_depth_bins"] = f"""WITH {_coef_ctes()},
+q AS (
+  SELECT seg, quantile_cont(coef, [0.25, 0.5, 0.75]) AS qs FROM paa GROUP BY seg
+)
+SELECT seg, CAST(i AS BIGINT) AS bin_idx, round(qs[CAST(i AS INT)] + 1e-9, 3) + 0.0 AS boundary
+FROM q, generate_series(1, {A - 1}) t(i)"""
+
+ORACLES["q_equi_depth_hist"] = f"""WITH {_coef_ctes()}
+SELECT seg,
+       CAST(ntile({A}) OVER (PARTITION BY seg ORDER BY coef, series_id, win) - 1 AS INT) AS symbol,
+       series_id, win
+FROM paa"""
+# note: rewritten below — histogram needs a two-level query
+ORACLES["q_equi_depth_hist"] = f"""WITH {_coef_ctes()},
+sym AS (
+  SELECT seg,
+         CAST(ntile({A}) OVER (PARTITION BY seg ORDER BY coef, series_id, win) - 1 AS INT) AS symbol
+  FROM paa
+)
+SELECT seg, symbol, CAST(count(*) AS BIGINT) AS cnt FROM sym GROUP BY seg, symbol"""
+
+ORACLES["q_word_bigrams"] = f"""WITH {_words_ctes()},
+uni AS (
+  SELECT series_id, (word << 8) | {W} AS key FROM words
+),
+bi AS (
+  SELECT series_id, (prev << 32) | word AS key FROM (
+    SELECT series_id, word,
+           lag(word, {W}) OVER (PARTITION BY series_id ORDER BY win) AS prev
+    FROM words
+  ) WHERE prev IS NOT NULL
+),
+keys AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+kbag AS (
+  SELECT series_id, key, CAST(count(*) AS BIGINT) AS cnt
+  FROM keys GROUP BY series_id, key
+)
+SELECT key, CAST(sum(cnt) AS BIGINT) AS total,
+       CAST(count(*) AS BIGINT) AS n_series
+FROM kbag GROUP BY key"""
+
+ORACLES["q_chi2"] = f"""WITH {_bag_ctes()},
+labeled AS (
+  SELECT series_id, word, cnt, CAST(series_id % {N_LABELS} AS BIGINT) AS label FROM bag
+),
+per_cw AS (
+  SELECT label, word, CAST(sum(cnt) AS DOUBLE) AS obs FROM labeled GROUP BY label, word
+),
+per_w AS (SELECT word, sum(obs) AS tot_w FROM per_cw GROUP BY word),
+per_c AS (SELECT label, sum(obs) AS tot_c FROM per_cw GROUP BY label),
+tot AS (SELECT sum(obs) AS total FROM per_cw)
+SELECT word, round(sum(pow(obs - expd, 2) / expd) + 1e-9, 3) + 0.0 AS chi2
+FROM (
+  SELECT p.word, p.obs, w.tot_w * c.tot_c / t.total AS expd
+  FROM per_cw p JOIN per_w w USING (word) JOIN per_c c USING (label) CROSS JOIN tot t
+)
+GROUP BY word"""
+
+ORACLES["q_anova_f"] = f"""WITH {_coef_ctes()},
+g AS (
+  SELECT seg, CAST(series_id % {N_LABELS} AS BIGINT) AS label,
+         sum(coef) AS s, sum(coef * coef) AS ss, CAST(count(*) AS DOUBLE) AS m
+  FROM paa GROUP BY seg, 2
+),
+t AS (
+  SELECT seg, sum(s) AS sv, sum(ss) AS ssv, sum(m) AS nv,
+         CAST(count(*) AS DOUBLE) AS k, sum(s * s / m) AS sq_over_m
+  FROM g GROUP BY seg
+),
+f AS (
+  SELECT seg,
+         CASE WHEN abs((ssv - sq_over_m) / (nv - k)) < 1e-12 THEN 0.0
+              ELSE ((sq_over_m - sv * sv / nv) / (k - 1)) /
+                   ((ssv - sq_over_m) / (nv - k)) END AS f_stat
+  FROM t
+)
+SELECT seg, round(f_stat + 1e-9, 3) + 0.0 AS f_stat,
+       CAST(row_number() OVER (ORDER BY f_stat DESC, seg ASC) AS INT) AS rank
+FROM f QUALIFY rank <= {L}"""
+
+
+def _tfidf_sql(bag_cte: str, train_only: bool) -> str:
+    flt = f"WHERE series_id % {TEST_MOD} <> 0" if train_only else ""
+    return f"""ct AS (
+  SELECT CAST(series_id % {N_LABELS} AS BIGINT) AS label, word,
+         CAST(sum(cnt) AS DOUBLE) AS tf
+  FROM {bag_cte} {flt} GROUP BY 1, word
+),
+dfreq AS (SELECT word, CAST(count(*) AS DOUBLE) AS df FROM ct GROUP BY word),
+ncls AS (SELECT CAST(count(DISTINCT label) AS DOUBLE) AS c FROM ct),
+raw AS (
+  SELECT label, word,
+         CASE WHEN df >= c THEN 0.0
+              ELSE (1.0 + log10(tf)) * log10(1.0 + c / df) END AS weight
+  FROM ct JOIN dfreq USING (word) CROSS JOIN ncls
+),
+tfidf AS (
+  SELECT label, word,
+         CASE WHEN nrm < 1e-12 THEN 0.0 ELSE weight / nrm END AS weight
+  FROM (
+    SELECT label, word, weight,
+           sqrt(sum(weight * weight) OVER (PARTITION BY label)) AS nrm
+    FROM raw
+  )
+)"""
+
+
+ORACLES["q_tfidf_fit"] = f"""WITH {_bag_ctes()},
+{_tfidf_sql('bag', train_only=False)}
+SELECT label, word, round(weight + 1e-9, 4) + 0.0 AS weight FROM tfidf"""
+
+_PREDICT_TAIL = f"""scored AS (
+  SELECT b.series_id, t.label, sum(b.cnt * t.weight) AS score
+  FROM bag b JOIN tfidf t USING (word)
+  WHERE b.series_id % {TEST_MOD} = 0
+  GROUP BY b.series_id, t.label
+),
+pred AS (
+  SELECT series_id, label AS pred_label, score
+  FROM scored
+  QUALIFY row_number() OVER (PARTITION BY series_id ORDER BY score DESC, label ASC) = 1
+)"""
+
+ORACLES["q_tfidf_predict"] = f"""WITH {_bag_ctes()},
+{_tfidf_sql('bag', train_only=True)},
+{_PREDICT_TAIL}
+SELECT series_id, CAST(pred_label AS BIGINT) AS pred_label FROM pred"""
+
+ORACLES["q_tfidf_accuracy"] = f"""WITH {_bag_ctes()},
+{_tfidf_sql('bag', train_only=True)},
+{_PREDICT_TAIL}
+SELECT round(avg(CASE WHEN pred_label = series_id % {N_LABELS} THEN 1.0 ELSE 0.0 END), 3) AS acc,
+       CAST(count(*) AS BIGINT) AS n
+FROM pred"""
+
+ORACLES["q_boss_1nn"] = f"""WITH {_bag_ctes()},
+test AS (SELECT * FROM bag WHERE series_id % {TEST_MOD} = 0),
+train AS (SELECT * FROM bag WHERE series_id % {TEST_MOD} <> 0),
+sumsq AS (
+  SELECT series_id AS q_id, CAST(sum(cnt * cnt) AS BIGINT) AS ssq
+  FROM test GROUP BY series_id
+),
+corr AS (
+  SELECT t.series_id AS q_id, c.series_id AS c_id,
+         CAST(sum(c.cnt * c.cnt - 2 * t.cnt * c.cnt) AS BIGINT) AS corr
+  FROM test t JOIN train c USING (word)
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT s.q_id, c.c_id, CAST(s.ssq + coalesce(k.corr, 0) AS BIGINT) AS dist
+  FROM sumsq s
+  CROSS JOIN (SELECT DISTINCT series_id AS c_id FROM train) c
+  LEFT JOIN corr k ON k.q_id = s.q_id AND k.c_id = c.c_id
+)
+SELECT q_id AS series_id, c_id AS nn_id, dist
+FROM pairs
+QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY dist ASC, c_id ASC) = 1"""
+
+ORACLES["q_folds"] = f"""WITH {SERIES},
+labeled AS (
+  SELECT DISTINCT series_id, CAST(series_id % {N_LABELS} AS BIGINT) AS label FROM series
+),
+f AS (
+  SELECT label,
+         CAST((row_number() OVER (PARTITION BY label ORDER BY series_id) - 1) % 10 AS INT) AS fold
+  FROM labeled
+)
+SELECT label, fold, CAST(count(*) AS BIGINT) AS cnt FROM f GROUP BY label, fold"""
+
+ORACLES["q_tpch_pricing"] = """SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus"""
+
+ORACLES["q_top_customers"] = """WITH rev AS (
+  SELECT c_custkey, c_name, CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_custkey, c_name
+)
+SELECT c_custkey, c_name, revenue,
+       CAST(row_number() OVER (ORDER BY revenue DESC, c_custkey ASC) AS INT) AS rk
+FROM rev QUALIFY rk <= 10"""
+
+ORACLES["q_sessionize"] = """WITH g AS (
+  SELECT user_id, ts, event_id, value,
+         epoch_ns(ts) -
+         epoch_ns(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+  FROM events
+),
+s AS (
+  SELECT user_id, value,
+         CAST(sum(CASE WHEN gap IS NULL OR gap > 1800000000000 THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM g
+)
+SELECT CAST(user_id AS BIGINT) AS series_id, session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM s GROUP BY 1, 2"""

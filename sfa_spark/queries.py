@@ -1,0 +1,281 @@
+"""Driver-facing query registry: each SURVEY §2 operator demonstrated
+end-to-end on the driver testdata tables.
+
+Conventions (must mirror sfa_spark/oracles.py exactly):
+  * series come from `events`: series_id = user_id, ordered by (ts,
+    event_id), value = value.
+  * synthetic class label = series_id % 3 (deterministic stand-in for
+    the reference's dataset labels).
+  * train/test split: series_id % 5 == 0 → test, else train.
+  * every float output column is round()ed the same on both sides;
+    integer outputs are cast bigint/int identically.
+
+Flagship parameters: window w=16, PAA length l=4, alphabet a=4
+(2 bits/symbol → 8-bit packed words).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sfa_spark.operators import bags, folds, knn, quantize, select, tfidf, window, words
+from sfa_spark.sources.events import load_table, series_from_events
+
+W, L, A = 16, 4, 4
+ROLL_W = 8
+N_LABELS = 3
+TEST_MOD = 5
+TOPK = 3
+
+
+# ---------------------------------------------------------------- helpers
+
+def rnd(col, p: int = 4):
+    """Engine-stable rounding (mirrored in oracles.py): the +1e-9 nudge
+    pushes exact decimal-lattice values off the rounding boundary (where
+    Spark/DuckDB aggregation-order ulp differences would flip the digit),
+    and +0.0 normalizes -0.0 to 0.0."""
+    c = col if not isinstance(col, str) else F.col(col)
+    return F.round(c + F.lit(1e-9), p) + F.lit(0.0)
+
+
+def dec_sum(col):
+    """Exact DECIMAL(18,6) sum cast back to double — bit-identical
+    across engines for fixed-decimal inputs (no float accumulation-order
+    effects); the 100 TB answer to nondeterministic double sums."""
+    c = col if not isinstance(col, str) else F.col(col)
+    return F.sum(c.cast("decimal(18,6)")).cast("double")
+
+
+# ---------------------------------------------------------------- building blocks
+
+def series_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return series_from_events(load_table(spark, sf_dir, "events"))
+
+
+def coef_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → sliding windows → per-window znorm → PAA coefficients."""
+    s = series_df(spark, sf_dir)
+    sw = window.sliding_long(s, W)
+    z = window.window_znorm(sw)
+    return words.paa_long(z, W, L)
+
+
+def words_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAA coefficients → equi-width symbols → packed SFA words."""
+    coef = coef_df(spark, sf_dir)
+    sym = quantize.equi_width_symbols(coef, A)
+    return words.pack_words(sym.select("series_id", "win", "seg", "symbol"), A)
+
+
+def bag_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """words → numerosity reduction → bag-of-patterns counts."""
+    return bags.bag_of_words(bags.numerosity_reduce(words_df(spark, sf_dir)))
+
+
+def _label(col="series_id"):
+    return (F.col(col) % N_LABELS).cast("bigint").alias("label")
+
+
+# ---------------------------------------------------------------- P: windowing
+
+def q_znorm(spark, sf_dir):
+    s = window.znorm(series_df(spark, sf_dir))
+    return s.select(
+        "series_id", "pos", rnd("value_z", 4).alias("znorm")
+    )
+
+
+def q_rolling_stats(spark, sf_dir):
+    r = window.rolling_stats(series_df(spark, sf_dir), ROLL_W)
+    return r.where(F.col("valid_start")).select(
+        "series_id",
+        "pos",
+        rnd("r_mean", 4).alias("r_mean"),
+        rnd("r_std", 4).alias("r_std"),
+    )
+
+
+def q_sliding_count(spark, sf_dir):
+    sw = window.sliding_long(series_df(spark, sf_dir), W)
+    return sw.groupBy("series_id").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.countDistinct("win").cast("bigint").alias("n_windows"),
+    )
+
+
+def q_disjoint_paa(spark, sf_dir):
+    s = series_df(spark, sf_dir)
+    d = window.window_znorm(window.disjoint_long(s, W))
+    p = words.paa_long(d, W, L)
+    return p.select(
+        "series_id", "win", "seg", rnd("coef", 4).alias("paa")
+    )
+
+
+# ---------------------------------------------------------------- Q/B: SFA words & bags
+
+def q_sfa_words(spark, sf_dir):
+    return words_df(spark, sf_dir).select("series_id", "win", "word")
+
+
+def q_bag_topk(spark, sf_dir):
+    bag = bag_df(spark, sf_dir)
+    w = Window.partitionBy("series_id").orderBy(
+        F.col("cnt").desc(), F.col("word").asc()
+    )
+    return (
+        bag.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= TOPK)
+        .select("series_id", "word", "cnt", "rk")
+    )
+
+
+def q_equi_depth_bins(spark, sf_dir):
+    coef = coef_df(spark, sf_dir)
+    b = quantize.fit_equi_depth_bins(coef, A)
+    return b.select(
+        "seg", F.posexplode("bins").alias("idx", "boundary")
+    ).select(
+        "seg",
+        (F.col("idx") + 1).cast("bigint").alias("bin_idx"),
+        rnd("boundary", 3).alias("boundary"),
+    )
+
+
+def q_equi_depth_hist(spark, sf_dir):
+    coef = coef_df(spark, sf_dir)
+    sym = quantize.equi_depth_symbols(coef, A)
+    return sym.groupBy("seg", "symbol").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+
+
+def q_word_bigrams(spark, sf_dir):
+    wd = words_df(spark, sf_dir)
+    keys = bags.weasel_keys(wd, window_length=W, highest_bit=8, bigrams=True)
+    b = bags.bag_of_keys(keys)
+    return b.groupBy("key").agg(
+        F.sum("cnt").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_series"),
+    )
+
+
+# ---------------------------------------------------------------- selection / models
+
+def q_chi2(spark, sf_dir):
+    bag = bag_df(spark, sf_dir).withColumn("label", _label())
+    chi = select.chi_squared(bag, limit=0.0, word_limit=None)
+    return chi.select("word", rnd("chi2", 3).alias("chi2"))
+
+
+def q_anova_f(spark, sf_dir):
+    coef = coef_df(spark, sf_dir).withColumn("label", _label())
+    f = select.anova_f(coef.select("seg", "coef", "label"))
+    ranked = select.top_coefficients(f, L)
+    return ranked.select(
+        "seg", rnd("f_stat", 3).alias("f_stat"), F.col("rank").cast("int").alias("rank")
+    )
+
+
+def q_tfidf_fit(spark, sf_dir):
+    bag = bag_df(spark, sf_dir).withColumn("label", _label())
+    m = tfidf.fit_tfidf(bag)
+    return m.select("label", "word", rnd("weight", 4).alias("weight"))
+
+
+def _split_bags(spark, sf_dir):
+    bag = bag_df(spark, sf_dir)
+    test = bag.where(F.col("series_id") % TEST_MOD == 0)
+    train = bag.where(F.col("series_id") % TEST_MOD != 0)
+    return train, test
+
+
+def q_tfidf_predict(spark, sf_dir):
+    train, test = _split_bags(spark, sf_dir)
+    model = tfidf.fit_tfidf(train.withColumn("label", _label()))
+    pred = tfidf.score_tfidf(test, model)
+    return pred.select("series_id", F.col("pred_label").cast("bigint").alias("pred_label"))
+
+
+def q_tfidf_accuracy(spark, sf_dir):
+    pred = q_tfidf_predict(spark, sf_dir).withColumn("label", _label())
+    return folds.accuracy(pred)
+
+
+def q_boss_1nn(spark, sf_dir):
+    train, test = _split_bags(spark, sf_dir)
+    nn = knn.boss_1nn(test, train)
+    return nn.select("series_id", "nn_id", F.col("dist").cast("bigint").alias("dist"))
+
+
+def q_folds(spark, sf_dir):
+    labeled = (
+        series_df(spark, sf_dir)
+        .select("series_id")
+        .distinct()
+        .withColumn("label", _label())
+    )
+    f = folds.stratified_folds(labeled, 10)
+    return f.groupBy("label", "fold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+
+
+# ---------------------------------------------------------------- relational anchors
+
+def q_tpch_pricing(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum("l_quantity").alias("sum_qty"),
+            dec_sum("l_extendedprice").alias("sum_base_price"),
+            dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "sum_disc_price"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("count_order"),
+        )
+    )
+
+
+def q_top_customers(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    rev = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(dec_sum("o_totalprice").alias("revenue"))
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+    return (
+        rev.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= 10)
+        .select("c_custkey", "c_name", "revenue", "rk")
+    )
+
+
+def q_sessionize(spark, sf_dir):
+    # ts arrives as bigint nanoseconds (see session.py nanosAsLong)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts") - F.lag("ts").over(w)
+    sess = (
+        ev.withColumn(
+            "is_new",
+            F.when(gap.isNull() | (gap > 1_800_000_000_000), 1).otherwise(0),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("is_new")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("bigint"),
+        )
+    )
+    return sess.groupBy(
+        F.col("user_id").cast("bigint").alias("series_id"), "session_id"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        dec_sum("value").alias("sum_value"),
+    )

@@ -1,0 +1,68 @@
+"""Sources: parquet tables and the events → canonical-series adapters.
+
+Reference parity: TimeSeriesLoader.loadDataset / loadMultivariateDatset
+(`/root/reference/src/main/java/sfa/timeseries/TimeSeriesLoader.java:31-223`)
+parse files into in-memory TimeSeries[]. Here the equivalent is a scan +
+one shuffle into the canonical long form; order inside a series is
+positional (the reference discards timestamps too,
+TimeSeriesLoader.java:197-198) but we keep a deterministic (ts, tiebreak)
+sort so results are stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def series_from_events(
+    events: DataFrame,
+    series_col: str = "user_id",
+    value_col: str = "value",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+) -> DataFrame:
+    """Long-form canonical series from an event log.
+
+    Output: (series_id bigint, pos bigint, value double, n bigint).
+
+    Scale: exactly ONE shuffle (partition by series_id); both window
+    functions below share the same partitioning spec, so Catalyst plans a
+    single Exchange + Sort. At 100 TB the event log is typically already
+    bucketed/partitioned by entity — then even that Exchange disappears.
+    """
+    w_ord = Window.partitionBy("series_id").orderBy(*order_cols)
+    w_all = Window.partitionBy("series_id")
+    return (
+        events.select(
+            F.col(series_col).cast("bigint").alias("series_id"),
+            *[F.col(c) for c in order_cols],
+            F.col(value_col).cast("double").alias("value"),
+        )
+        .withColumn("pos", (F.row_number().over(w_ord) - F.lit(1)).cast("bigint"))
+        .withColumn("n", F.count(F.lit(1)).over(w_all).cast("bigint"))
+        .select("series_id", "pos", "value", "n")
+    )
+
+
+def series_to_arrays(long_df: DataFrame) -> DataFrame:
+    """Gather long form into array form (series_id, values array<double>).
+
+    Uses sort_array(collect_list(struct(pos, value))) so the gather is a
+    single aggregation — no window sort needed. Only safe when a single
+    series fits in executor memory (true for classification corpora;
+    indexing-scale single series stay in long form / chunked form).
+    """
+    return (
+        long_df.groupBy("series_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "value"))),
+                lambda s: s["value"],
+            ).alias("values"),
+            F.max("n").alias("n"),
+        )
+    )

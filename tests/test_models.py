@@ -1,0 +1,137 @@
+"""tf-idf, χ², ANOVA-F, 1-NN, folds — checked against tiny hand
+computations / numpy references."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from sfa_spark.operators import folds, knn, select, tfidf
+
+
+def test_tfidf_weights_manual(spark):
+    # 2 classes; word 1 only in class 0, word 2 in both
+    bag = spark.createDataFrame(
+        [
+            (0, 1, 2, 0),
+            (1, 2, 1, 0),
+            (2, 2, 3, 1),
+        ],
+        "series_id long, word long, cnt long, label long",
+    )
+    m = {(r["label"], r["word"]): r["weight"] for r in tfidf.fit_tfidf(bag).collect()}
+    # class 0: w1 tf=2 df=1 → (1+log10 2)·log10(1+2/1); w2 tf=1 df=2 → 0 (in all classes)
+    w1 = (1 + math.log10(2)) * math.log10(3)
+    assert abs(m[(0, 1)] - 1.0) < 1e-9  # L2-normalized single nonzero → 1
+    assert m[(0, 2)] == 0.0 and m[(1, 2)] == 0.0
+
+
+def test_tfidf_predict_argmax(spark):
+    model = spark.createDataFrame(
+        [(0, 1, 0.9), (0, 2, 0.1), (1, 2, 0.9), (1, 3, 0.3)],
+        "label long, word long, weight double",
+    )
+    test = spark.createDataFrame(
+        [(10, 1, 3), (10, 2, 1), (11, 3, 2)],
+        "series_id long, word long, cnt long",
+    )
+    pred = {r["series_id"]: r["pred_label"] for r in tfidf.score_tfidf(test, model).collect()}
+    assert pred == {10: 0, 11: 1}
+
+
+def test_anova_f_matches_scipy_formula(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    groups = {0.0: rng.normal(0, 1, 30), 1.0: rng.normal(1.5, 1, 30)}
+    rows = [(0, float(v), lbl) for lbl, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "seg int, coef double, label double")
+    f_spark = select.anova_f(df).collect()[0]["f_stat"]
+    try:
+        from scipy.stats import f_oneway
+
+        f_ref = f_oneway(groups[0.0], groups[1.0]).statistic
+    except ImportError:
+        a, b = groups[0.0], groups[1.0]
+        n = len(a) + len(b)
+        gm = (a.sum() + b.sum()) / n
+        ssb = len(a) * (a.mean() - gm) ** 2 + len(b) * (b.mean() - gm) ** 2
+        ssw = ((a - a.mean()) ** 2).sum() + ((b - b.mean()) ** 2).sum()
+        f_ref = (ssb / 1) / (ssw / (n - 2))
+    assert abs(f_spark - f_ref) < 1e-6
+
+
+def test_chi2_uniform_is_zero(spark):
+    # identical distribution across classes → chi2 ≈ 0 (kept only with limit 0)
+    bag = spark.createDataFrame(
+        [(0, 1, 5, 0), (1, 1, 5, 1), (2, 2, 3, 0), (3, 2, 3, 1)],
+        "series_id long, word long, cnt long, label long",
+    )
+    rows = select.chi_squared(bag, limit=-1.0, word_limit=None).collect()
+    assert all(abs(r["chi2"]) < 1e-9 for r in rows)
+
+
+def test_boss_1nn_vs_bruteforce(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(1)
+    n_train, n_test, vocab = 12, 4, 20
+    train = {i: {int(w): int(rng.integers(1, 5)) for w in rng.choice(vocab, 6, replace=False)} for i in range(n_train)}
+    test = {100 + i: {int(w): int(rng.integers(1, 5)) for w in rng.choice(vocab, 6, replace=False)} for i in range(n_test)}
+
+    def dist(q, c):
+        return sum((qv - c.get(w, 0)) ** 2 for w, qv in q.items())
+
+    expected = {}
+    for qid, q in test.items():
+        best = min(train, key=lambda cid: (dist(q, train[cid]), cid))
+        expected[qid] = (best, dist(q, train[best]))
+
+    to_df = lambda bags: spark.createDataFrame(
+        [(sid, w, c) for sid, b in bags.items() for w, c in b.items()],
+        "series_id long, word long, cnt long",
+    )
+    got = {
+        r["series_id"]: (r["nn_id"], r["dist"])
+        for r in knn.boss_1nn(to_df(test), to_df(train)).collect()
+    }
+    assert got == expected
+
+
+def test_euclidean_knn_exact(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(2)
+    corpus = rng.normal(0, 1, (8, 16))
+    to_long = lambda mat, base: spark.createDataFrame(
+        [
+            (base + i, int(p), float(v), 16)
+            for i, row in enumerate(mat)
+            for p, v in enumerate(row)
+        ],
+        "series_id long, pos long, value double, n long",
+    )
+    res = knn.euclidean_knn_long(to_long(corpus[:2], 100), to_long(corpus, 0), k=3)
+    for r in res.collect():
+        true = np.linalg.norm(corpus[r["series_id"] - 100] - corpus[r["nn_id"]])
+        assert abs(r["dist"] - true) < 1e-9
+    # rank-1 neighbor of a corpus member is itself
+    top = {r["series_id"]: r["nn_id"] for r in res.where("rk=1").collect()}
+    assert top == {100: 0, 101: 1}
+
+
+def test_stratified_folds_balanced(spark):
+    labeled = spark.createDataFrame(
+        [(i, i % 3) for i in range(60)], "series_id long, label long"
+    )
+    f = folds.stratified_folds(labeled, 10)
+    per = f.groupBy("label", "fold").count().collect()
+    assert all(r["count"] == 2 for r in per)  # 20 per label / 10 folds
+
+
+def test_weighted_vote_tie_breaks_larger_label(spark):
+    votes = spark.createDataFrame(
+        [(1, 0.0, 1.0), (1, 2.0, 1.0)], "series_id long, pred_label double, weight double"
+    )
+    got = folds.weighted_vote(votes).collect()[0]["pred_label"]
+    assert got == 2.0

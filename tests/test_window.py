@@ -1,0 +1,81 @@
+"""Windowing invariants (mirrors reference SFAWordsWindowingTest-style
+checks: window counts, per-window normalization properties)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from sfa_spark.operators import window
+from sfa_spark.sources.synthetic import random_walk
+
+
+@pytest.fixture(scope="module")
+def walks(spark):
+    return random_walk(spark, n_series=5, length=64, seed=7).cache()
+
+
+def test_znorm_mean_zero_std_one(spark, walks):
+    z = window.znorm(walks)
+    stats = (
+        z.groupBy("series_id")
+        .agg(F.avg("value_z").alias("m"), F.stddev_pop("value_z").alias("s"))
+        .collect()
+    )
+    for r in stats:
+        assert abs(r["m"]) < 1e-9
+        assert abs(r["s"] - 1.0) < 1e-9
+
+
+def test_sliding_window_count(spark, walks):
+    w = 16
+    sw = window.sliding_long(walks, w)
+    counts = sw.groupBy("series_id").agg(
+        F.countDistinct("win").alias("nw"), F.max("n").alias("n")
+    )
+    for r in counts.collect():
+        assert r["nw"] == r["n"] - w + 1  # n-w+1 windows, reference invariant
+
+
+def test_sliding_window_offsets_complete(spark, walks):
+    w = 8
+    sw = window.sliding_long(walks, w)
+    per_win = sw.groupBy("series_id", "win").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.min("off").alias("lo"),
+        F.max("off").alias("hi"),
+    )
+    bad = per_win.where(
+        (F.col("c") != w) | (F.col("lo") != 0) | (F.col("hi") != w - 1)
+    ).count()
+    assert bad == 0
+
+
+def test_disjoint_drops_partial_tail(spark):
+    walks = random_walk(spark, n_series=2, length=37, seed=3)
+    d = window.disjoint_long(walks, 16)
+    assert d.groupBy("series_id").count().collect()[0]["count"] == 32  # 2 windows
+    assert d.agg(F.max("win")).collect()[0][0] == 1
+
+
+def test_window_znorm_normalizes_each_window(spark, walks):
+    sw = window.window_znorm(window.sliding_long(walks, 16))
+    stats = sw.groupBy("series_id", "win").agg(
+        F.avg("value_z").alias("m"), F.stddev_pop("value_z").alias("s")
+    )
+    rows = stats.collect()
+    assert all(abs(r["m"]) < 1e-9 for r in rows)
+    assert all(abs(r["s"] - 1.0) < 1e-9 or r["s"] == 0.0 for r in rows)
+
+
+def test_rolling_stats_match_python(spark):
+    walks = random_walk(spark, n_series=1, length=32, seed=11)
+    vals = [r["value"] for r in walks.orderBy("pos").collect()]
+    w = 8
+    rs = window.rolling_stats(walks, w).where("valid_start").orderBy("pos").collect()
+    for r in rs:
+        seg = vals[r["pos"] : r["pos"] + w]
+        m = sum(seg) / w
+        s = math.sqrt(sum((x - m) ** 2 for x in seg) / w)
+        assert abs(r["r_mean"] - m) < 1e-9
+        assert abs(r["r_std"] - s) < 1e-9

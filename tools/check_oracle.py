@@ -1,0 +1,112 @@
+"""Local replica of the driver's correctness gate: run every queries()
+entry on Spark AND its oracle_sql() on DuckDB at the given sf dir,
+compare row-count + (sorted-column) values.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, ".")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            try:
+                df[c] = pd.to_numeric(df[c])
+            except (ValueError, TypeError):
+                pass
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> str:
+    if len(spark_pdf) != len(duck_pdf):
+        return f"ROWCOUNT spark={len(spark_pdf)} duck={len(duck_pdf)}"
+    a, b = normalize(spark_pdf), normalize(duck_pdf)
+    if list(a.columns) != list(b.columns):
+        return f"COLUMNS spark={list(a.columns)} duck={list(b.columns)}"
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
+            ok = np.allclose(
+                av.astype(float), bv.astype(float), rtol=1e-9, atol=1e-9, equal_nan=True
+            )
+            exact = np.array_equal(av.astype(float), bv.astype(float))
+            if not ok:
+                bad = np.where(
+                    ~np.isclose(av.astype(float), bv.astype(float), rtol=1e-9, atol=1e-9)
+                )[0][:3]
+                return f"VALUES col={c} rows={bad.tolist()} spark={av[bad]} duck={bv[bad]}"
+            if not exact:
+                return f"OK~ (float col={c} close but not bit-equal)"
+        else:
+            if not np.array_equal(av, bv):
+                bad = np.where(av != bv)[0][:3]
+                return f"VALUES col={c} rows={bad.tolist()} spark={av[bad]} duck={bv[bad]}"
+    return "OK"
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as E
+    from sfa_spark.session import get_spark
+
+    spark = get_spark("check-oracle")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    qs = E.queries()
+    sqls = E.oracle_sql()
+    failures = 0
+    for name, fn in sorted(qs.items()):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            spdf = fn(spark, sf_dir).toPandas()
+        except Exception as exc:  # noqa: BLE001
+            print(f"{name:24s} SPARK-ERROR {type(exc).__name__}: {str(exc)[:200]}")
+            failures += 1
+            continue
+        if name not in sqls:
+            print(f"{name:24s} rows-only: {len(spdf)} rows  [{time.time()-t0:.1f}s]")
+            if len(spdf) == 0:
+                failures += 1
+            continue
+        try:
+            dpdf = con.execute(sqls[name]).fetchdf()
+        except Exception as exc:  # noqa: BLE001
+            print(f"{name:24s} DUCK-ERROR {type(exc).__name__}: {str(exc)[:200]}")
+            failures += 1
+            continue
+        verdict = compare(spdf, dpdf)
+        print(
+            f"{name:24s} {verdict}  ({len(spdf)} rows)  [{time.time()-t0:.1f}s]"
+        )
+        if not verdict.startswith("OK"):
+            failures += 1
+    print(f"\n{'PASS' if failures == 0 else 'FAIL'} ({failures} failures)")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
