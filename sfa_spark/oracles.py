@@ -315,6 +315,62 @@ SELECT c_custkey, c_name, revenue,
        CAST(row_number() OVER (ORDER BY revenue DESC, c_custkey ASC) AS INT) AS rk
 FROM rev QUALIFY rk <= 10"""
 
+# -- spectral cross-implementation oracles: Spark uses numpy FFT, the
+# -- oracle recomputes coefficients as explicit trig sums.
+
+ORACLES["q_dft_coefs"] = f"""WITH {SERIES},
+meta AS (
+  SELECT series_id, CAST(pow(2, ceil(log2(max(n)))) AS BIGINT) AS nfft
+  FROM series GROUP BY series_id
+),
+ks AS (SELECT unnest(generate_series(1, 4)) AS k),
+terms AS (
+  SELECT s.series_id, k.k, m.nfft,
+         sum(s.value * cos(2 * pi() * k.k * s.pos / m.nfft)) AS re,
+         sum(s.value * sin(2 * pi() * k.k * s.pos / m.nfft)) AS im
+  FROM series s JOIN meta m USING (series_id) CROSS JOIN ks k
+  GROUP BY s.series_id, k.k, m.nfft
+)
+SELECT series_id, CAST(2 * (k - 1) AS INT) AS seg,
+       round(re / sqrt(nfft) + 1e-9, 4) + 0.0 AS coef
+FROM terms
+UNION ALL
+SELECT series_id, CAST(2 * (k - 1) + 1 AS INT) AS seg,
+       round(im / sqrt(nfft) + 1e-9, 4) + 0.0 AS coef
+FROM terms"""
+
+ORACLES["q_mft_sliding"] = f"""WITH {SERIES},
+swin AS (
+  SELECT series_id, pos, value, n,
+         unnest(generate_series(greatest(pos - 15, 0), least(pos, n - 16))) AS win
+  FROM series WHERE n >= 16
+),
+wstat AS (
+  SELECT series_id, win, stddev_pop(value) AS sd
+  FROM swin GROUP BY series_id, win
+),
+ks AS (SELECT unnest(generate_series(1, 2)) AS k),
+terms AS (
+  SELECT w.series_id, w.win, k.k,
+         sum(w.value * cos(2 * pi() * k.k * (w.pos - w.win) / 16)) AS re,
+         sum(w.value * sin(2 * pi() * k.k * (w.pos - w.win) / 16)) AS im
+  FROM swin w CROSS JOIN ks k
+  GROUP BY w.series_id, w.win, k.k
+),
+normed AS (
+  SELECT t.series_id, t.win, t.k,
+         t.re * (CASE WHEN s.sd > 0 THEN 1.0 / s.sd ELSE 1.0 END) / 4 AS re,
+         t.im * (CASE WHEN s.sd > 0 THEN 1.0 / s.sd ELSE 1.0 END) / 4 AS im
+  FROM terms t JOIN wstat s USING (series_id, win)
+)
+SELECT series_id, win, CAST(2 * (k - 1) AS INT) AS seg,
+       round(re + 1e-9, 4) + 0.0 AS coef
+FROM normed
+UNION ALL
+SELECT series_id, win, CAST(2 * (k - 1) + 1 AS INT) AS seg,
+       round(im + 1e-9, 4) + 0.0 AS coef
+FROM normed"""
+
 ORACLES["q_sessionize"] = """WITH g AS (
   SELECT user_id, ts, event_id, value,
          epoch_ns(ts) -
