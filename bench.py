@@ -25,6 +25,14 @@ HEADLINE = [
     "q_sessionize",
     "q_tpch_pricing",
     "q_top_customers",
+    "q_mft_sliding",     # pandas-UDF sliding DFT
+    "q_sfa_words_dft",   # full SFA (DFT + equi-depth) pipeline
+    "q_dedup_exact",
+    "q_jaccard_topk",
+    "q_lsh_pairs",
+    "q_simhash",
+    "q_cosine_topk",
+    "q_cosine_ivf",
 ]
 
 

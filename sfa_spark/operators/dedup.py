@@ -1,0 +1,170 @@
+"""Deduplication for LLM training-data pipelines: exact, n-gram
+Jaccard, MinHash+LSH, SimHash.
+
+Scale design:
+  * exact        — one hash-groupBy; the canonical 100 TB dedup pass.
+  * jaccard      — inverted-index join on shingles (never a cross
+                   join); candidate pairs only where ≥1 shared shingle.
+                   Hot shingles are Zipf-skewed → AQE skew join; a
+                   document-frequency cap (drop shingles in > max_df
+                   docs) bounds the pair blow-up, exactly like the
+                   reference's χ²/WORD_LIMIT feature pruning.
+  * minhash+LSH  — signature = per-seed min of md5(seed|shingle)
+                   (portable, engine-stable string hashing); band join
+                   turns near-dup search into an equality join —
+                   the same signature→partition→verify shape as the
+                   SFA trie (SURVEY §2.8 / §7 'beyond-reference').
+  * simhash      — 32-bit majority-vote fingerprint; hamming-ball
+                   lookup via 4-band exact-match blocking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sfa_spark.operators.text import shingles
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Group by content hash; keep the smallest doc_id of each group.
+    Output: (text_hash, keeper_doc_id, dup_cnt)."""
+    return (
+        docs.select("doc_id", F.md5(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).cast("bigint").alias("dup_cnt"),
+        )
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """All candidate pairs (a < b) sharing ≥1 shingle, with exact
+    n-gram Jaccard = |∩| / |∪|. Output: (doc_a, doc_b, inter, union_sz,
+    jaccard). Integer set sizes → jaccard is an exact rational."""
+    sh = shingles(docs, k)
+    if max_df is not None:
+        df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        sh = sh.join(
+            F.broadcast(df_counts.where(F.col("df") <= max_df).select("shingle")),
+            "shingle",
+        )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("inter").cast("bigint").alias("inter"),
+            (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("bigint").alias("union_sz"),
+            (
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_signatures(docs: DataFrame, n_seeds: int = 8, k: int = 3) -> DataFrame:
+    """(doc_id, seed, minhash): per-seed min over md5(seed|shingle).
+
+    md5-string min is engine-portable and deterministic — no reliance on
+    engine-specific hash functions. One aggregation over the exploded
+    (shingle × seed) space; seeds are a tiny constant factor."""
+    sh = shingles(docs, k)
+    seeds = docs.sparkSession.range(n_seeds).select(F.col("id").cast("int").alias("seed"))
+    return (
+        sh.crossJoin(F.broadcast(seeds))
+        .select(
+            "doc_id",
+            "seed",
+            F.md5(F.concat_ws("|", F.col("seed"), F.col("shingle"))).alias("h"),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, band_size: int = 2
+) -> DataFrame:
+    """Band the signature (band = seed div band_size, key = md5 of the
+    band's concatenated minhashes) and emit pairs sharing ≥1 band.
+    Output: (doc_a, doc_b, n_bands)."""
+    banded = (
+        signatures.withColumn("band", (F.col("seed") / band_size).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+                        lambda s: s["minhash"],
+                    ),
+                )
+            ).alias("band_key")
+        )
+    )
+    a = banded.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
+    b = banded.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_bands"))
+    )
+
+
+def _hex32_to_int(col):
+    """First 8 hex chars of an md5 → bigint (portable via conv)."""
+    return F.conv(F.substring(col, 1, 8), 16, 10).cast("bigint")
+
+
+def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
+    """32-bit SimHash over word tokens: per bit, majority vote of token
+    hashes (+1/−1), bit set iff the vote is positive.
+
+    Pure SQL: token hash → explode bit positions → signed sum → pack.
+    Output: (doc_id, simhash bigint)."""
+    from sfa_spark.operators.text import with_tokens
+
+    tok = (
+        with_tokens(docs)
+        .select("doc_id", F.explode("toks").alias("tok"))
+        .select("doc_id", _hex32_to_int(F.md5("tok")).alias("h"))
+    )
+    bit = tok.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("i"),
+        "h",
+    ).select(
+        "doc_id",
+        "i",
+        F.expr("cast(2 * ((h >> i) & 1) - 1 as bigint)").alias("vote"),
+    )
+    votes = bit.groupBy("doc_id", "i").agg(F.sum("vote").alias("v"))
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.expr("if(v > 0, shiftleft(cast(1 as bigint), i), cast(0 as bigint))")
+        ).alias("simhash")
+    )
+
+
+def hamming_distance(col_a, col_b, bits: int = 32):
+    """Popcount of XOR — bit_count is built-in in both engines."""
+    return F.bit_count(col_a.bitwiseXOR(col_b))

@@ -1,0 +1,130 @@
+"""Text analysis for LLM training-data pipelines (BASELINE.json north
+star): token counting, quality scoring, language ID, fingerprinting.
+
+Everything is built-in-expression SQL (JVM-side, codegen'd) — zero
+Python in the hot path; the per-document work is embarrassingly
+parallel, so these scale linearly with executors at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# tiny per-language stopword lists for the n-gram/stopword-hit heuristic
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "y", "de", "los"],
+}
+
+EN_STOPWORDS = LANG_STOPWORDS["en"]
+
+
+def tokens_col(text_col="text"):
+    """Whitespace tokenization of lowercased trimmed text."""
+    return F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+
+
+def with_tokens(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    return docs.withColumn("toks", tokens_col(text_col))
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc token count, char count, avg token length, punctuation /
+    digit / stopword ratios — the quality-scoring feature set."""
+    d = with_tokens(docs)
+    n_tok = F.size("toks")
+    n_char = F.length("text")
+    punct = F.length(F.regexp_replace("text", r"[^.,!?;:]", ""))
+    digit = F.length(F.regexp_replace("text", r"[^0-9]", ""))
+    stop = F.size(F.filter("toks", lambda t: t.isin(EN_STOPWORDS)))
+    return d.select(
+        "doc_id",
+        n_tok.cast("bigint").alias("n_tokens"),
+        n_char.cast("bigint").alias("n_chars2"),
+        (n_char.cast("double") / n_tok).alias("avg_tok_len"),
+        (punct.cast("double") / n_char).alias("punct_ratio"),
+        (digit.cast("double") / n_char).alias("digit_ratio"),
+        (stop.cast("double") / n_tok).alias("stopword_ratio"),
+    )
+
+
+def quality_score(stats: DataFrame) -> DataFrame:
+    """Composite heuristic quality in [0,1]: favor moderate length,
+    punctuation presence, stopword presence (C4/Gopher-rule flavor)."""
+    s = (
+        F.lit(1.0)
+        - F.least(F.lit(1.0), F.abs(F.col("avg_tok_len") - 5.0) / 10.0) * 0.4
+        - F.least(F.lit(1.0), F.col("digit_ratio") * 5.0) * 0.3
+        - F.when(F.col("stopword_ratio") <= 0.0, 0.3).otherwise(0.0)
+    )
+    return stats.withColumn("quality", F.greatest(F.lit(0.0), s))
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Stopword-hit language ID: count per-language stopword hits,
+    argmax (ties → lexicographic lang), zero hits → 'und'.
+
+    The stopword table is an inline broadcast dim (rows = Σ|stopwords|);
+    the doc side explodes to tokens once — one shuffle on (doc, lang).
+    """
+    spark = docs.sparkSession
+    sw = spark.createDataFrame(
+        [(lang, w) for lang, ws in LANG_STOPWORDS.items() for w in ws],
+        "lang_cand string, tok string",
+    )
+    tok = with_tokens(docs).select(
+        "doc_id", F.explode("toks").alias("tok")
+    )
+    hits = (
+        tok.join(F.broadcast(sw), "tok")
+        .groupBy("doc_id", "lang_cand")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("hits").desc(), F.col("lang_cand").asc()
+    )
+    best = (
+        hits.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("doc_id", F.col("lang_cand").alias("pred_lang"), "hits")
+    )
+    return docs.select("doc_id").join(best, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("pred_lang", F.lit("und")).alias("pred_lang"),
+        F.coalesce("hits", F.lit(0)).cast("bigint").alias("hits"),
+    )
+
+
+def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Distinct word k-gram shingles per doc: (doc_id, shingle)."""
+    d = with_tokens(docs)
+    idx = F.when(
+        F.size("toks") >= k,
+        F.sequence(F.lit(0), F.size("toks") - k),
+    ).otherwise(F.array())
+    sh = d.select(
+        "doc_id",
+        F.explode(idx).alias("i"),
+        "toks",
+    ).select(
+        "doc_id",
+        F.concat_ws(
+            " ", *[F.element_at("toks", F.col("i") + j + 1) for j in range(3)]
+        ).alias("shingle"),
+    )
+    return sh.distinct()
+
+
+def fingerprint(docs: DataFrame, n_min: int = 4) -> DataFrame:
+    """Winnowing-style document fingerprint: md5 of the n_min smallest
+    shingle hashes — robust to local edits, exact-joinable for dedup."""
+    sh = shingles(docs).withColumn("h", F.md5("shingle"))
+    w = Window.partitionBy("doc_id").orderBy("h")
+    topn = sh.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= n_min)
+    return (
+        topn.groupBy("doc_id")
+        .agg(F.md5(F.concat_ws("", F.array_sort(F.collect_list("h")))).alias("fingerprint"))
+    )

@@ -1,0 +1,194 @@
+"""DuckDB oracles for the LLM-pipeline queries (queries_text.py).
+
+Portability notes:
+  * tokenization: regexp_split_to_array(trim(lower(text)), '\\s+')
+    ≡ Spark split(trim(lower(text)), '\\s+').
+  * md5() is identical in both engines → all hashing (minhash bands,
+    fingerprints, simhash bit source) is engine-stable by construction.
+  * hex→int: ('0x' || substr(md5(x),1,8))::BIGINT ≡ Spark
+    conv(substring(md5(x),1,8),16,10).
+"""
+
+from __future__ import annotations
+
+ORACLES: dict[str, str] = {}
+
+_TOKS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+
+_SHINGLES = f"""toks AS (
+  SELECT doc_id, {_TOKS} AS tk FROM documents
+),
+shingles AS (
+  SELECT DISTINCT doc_id,
+         tk[j] || ' ' || tk[j+1] || ' ' || tk[j+2] AS shingle
+  FROM (
+    SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) AS j
+    FROM toks
+  )
+)"""
+
+ORACLES["q_token_stats"] = f"""WITH t AS (
+  SELECT doc_id, text, {_TOKS} AS tk FROM documents
+)
+SELECT doc_id,
+       CAST(len(tk) AS BIGINT) AS n_tokens,
+       round(length(text) * 1.0 / len(tk) + 1e-9, 4) + 0.0 AS avg_tok_len,
+       round(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) * 1.0 / length(text) + 1e-9, 4) + 0.0 AS punct_ratio,
+       round(length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / length(text) + 1e-9, 4) + 0.0 AS digit_ratio,
+       round(len(list_filter(tk, x -> x IN ('the','a','and','of','to'))) * 1.0 / len(tk) + 1e-9, 4) + 0.0 AS stopword_ratio
+FROM t"""
+
+ORACLES["q_quality"] = f"""WITH t AS (
+  SELECT doc_id, text, {_TOKS} AS tk FROM documents
+),
+s AS (
+  SELECT doc_id,
+         length(text) * 1.0 / len(tk) AS avg_tok_len,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / length(text) AS digit_ratio,
+         len(list_filter(tk, x -> x IN ('the','a','and','of','to'))) * 1.0 / len(tk) AS stopword_ratio
+  FROM t
+)
+SELECT doc_id,
+       round(greatest(0.0,
+         1.0 - least(1.0, abs(avg_tok_len - 5.0) / 10.0) * 0.4
+             - least(1.0, digit_ratio * 5.0) * 0.3
+             - CASE WHEN stopword_ratio <= 0.0 THEN 0.3 ELSE 0.0 END) + 1e-9, 4) + 0.0 AS quality
+FROM s"""
+
+ORACLES["q_lang_id"] = f"""WITH sw(lang_cand, tok) AS (
+  VALUES ('en','the'),('en','a'),('en','and'),('en','of'),('en','to'),
+         ('de','der'),('de','die'),('de','das'),('de','und'),('de','ist'),
+         ('fr','le'),('fr','la'),('fr','et'),('fr','les'),('fr','des'),
+         ('es','el'),('es','la'),('es','y'),('es','de'),('es','los')
+),
+tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+),
+hits AS (
+  SELECT t.doc_id, s.lang_cand, count(*) AS hits
+  FROM tok t JOIN sw s USING (tok)
+  GROUP BY t.doc_id, s.lang_cand
+),
+best AS (
+  SELECT doc_id, lang_cand AS pred_lang, hits
+  FROM hits
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang_cand ASC) = 1
+)
+SELECT d.doc_id,
+       coalesce(b.pred_lang, 'und') AS pred_lang,
+       CAST(coalesce(b.hits, 0) AS BIGINT) AS hits
+FROM documents d LEFT JOIN best b USING (doc_id)"""
+
+ORACLES["q_fingerprint"] = f"""WITH {_SHINGLES},
+h AS (
+  SELECT doc_id, md5(shingle) AS h FROM shingles
+),
+topn AS (
+  SELECT doc_id, h FROM h
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY h) <= 4
+)
+SELECT doc_id, md5(string_agg(h, '' ORDER BY h)) AS fingerprint
+FROM topn GROUP BY doc_id"""
+
+ORACLES["q_dedup_exact"] = """SELECT md5(text) AS text_hash,
+       min(doc_id) AS keeper_doc_id,
+       CAST(count(*) AS BIGINT) AS dup_cnt
+FROM documents GROUP BY md5(text)"""
+
+ORACLES["q_jaccard_topk"] = f"""WITH {_SHINGLES},
+sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM shingles a JOIN shingles b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT i.doc_a, i.doc_b,
+         CAST(i.inter AS BIGINT) AS inter,
+         CAST(sa.sz + sb.sz - i.inter AS BIGINT) AS union_sz,
+         i.inter * 1.0 / (sa.sz + sb.sz - i.inter) AS jaccard
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+)
+SELECT doc_a, doc_b, inter, union_sz,
+       round(jaccard + 1e-9, 4) + 0.0 AS jaccard,
+       CAST(row_number() OVER (ORDER BY jaccard DESC, doc_a ASC, doc_b ASC) AS INT) AS rk
+FROM pairs QUALIFY rk <= 20"""
+
+_SIGS = f"""{_SHINGLES},
+sigs AS (
+  SELECT doc_id, seed, min(md5(seed::VARCHAR || '|' || shingle)) AS minhash
+  FROM shingles CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed) s
+  GROUP BY doc_id, seed
+)"""
+
+ORACLES["q_minhash_signatures"] = f"""WITH {_SIGS}
+SELECT doc_id, CAST(seed AS INT) AS seed, minhash FROM sigs"""
+
+ORACLES["q_lsh_pairs"] = f"""WITH {_SIGS},
+banded AS (
+  SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+         md5(string_agg(minhash, ',' ORDER BY seed)) AS band_key
+  FROM sigs GROUP BY doc_id, 2
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_bands
+FROM banded a JOIN banded b USING (band, band_key)
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2"""
+
+ORACLES["q_simhash"] = f"""WITH tok AS (
+  SELECT doc_id, ('0x' || substr(md5(unnest({_TOKS})), 1, 8))::BIGINT AS h
+  FROM documents
+),
+votes AS (
+  SELECT doc_id, i, sum(2 * ((h >> i) & 1) - 1) AS v
+  FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS i) b
+  GROUP BY doc_id, i
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id"""
+
+_NORMED = """normed AS (
+  SELECT vec_id,
+         embedding,
+         sqrt((SELECT sum(embedding[i]::DOUBLE * embedding[i]::DOUBLE)
+               FROM generate_series(1, 64) t(i))) AS nrm
+  FROM embeddings
+)"""
+
+ORACLES["q_cosine_topk"] = f"""WITH {_NORMED},
+pairs AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS nn_id,
+         (SELECT sum(q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)
+          FROM generate_series(1, 64) t(i)) / (q.nrm * c.nrm) AS cosine
+  FROM normed q CROSS JOIN normed c
+  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+)
+SELECT q_id, nn_id, round(cosine + 1e-9, 4) + 0.0 AS cosine,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, nn_id ASC) AS INT) AS rk
+FROM pairs QUALIFY rk <= 5"""
+
+_BUCKETED = """bucketed AS (
+  SELECT vec_id, embedding, nrm,
+         (SELECT CAST(sum(CASE WHEN embedding[i+1]::DOUBLE > 0
+                          THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT)
+          FROM generate_series(0, 5) t(i)) AS bucket
+  FROM normed
+)"""
+
+ORACLES["q_cosine_ivf"] = f"""WITH {_NORMED},
+{_BUCKETED},
+pairs AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS nn_id, q.bucket,
+         (SELECT sum(q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)
+          FROM generate_series(1, 64) t(i)) / (q.nrm * c.nrm) AS cosine
+  FROM bucketed q JOIN bucketed c USING (bucket)
+  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+)
+SELECT q_id, nn_id, bucket, round(cosine + 1e-9, 4) + 0.0 AS cosine,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, nn_id ASC) AS INT) AS rk
+FROM pairs QUALIFY rk <= 3"""

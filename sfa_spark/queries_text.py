@@ -1,0 +1,108 @@
+"""LLM-data-pipeline driver queries over documents & embeddings:
+dedup (exact / Jaccard / MinHash-LSH / SimHash), text analysis, and
+embedding similarity search. Mirrored in sfa_spark/oracles_text.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from sfa_spark.operators import dedup, similarity, text
+from sfa_spark.queries import rnd
+from sfa_spark.sources.events import load_table
+
+JACCARD_TOPK = 20
+COS_K = 5
+COS_QUERIES = 10
+IVF_K = 3
+IVF_BITS = 6
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# ---------------------------------------------------------------- text analysis
+
+def q_token_stats(spark, sf_dir):
+    s = text.token_stats(_docs(spark, sf_dir))
+    return s.select(
+        "doc_id",
+        "n_tokens",
+        rnd("avg_tok_len", 4).alias("avg_tok_len"),
+        rnd("punct_ratio", 4).alias("punct_ratio"),
+        rnd("digit_ratio", 4).alias("digit_ratio"),
+        rnd("stopword_ratio", 4).alias("stopword_ratio"),
+    )
+
+
+def q_quality(spark, sf_dir):
+    s = text.quality_score(text.token_stats(_docs(spark, sf_dir)))
+    return s.select("doc_id", rnd("quality", 4).alias("quality"))
+
+
+def q_lang_id(spark, sf_dir):
+    return text.lang_id(_docs(spark, sf_dir))
+
+
+def q_fingerprint(spark, sf_dir):
+    return text.fingerprint(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------- dedup
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup(_docs(spark, sf_dir))
+
+
+def q_jaccard_topk(spark, sf_dir):
+    pairs = dedup.jaccard_pairs(_docs(spark, sf_dir), k=3)
+    w = Window.orderBy(
+        F.col("jaccard").desc(), F.col("doc_a").asc(), F.col("doc_b").asc()
+    )
+    return (
+        pairs.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= JACCARD_TOPK)
+        .select(
+            "doc_a", "doc_b", "inter", "union_sz",
+            rnd("jaccard", 4).alias("jaccard"), "rk",
+        )
+    )
+
+
+def q_minhash_signatures(spark, sf_dir):
+    return dedup.minhash_signatures(_docs(spark, sf_dir), n_seeds=8, k=3)
+
+
+def q_lsh_pairs(spark, sf_dir):
+    sig = dedup.minhash_signatures(_docs(spark, sf_dir), n_seeds=8, k=3)
+    return dedup.lsh_candidate_pairs(sig, band_size=2)
+
+
+def q_simhash(spark, sf_dir):
+    return dedup.simhash(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------- similarity
+
+def q_cosine_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    res = similarity.cosine_topk(
+        emb.where(F.col("vec_id") < COS_QUERIES), emb, k=COS_K
+    )
+    return res.select("q_id", "nn_id", rnd("cosine", 4).alias("cosine"), "rk")
+
+
+def q_cosine_ivf(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    res = similarity.cosine_topk_bucketed(
+        emb.where(F.col("vec_id") < COS_QUERIES), emb, k=IVF_K, n_bits=IVF_BITS
+    )
+    return res.select(
+        "q_id", "nn_id", "bucket", rnd("cosine", 4).alias("cosine"), "rk"
+    )

@@ -1,0 +1,105 @@
+"""Dedup / text-analysis / similarity operator semantics on tiny
+hand-checkable corpora."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sfa_spark.operators import dedup, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),   # near-dup of 0
+        (2, "the quick brown fox jumps over the lazy dog"),   # exact dup of 0
+        (3, "completely different text about spark engines"),
+        (4, "der schnelle braune fuchs und die faule katze ist"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_dedup_groups(docs):
+    res = {r["keeper_doc_id"]: r["dup_cnt"] for r in dedup.exact_dedup(docs).collect()}
+    assert res[0] == 2  # docs 0 and 2 identical, keeper is min id
+    assert res[1] == 1 and res[3] == 1
+
+
+def test_jaccard_near_dup_ranks_first(docs):
+    pairs = dedup.jaccard_pairs(docs, k=3).collect()
+    by_pair = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in pairs}
+    assert by_pair[(0, 2)] == 1.0  # identical docs
+    assert 0.5 < by_pair[(0, 1)] < 1.0  # near-dup
+    assert (0, 3) not in by_pair  # no shared shingle
+
+
+def test_minhash_identical_docs_same_signature(docs):
+    sig = dedup.minhash_signatures(docs, n_seeds=4, k=3)
+    rows = sig.collect()
+    s0 = sorted((r["seed"], r["minhash"]) for r in rows if r["doc_id"] == 0)
+    s2 = sorted((r["seed"], r["minhash"]) for r in rows if r["doc_id"] == 2)
+    assert s0 == s2
+
+
+def test_lsh_finds_exact_dup_pair(docs):
+    sig = dedup.minhash_signatures(docs, n_seeds=4, k=3)
+    pairs = {(r["doc_a"], r["doc_b"]): r["n_bands"] for r in dedup.lsh_candidate_pairs(sig, 2).collect()}
+    assert pairs.get((0, 2)) == 2  # identical docs share all bands
+
+
+def test_simhash_near_dup_close_in_hamming(spark, docs):
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    assert sh[0] == sh[2]
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(sh[0], sh[1]) < ham(sh[0], sh[3])
+
+
+def test_token_stats_and_quality(docs):
+    s = {r["doc_id"]: r for r in text.token_stats(docs).collect()}
+    assert s[0]["n_tokens"] == 9
+    assert s[0]["stopword_ratio"] == pytest.approx(2 / 9)  # 'the' twice
+    q = {r["doc_id"]: r["quality"] for r in text.quality_score(text.token_stats(docs)).collect()}
+    assert 0.0 <= min(q.values()) and max(q.values()) <= 1.0
+
+
+def test_lang_id_heuristic(docs):
+    pred = {r["doc_id"]: r["pred_lang"] for r in text.lang_id(docs).collect()}
+    assert pred[0] == "en"
+    assert pred[4] == "de"
+
+
+def test_fingerprint_stable_and_distinct(docs):
+    fp = {r["doc_id"]: r["fingerprint"] for r in text.fingerprint(docs).collect()}
+    assert fp[0] == fp[2]
+    assert fp[0] != fp[3]
+
+
+def test_cosine_topk_matches_numpy(spark):
+    rng = np.random.default_rng(3)
+    E = rng.normal(0, 1, (20, 8))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(E)],
+        "vec_id long, embedding array<double>",
+    )
+    res = similarity.cosine_topk(df.where("vec_id < 3"), df, k=4)
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    S = En @ En.T
+    for r in res.collect():
+        np_rank = np.argsort(-np.delete(S[r["q_id"]], r["q_id"]))
+        ids = np.delete(np.arange(20), r["q_id"])
+        assert ids[np_rank[r["rk"] - 1]] == r["nn_id"]
+        assert S[r["q_id"], r["nn_id"]] == pytest.approx(r["cosine"], abs=1e-9)
+
+
+def test_bucketed_neighbors_subset_of_bucket(spark):
+    rng = np.random.default_rng(4)
+    E = rng.normal(0, 1, (50, 8))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(E)],
+        "vec_id long, embedding array<double>",
+    )
+    res = similarity.cosine_topk_bucketed(df.where("vec_id < 5"), df, k=3, n_bits=4)
+    buckets = (E[:, :4] > 0).astype(int) @ (2 ** np.arange(4))
+    for r in res.collect():
+        assert buckets[r["q_id"]] == buckets[r["nn_id"]] == r["bucket"]
