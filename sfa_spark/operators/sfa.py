@@ -168,6 +168,55 @@ def fit(
     )
 
 
+def fit_whole(
+    arrays: DataFrame,
+    word_length: int = 16,
+    alphabet: int = 8,
+    histogram: str = "equi_width",
+    quantile_error: float = 0.0,
+) -> SFAModel:
+    """Fit bins on WHOLE-series DFTs (the indexing path: reference
+    buildIndexWholeMatching fits on each full series, SFATrie.java:108-133;
+    equi-width, alphabet 8 are the trie defaults)."""
+    coefs = spectral.dft(arrays, word_length, pad_pow2=True)
+    long = spectral.coefs_to_long(coefs).withColumn("coef", F.round("coef", 2))
+    if histogram == "equi_width":
+        stats = long.groupBy("seg").agg(
+            F.min("coef").alias("vmin"), F.max("coef").alias("vmax")
+        )
+        step = (F.col("vmax") - F.col("vmin")) / alphabet
+        bins = stats.select(
+            "seg",
+            F.when(step <= 0, F.array(*[F.lit(float("inf"))] * (alphabet - 1)))
+            .otherwise(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(alphabet - 1)),
+                    lambda i: F.col("vmin") + i * step,
+                )
+            )
+            .alias("bins"),
+        )
+    else:
+        bins = QZ.fit_equi_depth_bins(long, alphabet, relative_error=quantile_error)
+    return SFAModel(
+        word_length=word_length,
+        alphabet=alphabet,
+        window=0,
+        norm_mean=False,
+        lower_bounding=True,
+        bins=bins.cache(),
+    )
+
+
+def transform_whole_long(model: SFAModel, arrays: DataFrame) -> DataFrame:
+    """Whole-series transform keeping both symbols and DFT values:
+    (series_id, seg, coef, symbol) — the indexing path needs the DFT
+    values for lower-bound distances, not just the packed word."""
+    coefs = spectral.dft(arrays, model.word_length, pad_pow2=True)
+    long = spectral.coefs_to_long(coefs)
+    return QZ.quantize_with_bins(long, model.bins)
+
+
 def fit_supervised(
     arrays: DataFrame,
     labels: DataFrame,

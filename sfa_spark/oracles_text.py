@@ -172,6 +172,17 @@ SELECT q_id, nn_id, round(cosine + 1e-9, 4) + 0.0 AS cosine,
        CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, nn_id ASC) AS INT) AS rk
 FROM pairs QUALIFY rk <= 5"""
 
+ORACLES["q_index_knn"] = """WITH pairs AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS nn_id,
+         sqrt((SELECT sum(pow(q.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE, 2))
+               FROM generate_series(1, 64) t(i))) AS dist
+  FROM embeddings q CROSS JOIN embeddings c
+  WHERE q.vec_id < 10
+)
+SELECT q_id, nn_id, round(dist + 1e-9, 4) + 0.0 AS dist,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY dist ASC, nn_id ASC) AS INT) AS rk
+FROM pairs QUALIFY rk <= 3"""
+
 _BUCKETED = """bucketed AS (
   SELECT vec_id, embedding, nrm,
          (SELECT CAST(sum(CASE WHEN embedding[i+1]::DOUBLE > 0

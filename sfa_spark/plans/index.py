@@ -1,0 +1,236 @@
+"""SFA similarity index: prefix-partitioned parquet + bounding-box
+pruning + two-phase exact k-NN / ε-range search (SURVEY §2.8, I1-I10).
+
+Reference parity (re-architected for Spark):
+  * SFATrie prefix tree (`/root/reference/src/main/java/sfa/index/SFATrie.java:32-103`)
+    → parquet laid out partitionBy(p0..p{d-1}) over the first d SFA
+    symbols. Trie descent ≡ partition pruning on those columns.
+  * per-node DFT bounding boxes (`SFATrie.java:1121-1145`)
+    → a summary table (prefix → per-coefficient min/max + count);
+    parquet zone maps give the coarse version for free, the summary
+    makes the box distance explicit.
+  * searchKNN best-first branch-and-bound (`SFATrie.java:651-718`)
+    → conservative two-phase plan: (1) scan the query's OWN prefix
+    partition for an upper bound ub = kth exact distance, (2) scan only
+    partitions whose box lower bound ≤ ub, exact-verify, take global
+    top-k. Every phase is one set-oriented Spark job for the whole
+    query BATCH (the reference answers one query at a time; batching is
+    the Spark-native win).
+  * getLowerBoundingDistance (`SFATrie.java:760-780`):
+    LB(q, box) = Σ_i 2·gap_i², gap = distance of q's coefficient to
+    [min_i, max_i] (×2 for rfft conjugate symmetry).
+  * searchEpsilonRange (`SFATrie.java:593-649`) → prefix filter
+    LB ≤ ε² then exact residual filter — classic partition pruning +
+    residual predicate.
+
+Scale: the fact table never shuffles at query time — Phase 1/2 are
+scans with partition-pruned predicates; the summary table is
+prefix-cardinality-sized (≤ alphabet^d rows) and broadcast/collected.
+Exact distances are JVM fold expressions (whole-stage codegen).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sfa_spark.operators import sfa as SFA
+from sfa_spark.operators.words import binlog
+
+
+def _sq_ed(a, b):
+    """Squared Euclidean distance between two array columns (JVM fold)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _box_lb(qcols: list, mins, maxs):
+    """Σ 2·gap² of query coefficients to a bounding box, as expression.
+    qcols: list of scalar columns (one per coefficient value)."""
+    total = F.lit(0.0)
+    for i, q in enumerate(qcols):
+        lo = F.element_at(mins, i + 1)
+        hi = F.element_at(maxs, i + 1)
+        gap = F.when(q < lo, lo - q).when(q > hi, q - hi).otherwise(F.lit(0.0))
+        total = total + F.lit(2.0) * gap * gap
+    return total
+
+
+@dataclass
+class SFAIndex:
+    path: str
+    model: SFA.SFAModel
+    prefix_len: int
+
+    @classmethod
+    def build(
+        cls,
+        arrays: DataFrame,
+        path: str,
+        word_length: int = 16,
+        alphabet: int = 8,
+        prefix_len: int = 2,
+        histogram: str = "equi_width",
+    ) -> "SFAIndex":
+        """Index z-normalized fixed-length series for whole-matching.
+
+        Writes:
+          path/data    — (p0..p{d-1}, series_id, dft, values) partitioned
+                         by the prefix symbols (trie layout).
+          path/summary — (p0.., mins, maxs, cnt) bounding boxes.
+          path/model   — SFA bins.
+        Bulk load ≡ reference SFATrie.buildIndex: the partitionBy shuffle
+        IS the bucket-sort by word prefix (SFATrie.java:171-184).
+        """
+        model = SFA.fit_whole(arrays, word_length, alphabet, histogram)
+        tl = SFA.transform_whole_long(model, arrays)
+        # gather per-series symbol/coef arrays (word_length elements)
+        gathered = tl.groupBy("series_id").agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("seg", "coef"))), lambda s: s["coef"]
+            ).alias("dft"),
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("seg", "symbol"))),
+                lambda s: s["symbol"],
+            ).alias("syms"),
+        )
+        pcols = [
+            F.element_at("syms", i + 1).alias(f"p{i}") for i in range(prefix_len)
+        ]
+        data = gathered.join(arrays.select("series_id", "values"), "series_id").select(
+            *pcols, "series_id", "dft", "values"
+        )
+        data.write.mode("overwrite").partitionBy(
+            *[f"p{i}" for i in range(prefix_len)]
+        ).parquet(f"{path}/data")
+
+        mins = F.array(
+            *[F.min(F.element_at("dft", i + 1)) for i in range(word_length)]
+        ).alias("mins")
+        maxs = F.array(
+            *[F.max(F.element_at("dft", i + 1)) for i in range(word_length)]
+        ).alias("maxs")
+        summary = data.groupBy(*[f"p{i}" for i in range(prefix_len)]).agg(
+            mins, maxs, F.count(F.lit(1)).alias("cnt")
+        )
+        summary.write.mode("overwrite").parquet(f"{path}/summary")
+        model.save(f"{path}/model")
+        return cls(path=path, model=model, prefix_len=prefix_len)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str, prefix_len: int) -> "SFAIndex":
+        return cls(
+            path=path,
+            model=SFA.SFAModel.load(spark, f"{path}/model"),
+            prefix_len=prefix_len,
+        )
+
+    # ------------------------------------------------------------ queries
+
+    def _query_side(self, queries: DataFrame) -> DataFrame:
+        """(q_id, qdft array, qp0..qp{d-1})"""
+        tl = SFA.transform_whole_long(self.model, queries)
+        g = tl.groupBy("series_id").agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("seg", "coef"))), lambda s: s["coef"]
+            ).alias("qdft"),
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("seg", "symbol"))),
+                lambda s: s["symbol"],
+            ).alias("qsyms"),
+        )
+        return g.select(
+            F.col("series_id").alias("q_id"),
+            "qdft",
+            *[
+                F.element_at("qsyms", i + 1).alias(f"qp{i}")
+                for i in range(self.prefix_len)
+            ],
+        ).join(queries.select(F.col("series_id").alias("q_id"), F.col("values").alias("qvals")), "q_id")
+
+    def knn(self, queries: DataFrame, k: int) -> DataFrame:
+        """Exact batch k-NN. Output: (q_id, nn_id, dist, rk).
+
+        Phase 1 (probe): exact distances inside each query's own prefix
+        partition → upper bound ub (kth best, ∞ if the bucket is thin).
+        Phase 2 (prune+verify): box-LB every (query, prefix) pair on the
+        tiny summary, scan only surviving partitions, exact-verify, and
+        take the global top-k. Equality with brute force is asserted in
+        tests (reference SFATrieTest invariant).
+        """
+        spark = queries.sparkSession
+        data = spark.read.parquet(f"{self.path}/data")
+        summary = spark.read.parquet(f"{self.path}/summary")
+        q = self._query_side(queries).cache()
+        pk = [f"p{i}" for i in range(self.prefix_len)]
+
+        # Phase 1: own-bucket probe
+        import functools
+        import operator
+
+        probe_cond = functools.reduce(
+            operator.and_, [data[p] == q[f"q{p}"] for p in pk]
+        )
+        probe = data.join(F.broadcast(q), probe_cond).select(
+            "q_id", F.col("series_id").alias("nn_id"),
+            _sq_ed(F.col("qvals"), F.col("values")).alias("sqdist"),
+        )
+        wk = Window.partitionBy("q_id").orderBy(F.col("sqdist").asc(), F.col("nn_id").asc())
+        ub = (
+            probe.withColumn("rk", F.row_number().over(wk))
+            .where(F.col("rk") == k)
+            .select("q_id", F.col("sqdist").alias("ub"))
+        )
+
+        # Phase 2: box-prune on the summary, then exact verify
+        qcols = [F.element_at("qdft", i + 1) for i in range(self.model.word_length)]
+        qxs = q.join(ub, "q_id", "left").withColumn(
+            "ub", F.coalesce("ub", F.lit(float("inf")))
+        )
+        cand_prefixes = (
+            qxs.crossJoin(F.broadcast(summary))
+            .withColumn("lb", _box_lb(qcols, F.col("mins"), F.col("maxs")))
+            .where(F.col("lb") <= F.col("ub"))
+            .select("q_id", "qvals", *pk)
+        )
+        verify = data.join(
+            F.broadcast(cand_prefixes), on=pk
+        ).select(
+            "q_id", F.col("series_id").alias("nn_id"),
+            _sq_ed(F.col("qvals"), F.col("values")).alias("sqdist"),
+        )
+        return (
+            verify.withColumn("rk", F.row_number().over(wk).cast("int"))
+            .where(F.col("rk") <= k)
+            .select("q_id", "nn_id", F.sqrt("sqdist").alias("dist"), "rk")
+        )
+
+    def range_search(self, queries: DataFrame, epsilon: float) -> DataFrame:
+        """All (q_id, nn_id) with ED ≤ ε: prefix box filter + exact
+        residual (partition pruning + residual predicate)."""
+        spark = queries.sparkSession
+        data = spark.read.parquet(f"{self.path}/data")
+        summary = spark.read.parquet(f"{self.path}/summary")
+        q = self._query_side(queries)
+        pk = [f"p{i}" for i in range(self.prefix_len)]
+        qcols = [F.element_at("qdft", i + 1) for i in range(self.model.word_length)]
+        cand = (
+            q.crossJoin(F.broadcast(summary))
+            .withColumn("lb", _box_lb(qcols, F.col("mins"), F.col("maxs")))
+            .where(F.col("lb") <= F.lit(epsilon * epsilon))
+            .select("q_id", "qvals", *pk)
+        )
+        return (
+            data.join(F.broadcast(cand), on=pk)
+            .select(
+                "q_id",
+                F.col("series_id").alias("nn_id"),
+                F.sqrt(_sq_ed(F.col("qvals"), F.col("values"))).alias("dist"),
+            )
+            .where(F.col("dist") <= epsilon)
+        )

