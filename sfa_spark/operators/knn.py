@@ -73,6 +73,77 @@ def boss_1nn(
     )
 
 
+def shotgun_1nn(
+    query_arrays: DataFrame,
+    corpus_arrays: DataFrame,
+    window: int,
+    norm_mean: bool = True,
+) -> DataFrame:
+    """Shotgun distance 1-NN (reference ShotgunClassifier.java:161-238):
+    the query is cut into DISJOINT windows; each window's best (min) ED
+    against ALL sliding windows of the candidate; distances summed;
+    argmin candidate.
+
+    Set-oriented decomposition (no per-pair Python):
+      q-windows × c-windows pair distances (fold expression)
+      → min over c-window per (q, c, q-window)
+      → sum over q-windows per (q, c) → argmin c.
+    The pair join is the scale hotspot — at 100 TB you'd block it with
+    the LB-prune index (plans/index.py) instead of the full cross.
+    Output: (series_id, nn_id, dist).
+    """
+    def _znorm_arr(col):
+        mean = F.aggregate(col, F.lit(0.0), lambda a, x: a + x) / F.size(col)
+        var = (
+            F.aggregate(col, F.lit(0.0), lambda a, x: a + x * x) / F.size(col)
+            - mean * mean
+        )
+        std = F.sqrt(F.greatest(var, F.lit(0.0)))
+        safe = F.when(std < 1e-8, F.lit(1.0)).otherwise(std)
+        if norm_mean:
+            return F.transform(col, lambda x: (x - mean) / safe)
+        return F.transform(col, lambda x: x / safe)
+
+    def _windows(arrays, id_alias, vec_alias, disjoint):
+        n = F.size("values")
+        if disjoint:
+            starts = F.sequence(F.lit(0), (n / window).cast("int") - 1)
+            offs = F.explode(starts).alias("wi")
+            sl = F.slice("values", F.col("wi") * window + 1, window)
+        else:
+            starts = F.sequence(F.lit(0), n - window)
+            offs = F.explode(starts).alias("wi")
+            sl = F.slice("values", F.col("wi") + 1, window)
+        return (
+            arrays.where(n >= window)
+            .select(F.col("series_id").alias(id_alias), offs, "values")
+            .select(id_alias, "wi", _znorm_arr(sl).alias(vec_alias))
+        )
+
+    qw = _windows(query_arrays, "q_id", "qv", disjoint=True)
+    cw = _windows(corpus_arrays, "c_id", "cv", disjoint=False).withColumnRenamed(
+        "wi", "ci"
+    )
+    pair = qw.crossJoin(cw).select(
+        "q_id",
+        "c_id",
+        "wi",
+        F.aggregate(
+            F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("sq"),
+    )
+    best_per_qwin = pair.groupBy("q_id", "c_id", "wi").agg(F.min("sq").alias("minsq"))
+    total = best_per_qwin.groupBy("q_id", "c_id").agg(F.sum("minsq").alias("dist"))
+    w = Window.partitionBy("q_id").orderBy(F.col("dist").asc(), F.col("c_id").asc())
+    return (
+        total.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(F.col("q_id").alias("series_id"), F.col("c_id").alias("nn_id"), "dist")
+    )
+
+
 def euclidean_knn_long(
     query_long: DataFrame, corpus_long: DataFrame, k: int
 ) -> DataFrame:

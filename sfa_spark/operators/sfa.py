@@ -232,7 +232,9 @@ def fit_supervised(
     keep the best word_length indices, then bin only those."""
     coefs = _disjoint_window_coefs(arrays, window, max_coefs, norm_mean, lower_bounding)
     long = spectral.coefs_to_long(coefs).withColumn("coef", F.round("coef", 2))
-    labeled = long.join(labels, "series_id").select("seg", "coef", "label")
+    # cache: consumed by two actions (ANOVA collect + bin fit) — without
+    # this the pandas-UDF MFT chain re-executes per action
+    labeled = long.join(labels, "series_id").select("seg", "coef", "label").cache()
     f_stats = SEL.anova_f(labeled)
     best = SEL.top_coefficients(f_stats, word_length)
     best_segs = [r["seg"] for r in best.orderBy("rank").collect()]

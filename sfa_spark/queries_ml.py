@@ -1,0 +1,59 @@
+"""Classifier driver queries (rows-only checks: the grid/ensemble
+control flow is not SQL-expressible — SURVEY §2.7; semantics are
+covered by the CBF golden tests in tests/test_classifiers.py).
+
+Each query trains on the events-derived series (label = series_id % 3,
+train = series_id % 5 != 0) and predicts the held-out series. BOSS
+ensemble predictions are integer-deterministic (bag distances are
+exact bigints); WEASEL uses MLlib LogisticRegression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sfa_spark.ml import classifiers as C
+from sfa_spark.operators import knn
+from sfa_spark.queries import N_LABELS, TEST_MOD, series_df
+from sfa_spark.sources.events import series_to_arrays
+
+
+def _corpus(spark, sf_dir):
+    arrays = series_to_arrays(series_df(spark, sf_dir)).where(
+        F.size("values") >= 32
+    ).cache()
+    labels = arrays.select(
+        "series_id", (F.col("series_id") % N_LABELS).cast("double").alias("label")
+    )
+    train_a = arrays.where(F.col("series_id") % TEST_MOD != 0)
+    test_a = arrays.where(F.col("series_id") % TEST_MOD == 0)
+    return train_a, labels, test_a
+
+
+def q_boss_ensemble_predict(spark, sf_dir):
+    train_a, labels, test_a = _corpus(spark, sf_dir)
+    train_l = labels.join(train_a.select("series_id"), "series_id")
+    model = C.boss_ensemble_fit(
+        train_a, train_l, windows=[16], word_lengths=(4, 6), alphabet=4
+    )
+    return model.predict(test_a).select(
+        "series_id", F.col("pred_label").cast("double").alias("pred_label")
+    )
+
+
+def q_weasel_predict(spark, sf_dir):
+    train_a, labels, test_a = _corpus(spark, sf_dir)
+    train_l = labels.join(train_a.select("series_id"), "series_id")
+    model = C.weasel_fit(
+        train_a, train_l, windows=[12, 20], word_length=4, alphabet=4
+    )
+    return C.weasel_predict(model, test_a)
+
+
+def q_shotgun_1nn(spark, sf_dir):
+    train_a, labels, test_a = _corpus(spark, sf_dir)
+    nn = knn.shotgun_1nn(test_a, train_a, window=16)
+    return nn.select(
+        "series_id", "nn_id",
+        (F.round(F.col("dist") + F.lit(1e-9), 4) + F.lit(0.0)).alias("dist"),
+    )
