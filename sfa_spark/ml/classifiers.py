@@ -324,3 +324,137 @@ def weasel_predict(model: WeaselModel, test_arrays: DataFrame) -> DataFrame:
         "prediction double, pred_label double",
     )
     return pred.join(F.broadcast(idx_map), "prediction").select("series_id", "pred_label")
+
+
+# ---------------------------------------------------------------- MUSE
+
+@dataclass
+class MuseModel:
+    sfa_models: dict[tuple[int, int], sfa.SFAModel]  # (dim, window) → SFA
+    dictionary: DataFrame
+    lr_model: object
+    label_map: list[float]
+    n_features: int
+
+
+def _muse_keys(words: DataFrame, dim: int, window: int, bigrams: bool) -> DataFrame:
+    """MUSE struct key {w, dim, word, word2} (reference MuseWord,
+    MUSE.java:152-183); unigrams have word2 = -1."""
+    uni = words.select(
+        "series_id",
+        F.struct(
+            F.lit(window).alias("w"),
+            F.lit(dim).alias("d"),
+            F.col("word").alias("word"),
+            F.lit(-1).cast("bigint").alias("word2"),
+        ).alias("key"),
+    )
+    if not bigrams:
+        return uni
+    wspec = Window.partitionBy("series_id").orderBy("win")
+    bi = (
+        words.withColumn("prev", F.lag("word", window).over(wspec))
+        .where(F.col("prev").isNotNull())
+        .select(
+            "series_id",
+            F.struct(
+                F.lit(window).alias("w"),
+                F.lit(dim).alias("d"),
+                F.col("prev").alias("word"),
+                F.col("word").alias("word2"),
+            ).alias("key"),
+        )
+    )
+    return uni.unionByName(bi)
+
+
+def muse_fit(
+    mv_arrays: DataFrame,
+    labels: DataFrame,
+    windows: list[int],
+    word_length: int = 4,
+    alphabet: int = 4,
+    histogram: str = "equi_depth",
+    chi2_limit: float = 2.0,
+    bigrams: bool = True,
+    max_iter: int = 25,
+    reg_param: float = 1.0,
+) -> MuseModel:
+    """MUSE (multivariate WEASEL, reference MUSEClassifier.java:163-268):
+    per (dimension × window) unsupervised SFA words → struct keys →
+    χ² → dictionary → LogisticRegression.
+
+    mv_arrays: (series_id, dim, values array<double>)."""
+    from pyspark.ml.classification import LogisticRegression
+
+    dims = [r["dim"] for r in mv_arrays.select("dim").distinct().orderBy("dim").collect()]
+    sfa_models: dict[tuple[int, int], sfa.SFAModel] = {}
+    parts = []
+    for d in dims:
+        arr_d = mv_arrays.where(F.col("dim") == d).select("series_id", "values")
+        for w in windows:
+            m = sfa.fit(
+                arr_d, window=w, word_length=word_length, alphabet=alphabet,
+                histogram=histogram,
+            )
+            sfa_models[(d, w)] = m
+            words = sfa.transform_windowing(m, arr_d)
+            parts.append(_muse_keys(words, d, w, bigrams))
+    allk = parts[0]
+    for p in parts[1:]:
+        allk = allk.unionByName(p)
+    key_bags = bags.bag_of_keys(allk).cache()
+    selected = select.chi_squared(
+        key_bags.join(labels, "series_id"), limit=chi2_limit,
+        word_limit=10000, key_col="key",
+    )
+    kept = select.filter_bags(key_bags, selected, key_col="key")
+    dictionary = (
+        kept.select("key").distinct()
+        .withColumn("idx", F.row_number().over(Window.orderBy("key")) - 1)
+        .cache()
+    )
+    n_features = dictionary.count() + 1
+    feats = _to_vectors(kept, dictionary, n_features)
+    label_map = [r["label"] for r in labels.select("label").distinct().orderBy("label").collect()]
+    lmap_df = labels.sparkSession.createDataFrame(
+        [(float(lab), float(i)) for i, lab in enumerate(label_map)],
+        "label double, label_idx double",
+    )
+    train = feats.join(labels, "series_id").join(F.broadcast(lmap_df), "label")
+    lr = LogisticRegression(
+        featuresCol="features", labelCol="label_idx",
+        maxIter=max_iter, regParam=1.0 / (2.0 * reg_param), family="multinomial",
+    )
+    return MuseModel(sfa_models, dictionary, lr.fit(train), label_map, n_features)
+
+
+def muse_predict(model: MuseModel, mv_arrays: DataFrame, bigrams: bool = True) -> DataFrame:
+    parts = []
+    for (d, w), m in model.sfa_models.items():
+        arr_d = mv_arrays.where(F.col("dim") == d).select("series_id", "values")
+        words = sfa.transform_windowing(m, arr_d)
+        parts.append(_muse_keys(words, d, w, bigrams))
+    allk = parts[0]
+    for p in parts[1:]:
+        allk = allk.unionByName(p)
+    key_bags = bags.bag_of_keys(allk)
+    feats = _to_vectors(key_bags, model.dictionary, model.n_features)
+    all_ids = mv_arrays.select("series_id").distinct()
+    from pyspark.ml.linalg import SparseVector, VectorUDT
+
+    n_feats = model.n_features
+
+    @F.udf(returnType=VectorUDT())
+    def empty_vec():
+        return SparseVector(n_feats, [], [])
+
+    feats = all_ids.join(feats, "series_id", "left").select(
+        "series_id", F.coalesce("features", empty_vec()).alias("features")
+    )
+    pred = model.lr_model.transform(feats)
+    idx_map = feats.sparkSession.createDataFrame(
+        [(float(i), lab) for i, lab in enumerate(model.label_map)],
+        "prediction double, pred_label double",
+    )
+    return pred.join(F.broadcast(idx_map), "prediction").select("series_id", "pred_label")

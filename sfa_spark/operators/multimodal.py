@@ -1,0 +1,133 @@
+"""Multimodal columns (BASELINE.json north star): image/audio/video as
+opaque binary columns with typed metadata; decode / feature-extract /
+resize / frame-sample as Arrow-batched mapInPandas.
+
+The container has no image/audio codecs, so REAL decoding is stubbed
+behind NotImplementedError; the 'fake' format is a deterministic
+md5-seeded decoder so the Spark-side plumbing (schema, batch shape,
+partitioning) is fully real and tested. Swapping in PIL/ffmpeg later
+only replaces `_decode_one`.
+
+Scale: mapInPandas streams Arrow batches — one Python worker per task,
+binary payloads never pass through the driver. For 100 TB media,
+partition by content shard and size `maxRecordsPerBatch` so a batch of
+decoded frames fits in worker memory.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id bigint, payload binary, format string, width int, height int, "
+    "channels int"
+)
+
+FEATURE_SCHEMA = (
+    "media_id long, n_bytes long, mean double, std double, phash string"
+)
+
+
+def _decode_one(payload: bytes, fmt: str, width: int, height: int, channels: int) -> np.ndarray:
+    """Decode a media payload to (H, W, C) uint8.
+
+    Only the deterministic 'fake' codec ships in-container; real codecs
+    plug in here."""
+    if fmt == "fake":
+        seed = int.from_bytes(hashlib.md5(payload).digest()[:8], "big")
+        rng = np.random.default_rng(seed)
+        return rng.integers(0, 256, (height, width, channels), dtype=np.uint8)
+    raise NotImplementedError(
+        f"codec for format={fmt!r} not available in this environment; "
+        "install the media libs and extend _decode_one"
+    )
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Per-item decode → (byte count, pixel mean/std, 64-bit pHash-like
+    signature from the 8×8 downsample). mapInPandas: batches of binary
+    rows in, small feature rows out — payloads never leave executors."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                img = _decode_one(
+                    bytes(r["payload"]), r["format"], r["width"], r["height"], r["channels"]
+                ).astype(np.float64)
+                small = img.mean(axis=2)
+                h, w = small.shape
+                ds = small[: h - h % 8, : w - w % 8].reshape(8, h // 8, 8, w // 8).mean(axis=(1, 3))
+                bits = (ds > np.median(ds)).flatten()
+                phash = "".join("1" if b else "0" for b in bits)
+                out.append(
+                    (
+                        r["media_id"],
+                        len(bytes(r["payload"])),
+                        float(img.mean()),
+                        float(img.std()),
+                        phash,
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["media_id", "n_bytes", "mean", "std", "phash"]
+            )
+
+    return media.mapInPandas(fn, schema=FEATURE_SCHEMA)
+
+
+def resize(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbor resize of decoded frames, re-encoded as raw
+    bytes (format 'raw'): demonstrates a decode→transform→re-encode
+    round trip through Arrow batches."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                img = _decode_one(
+                    bytes(r["payload"]), r["format"], r["width"], r["height"], r["channels"]
+                )
+                yi = (np.arange(out_h) * r["height"] // out_h).astype(int)
+                xi = (np.arange(out_w) * r["width"] // out_w).astype(int)
+                small = img[yi][:, xi]
+                rows.append(
+                    (r["media_id"], small.tobytes(), "raw", out_w, out_h, r["channels"])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "payload", "format", "width", "height", "channels"],
+            )
+
+    return media.mapInPandas(fn, schema=MEDIA_SCHEMA)
+
+
+def frame_sample(video: DataFrame, every_k: int) -> DataFrame:
+    """Sample every k-th frame of a 'video' (payload = concatenated raw
+    frames). Emits one row per kept frame with frame_idx — the schema/
+    explode shape of a real video pipeline."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                frame_bytes = r["width"] * r["height"] * r["channels"]
+                payload = bytes(r["payload"])
+                n_frames = len(payload) // frame_bytes if frame_bytes else 0
+                for fi in range(0, n_frames, every_k):
+                    rows.append(
+                        (
+                            r["media_id"],
+                            fi,
+                            payload[fi * frame_bytes : (fi + 1) * frame_bytes],
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame"])
+
+    return video.mapInPandas(fn, schema="media_id long, frame_idx int, frame binary")

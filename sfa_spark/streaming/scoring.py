@@ -1,0 +1,147 @@
+"""Structured Streaming surface (SURVEY §2.9).
+
+The reference has no streaming runtime, but two capabilities are
+stream-facing and become first-class here:
+
+  * BOSS VS streaming scoring (README.md:239-242 motivates "mining
+    streaming data… real-time predictive analytics"): the tf-idf class
+    matrix is a small static table → scoring a live bag stream is a
+    stream-static BROADCAST join + windowed aggregation. The model
+    refreshes by periodic batch refit; scoring never stops.
+  * TEASER early classification (README.md:402-405; TEASERClassifier
+    predict loop `/root/reference/src/main/java/sfa/classification/TEASERClassifier.java:273-363`):
+    per series, accept a prediction once the same label is seen v
+    consecutive times — a keyed stateful operator
+    (applyInPandasWithState) with the (label, streak) pair as state.
+
+Watermark semantics are OUR extension (the reference has none):
+late events beyond the watermark are dropped; windows close at
+watermark passage. Documented at each call site.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+
+def events_stream(spark, path: str, schema: str | None = None) -> DataFrame:
+    """File-source stream over an events parquet directory. ts is bigint
+    nanoseconds (driver testdata convention) → converted to a proper
+    timestamp column `event_time` for watermarking."""
+    schema = schema or (
+        "event_id bigint, ts bigint, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+    raw = spark.readStream.schema(schema).parquet(path)
+    return raw.withColumn(
+        "event_time", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+
+
+def windowed_stats(
+    stream: DataFrame,
+    window: str = "1 minute",
+    slide: str | None = None,
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Watermarked sliding/tumbling per-user window stats — the
+    streaming analogue of operators/window.rolling_stats. Late rows
+    beyond the watermark are dropped (extension semantics)."""
+    win = F.window("event_time", window, slide) if slide else F.window(
+        "event_time", window
+    )
+    return (
+        stream.withWatermark("event_time", watermark)
+        .groupBy(F.col("user_id").alias("series_id"), win.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.avg("value").alias("mean"),
+            F.stddev_pop("value").alias("std"),
+        )
+        .select("series_id", F.col("w.start").alias("w_start"), "n_events", "mean", "std")
+    )
+
+
+def score_bag_stream(bag_stream: DataFrame, tfidf_model: DataFrame) -> DataFrame:
+    """Stream-static scoring: live (series_id, word, cnt) bags ⋈
+    broadcast tf-idf → per-series class scores (update-mode aggregate).
+    The static side is vocabulary-sized → broadcast join, no shuffle of
+    the stream."""
+    return (
+        bag_stream.join(F.broadcast(tfidf_model), "word")
+        .groupBy("series_id", "label")
+        .agg(F.sum(F.col("cnt") * F.col("weight")).alias("score"))
+    )
+
+
+TEASER_OUTPUT = StructType(
+    [
+        StructField("series_id", LongType()),
+        StructField("pred_label", DoubleType()),
+        StructField("accepted_at", LongType()),
+    ]
+)
+TEASER_STATE = StructType(
+    [
+        StructField("label", DoubleType()),
+        StructField("streak", LongType()),
+        StructField("seen", LongType()),
+        StructField("done", LongType()),
+    ]
+)
+
+
+def teaser_accept(
+    pred_stream: DataFrame, threshold: int = 2
+) -> DataFrame:
+    """Early-classification accept: emit (series_id, pred_label,
+    accepted_at) the first time a series' prediction repeats `threshold`
+    consecutive snapshots (reference TEASERClassifier.java:304-330 —
+    the one-class-SVM master is the batch layer; the streak rule is the
+    streaming accept test).
+
+    Input stream: (series_id long, snapshot long, pred_label double).
+    State per series: (label, streak, seen, done).
+    """
+
+    def fn(key, pdfs, state: GroupState):
+        (sid,) = key
+        if state.exists:
+            label, streak, seen, done = state.get
+        else:
+            label, streak, seen, done = None, 0, 0, 0
+        out = []
+        rows = pd.concat(list(pdfs)).sort_values("snapshot")
+        for _, r in rows.iterrows():
+            seen += 1
+            if done:
+                continue
+            if label is not None and r["pred_label"] == label:
+                streak += 1
+            else:
+                label, streak = float(r["pred_label"]), 1
+            if streak >= threshold:
+                done = 1
+                out.append((int(sid), float(label), int(r["snapshot"])))
+        state.update((label, streak, seen, done))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["series_id", "pred_label", "accepted_at"]
+            )
+
+    return pred_stream.groupBy("series_id").applyInPandasWithState(
+        fn,
+        outputStructType=TEASER_OUTPUT,
+        stateStructType=TEASER_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,101 @@
+"""Multivariate sources + MUSE classifier + multimodal plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sfa_spark.operators import multimodal
+from sfa_spark.sources import multivariate as MV
+
+
+def test_wide_to_long_and_derivatives(spark):
+    rows = [(1, t, float(t), float(10 * t)) for t in range(5)]
+    df = spark.createDataFrame(rows, "id long, ts long, d0 double, d1 double")
+    long = MV.wide_to_long(df, "id", "ts", ["d0", "d1"])
+    assert long.count() == 10
+    got = {(r["dim"], r["pos"]): r["value"] for r in long.collect()}
+    assert got[(0, 3)] == 3.0 and got[(1, 3)] == 30.0
+    withd = MV.derivatives(long, n_dims=2)
+    dv = {(r["dim"], r["pos"]): r["value"] for r in withd.where("dim >= 2").collect()}
+    assert dv[(2, 0)] == 1.0 and dv[(3, 0)] == 10.0  # |x[i+1]-x[i]|
+    assert withd.where("dim >= 2").groupBy("dim").count().collect()[0]["count"] == 4
+
+
+@pytest.fixture(scope="module")
+def mv_corpus(spark):
+    # class encoded in dim 1 frequency; dim 0 is noise
+    rng = np.random.default_rng(11)
+    rows, labels = [], []
+    for i in range(24):
+        label = float(i % 2)
+        t = np.linspace(0, 6 * np.pi, 64)
+        d0 = rng.normal(0, 1, 64)
+        d1 = np.sin(t * (4 if label else 1)) + rng.normal(0, 0.2, 64)
+        rows += [(i, 0, d0.tolist()), (i, 1, d1.tolist())]
+        labels.append((i, label))
+    arrays = spark.createDataFrame(rows, "series_id long, dim int, values array<double>")
+    lab = spark.createDataFrame(labels, "series_id long, label double")
+    return arrays.cache(), lab.cache()
+
+
+def test_muse_separates_classes(spark, mv_corpus):
+    from sfa_spark.ml import classifiers as C
+
+    arrays, labels = mv_corpus
+    train_l = labels.where("series_id < 16")
+    train_a = arrays.join(train_l.select("series_id"), "series_id")
+    test_a = arrays.join(
+        labels.where("series_id >= 16").select("series_id"), "series_id"
+    )
+    model = C.muse_fit(train_a, train_l, windows=[16], word_length=4, alphabet=4)
+    pred = C.muse_predict(model, test_a)
+    acc = (
+        pred.join(labels, "series_id")
+        .agg(F.avg((F.col("pred_label") == F.col("label")).cast("double")))
+        .collect()[0][0]
+    )
+    assert acc >= 0.75, f"MUSE accuracy {acc}"
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (i, bytes([i] * 64), "fake", 16, 16, 3) for i in range(6)
+    ]
+    return spark.createDataFrame(
+        rows, "media_id long, payload binary, format string, width int, height int, channels int"
+    ).cache()
+
+
+def test_extract_features_deterministic(spark, media):
+    a = {r["media_id"]: (r["mean"], r["phash"]) for r in multimodal.extract_features(media).collect()}
+    b = {r["media_id"]: (r["mean"], r["phash"]) for r in multimodal.extract_features(media).collect()}
+    assert a == b and len(a) == 6
+    assert all(len(v[1]) == 64 for v in a.values())
+
+
+def test_resize_roundtrip_shape(spark, media):
+    small = multimodal.resize(media, 8, 8)
+    rows = small.collect()
+    assert all(r["width"] == 8 and r["height"] == 8 for r in rows)
+    assert all(len(bytes(r["payload"])) == 8 * 8 * 3 for r in rows)
+
+
+def test_frame_sample(spark):
+    frame = bytes(range(48))  # 4x4x3
+    video = spark.createDataFrame(
+        [(1, frame * 10, "raw", 4, 4, 3)],
+        "media_id long, payload binary, format string, width int, height int, channels int",
+    )
+    out = multimodal.frame_sample(video, every_k=3).collect()
+    assert [r["frame_idx"] for r in out] == [0, 3, 6, 9]
+    assert all(len(bytes(r["frame"])) == 48 for r in out)
+
+
+def test_real_codec_raises(spark):
+    jpg = spark.createDataFrame(
+        [(1, b"\xff\xd8\xff", "jpeg", 4, 4, 3)],
+        "media_id long, payload binary, format string, width int, height int, channels int",
+    )
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        multimodal.extract_features(jpg).collect()

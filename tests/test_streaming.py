@@ -1,0 +1,90 @@
+"""Structured Streaming: results of the streaming operators must equal
+their batch analogues on the same data (availableNow trigger + memory
+sink)."""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from sfa_spark.streaming import scoring
+
+
+def _run_stream(q_name, stream_df, mode="update", timeout=120):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(q_name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout)
+    return q
+
+
+def test_windowed_stats_matches_batch(spark, tmp_path):
+    src = str(tmp_path / "events")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev.write.parquet(src)
+
+    stream = scoring.events_stream(spark, src)
+    _run_stream("wstats", scoring.windowed_stats(stream, window="10 minutes"))
+    got = spark.sql("select * from wstats")
+
+    batch = (
+        ev.withColumn("event_time", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        .groupBy(
+            F.col("user_id").alias("series_id"),
+            F.window("event_time", "10 minutes").alias("w"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.avg("value").alias("mean"),
+            F.stddev_pop("value").alias("std"),
+        )
+        .select("series_id", F.col("w.start").alias("w_start"), "n_events", "mean", "std")
+    )
+    g = {(r["series_id"], r["w_start"]): r["n_events"] for r in got.collect()}
+    b = {(r["series_id"], r["w_start"]): r["n_events"] for r in batch.collect()}
+    assert g == b and len(g) > 0
+
+
+def test_score_bag_stream_matches_batch(spark, tmp_path):
+    src = str(tmp_path / "bags")
+    bags = spark.createDataFrame(
+        [(1, 10, 2), (1, 11, 1), (2, 10, 3), (2, 12, 5)],
+        "series_id long, word long, cnt long",
+    )
+    bags.write.parquet(src)
+    model = spark.createDataFrame(
+        [(0.0, 10, 0.5), (0.0, 11, 0.1), (1.0, 12, 0.9)],
+        "label double, word long, weight double",
+    )
+    stream = spark.readStream.schema("series_id long, word long, cnt long").parquet(src)
+    _run_stream("scores", scoring.score_bag_stream(stream, model))
+    got = {
+        (r["series_id"], r["label"]): r["score"]
+        for r in spark.sql("select * from scores").collect()
+    }
+    assert got[(1, 0.0)] == pytest.approx(2 * 0.5 + 1 * 0.1)
+    assert got[(2, 1.0)] == pytest.approx(5 * 0.9)
+
+
+def test_teaser_accept_streak(spark, tmp_path):
+    src = str(tmp_path / "preds")
+    preds = spark.createDataFrame(
+        # series 1: 0,1,1 → accepted at snapshot 2 (streak of 2 ones)
+        # series 2: 0,1,0 → never accepted
+        [(1, 0, 0.0), (1, 1, 1.0), (1, 2, 1.0), (2, 0, 0.0), (2, 1, 1.0), (2, 2, 0.0)],
+        "series_id long, snapshot long, pred_label double",
+    )
+    preds.write.parquet(src)
+    stream = spark.readStream.schema(
+        "series_id long, snapshot long, pred_label double"
+    ).parquet(src)
+    _run_stream("teaser", scoring.teaser_accept(stream, threshold=2), mode="append")
+    got = {
+        r["series_id"]: (r["pred_label"], r["accepted_at"])
+        for r in spark.sql("select * from teaser").collect()
+    }
+    assert got == {1: (1.0, 2)}
