@@ -26,12 +26,15 @@ def read_ucr(spark: SparkSession, path: str) -> DataFrame:
         F.monotonically_increasing_id().alias("series_id"),
         toks.alias("toks"),
     )
+    # try_cast everywhere: ANSI-safe when Catalyst combines the header
+    # filter with later filters, and it implements the reference's
+    # tolerant parsing (malformed / NaN tokens dropped) in one shot.
     return parsed.select(
         "series_id",
-        F.element_at("toks", 1).cast("double").alias("label"),
+        F.element_at("toks", 1).try_cast("double").alias("label"),
         F.filter(
-            F.transform(F.slice("toks", 2, 1_000_000), lambda t: t.cast("double")),
-            lambda v: ~F.isnan(v) & v.isNotNull(),
+            F.transform(F.slice("toks", 2, 1_000_000), lambda t: t.try_cast("double")),
+            lambda v: v.isNotNull() & ~F.isnan(v),
         ).alias("values"),
     ).where(F.size("values") > 0)
 

@@ -1,0 +1,29 @@
+"""Source readers: UCR format, random walk determinism."""
+
+from pyspark.sql import functions as F
+
+from sfa_spark.sources.synthetic import random_walk
+from sfa_spark.sources.ucr import arrays_to_long, read_ucr
+
+
+def test_read_ucr_formats(spark, tmp_path):
+    p = tmp_path / "ucr.txt"
+    p.write_text(
+        "@header to skip\n"
+        "1.0,0.5,0.6,0.7\n"
+        "2.0 1.5 1.6 NaN 1.7\n"  # space-separated, NaN dropped
+    )
+    df = read_ucr(spark, str(p)).orderBy("label")
+    rows = df.collect()
+    assert [r["label"] for r in rows] == [1.0, 2.0]
+    assert rows[0]["values"] == [0.5, 0.6, 0.7]
+    assert rows[1]["values"] == [1.5, 1.6, 1.7]  # NaN removed
+    long = arrays_to_long(df)
+    assert long.where("n = 3").count() == 6
+
+
+def test_random_walk_deterministic(spark):
+    a = random_walk(spark, 2, 16, seed=5).orderBy("series_id", "pos").collect()
+    b = random_walk(spark, 2, 16, seed=5).orderBy("series_id", "pos").collect()
+    assert [r["value"] for r in a] == [r["value"] for r in b]
+    assert len(a) == 32
