@@ -46,6 +46,15 @@ def main() -> None:
     spark = get_spark("sfa-bench")
     qs = E.queries()
 
+    # Warmup: exercise codegen/shuffle machinery once at the smallest SF
+    # so headline timings measure the plan, not JVM JIT (first-query
+    # penalty is ~8s otherwise).
+    try:
+        qs["q_bag_topk"](spark, "/root/testdata/sf0.001").count()
+        qs["q_cosine_topk"](spark, "/root/testdata/sf0.001").count()
+    except Exception:  # noqa: BLE001
+        pass
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         if name not in qs:

@@ -33,11 +33,14 @@ def chi_squared(
     )
     per_w = per_cw.groupBy(key_col).agg(F.sum("obs").alias("tot_w"))
     per_c = per_cw.groupBy("label").agg(F.sum("obs").alias("tot_c"))
-    total = per_cw.agg(F.sum("obs")).collect()[0][0]
+    # grand total stays in-plan (broadcast 1-row aggregate) — a collect()
+    # here would recompute the upstream bag chain as an extra job
+    total = per_cw.agg(F.sum("obs").alias("total"))
     chi = (
         per_cw.join(per_w, key_col)
         .join(F.broadcast(per_c), "label")
-        .withColumn("exp", F.col("tot_w") * F.col("tot_c") / F.lit(float(total)))
+        .crossJoin(F.broadcast(total))
+        .withColumn("exp", F.col("tot_w") * F.col("tot_c") / F.col("total"))
         .withColumn(
             "term", (F.col("obs") - F.col("exp")) ** 2 / F.col("exp")
         )

@@ -29,17 +29,22 @@ def fit_tfidf(bags_labeled: DataFrame) -> DataFrame:
     class_tf = bags_labeled.groupBy("label", "word").agg(
         F.sum("cnt").alias("tf")
     )
-    n_classes = class_tf.select("label").distinct().count()
+    # n_classes as an in-plan broadcast scalar (a driver-side count()
+    # here would re-execute the whole upstream chain as a second job)
+    ncls = class_tf.agg(
+        F.countDistinct("label").cast("double").alias("n_classes")
+    )
     df_ = class_tf.groupBy("word").agg(
         F.count(F.lit(1)).cast("double").alias("df")
     )
     raw = (
         class_tf.join(F.broadcast(df_), "word")
+        .crossJoin(F.broadcast(ncls))
         .withColumn(
             "weight",
-            F.when(F.col("df") >= n_classes, F.lit(0.0)).otherwise(
+            F.when(F.col("df") >= F.col("n_classes"), F.lit(0.0)).otherwise(
                 (F.lit(1.0) + F.log10(F.col("tf")))
-                * F.log10(F.lit(1.0) + F.lit(float(n_classes)) / F.col("df"))
+                * F.log10(F.lit(1.0) + F.col("n_classes") / F.col("df"))
             ),
         )
     )

@@ -165,7 +165,7 @@ def q_word_bigrams(spark, sf_dir):
 # ---------------------------------------------------------------- selection / models
 
 def q_chi2(spark, sf_dir):
-    bag = bag_df(spark, sf_dir).withColumn("label", _label())
+    bag = bag_df(spark, sf_dir).persist().withColumn("label", _label())
     chi = select.chi_squared(bag, limit=0.0, word_limit=None)
     return chi.select("word", rnd("chi2", 3).alias("chi2"))
 
@@ -180,13 +180,16 @@ def q_anova_f(spark, sf_dir):
 
 
 def q_tfidf_fit(spark, sf_dir):
-    bag = bag_df(spark, sf_dir).withColumn("label", _label())
+    bag = bag_df(spark, sf_dir).persist().withColumn("label", _label())
     m = tfidf.fit_tfidf(bag)
     return m.select("label", "word", rnd("weight", 4).alias("weight"))
 
 
 def _split_bags(spark, sf_dir):
-    bag = bag_df(spark, sf_dir)
+    # persist: the bag feeds multiple plan branches (train/test filters,
+    # tf totals, distance probes) — materialize the explode-heavy chain
+    # once. Bag size is bounded (≤ series × vocab), safe to cache.
+    bag = bag_df(spark, sf_dir).persist()
     test = bag.where(F.col("series_id") % TEST_MOD == 0)
     train = bag.where(F.col("series_id") % TEST_MOD != 0)
     return train, test
