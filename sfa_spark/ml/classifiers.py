@@ -293,12 +293,17 @@ def weasel_fit(
         [(float(lab), float(i)) for lab, i in lmap.items()],
         "label double, label_idx double",
     )
-    train = feats.join(labels, "series_id").join(F.broadcast(lmap_df), "label")
+    # cache: LR iterates treeAggregate jobs — without this the whole
+    # featurization lineage (MFT -> keys -> chi2 -> vectors) re-executes
+    # EVERY iteration (observed 11s/iter at sf0.01)
+    train = feats.join(labels, "series_id").join(F.broadcast(lmap_df), "label").cache()
+    train.count()
     lr = LogisticRegression(
         featuresCol="features", labelCol="label_idx",
         maxIter=max_iter, regParam=1.0 / (2.0 * reg_param), family="multinomial",
     )
     lr_model = lr.fit(train)
+    train.unpersist()
     return WeaselModel(sfa_models, dictionary, lr_model, label_map, n_features)
 
 
@@ -421,12 +426,15 @@ def muse_fit(
         [(float(lab), float(i)) for i, lab in enumerate(label_map)],
         "label double, label_idx double",
     )
-    train = feats.join(labels, "series_id").join(F.broadcast(lmap_df), "label")
+    train = feats.join(labels, "series_id").join(F.broadcast(lmap_df), "label").cache()
+    train.count()  # materialize before iterative LR (see weasel_fit note)
     lr = LogisticRegression(
         featuresCol="features", labelCol="label_idx",
         maxIter=max_iter, regParam=1.0 / (2.0 * reg_param), family="multinomial",
     )
-    return MuseModel(sfa_models, dictionary, lr.fit(train), label_map, n_features)
+    model = lr.fit(train)
+    train.unpersist()
+    return MuseModel(sfa_models, dictionary, model, label_map, n_features)
 
 
 def muse_predict(model: MuseModel, mv_arrays: DataFrame, bigrams: bool = True) -> DataFrame:

@@ -44,8 +44,10 @@ def q_boss_ensemble_predict(spark, sf_dir):
 def q_weasel_predict(spark, sf_dir):
     train_a, labels, test_a = _corpus(spark, sf_dir)
     train_l = labels.join(train_a.select("series_id"), "series_id")
+    # single window keeps the driver's correctness pass fast; the
+    # multi-window union path is exercised by tests/test_classifiers.py
     model = C.weasel_fit(
-        train_a, train_l, windows=[12, 20], word_length=4, alphabet=4
+        train_a, train_l, windows=[16], word_length=4, alphabet=4, max_iter=15
     )
     return C.weasel_predict(model, test_a)
 
