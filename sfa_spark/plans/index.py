@@ -123,6 +123,50 @@ class SFAIndex:
         return cls(path=path, model=model, prefix_len=prefix_len)
 
     @classmethod
+    def build_subsequence(
+        cls,
+        long_series: DataFrame,
+        window: int,
+        path: str,
+        word_length: int = 16,
+        alphabet: int = 8,
+        prefix_len: int = 2,
+    ) -> "SFAIndex":
+        """Subsequence-matching index (reference
+        buildIndexSubsequenceMatching, SFATrie.java:138-162): every
+        sliding window of the long series becomes an indexed row; the
+        window is z-normalized on the fly (the reference stores
+        means/stds and norms during the scan — here the norm happens at
+        build, the two-phase query plan is identical).
+
+        long_series: canonical long form (series_id, pos, value, n).
+        Indexed ids encode (series_id, offset): id = series_id * 2^32 + win.
+        Scale note: the w× explode is the build-time cost; chunked
+        mapInPandas with the MFT recurrence is the round-2 path for
+        very long series.
+        """
+        from sfa_spark.operators import window as W
+
+        sw = W.window_znorm(W.sliding_long(long_series, window))
+        arrays = (
+            sw.groupBy("series_id", "win")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("off", "value_z"))),
+                    lambda s: s["value_z"],
+                ).alias("values")
+            )
+            .select(
+                (F.col("series_id") * F.lit(1 << 32) + F.col("win")).alias("series_id"),
+                "values",
+            )
+        )
+        return cls.build(
+            arrays, path, word_length=word_length, alphabet=alphabet,
+            prefix_len=prefix_len,
+        )
+
+    @classmethod
     def load(cls, spark: SparkSession, path: str, prefix_len: int) -> "SFAIndex":
         return cls(
             path=path,

@@ -70,3 +70,33 @@ def test_summary_prunes(spark, corpus, tmp_path):
     idx = SFAIndex.build(df, path, word_length=8, alphabet=8, prefix_len=2)
     n_prefixes = spark.read.parquet(f"{path}/summary").count()
     assert n_prefixes > 4  # corpus spreads over several buckets
+
+
+def test_subsequence_index_finds_planted_motif(spark, tmp_path):
+    """Plant a motif twice in a long series; querying with the motif
+    must return both occurrences (reference subsequence matching)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(41)
+    w = 32
+    motif = np.sin(np.linspace(0, 4 * np.pi, w))
+    series = rng.normal(0, 1, 400)
+    series[50 : 50 + w] = motif
+    series[300 : 300 + w] = motif
+    long_df = spark.createDataFrame(
+        [(0, i, float(v), 400) for i, v in enumerate(series)],
+        "series_id long, pos long, value double, n long",
+    )
+    idx = SFAIndex.build_subsequence(
+        long_df, window=w, path=str(tmp_path / "sub"), word_length=8,
+        alphabet=8, prefix_len=1,
+    )
+    zm = (motif - motif.mean()) / motif.std()
+    q = spark.createDataFrame(
+        [(999, zm.tolist())], "series_id long, values array<double>"
+    )
+    res = idx.knn(q, k=2).collect()
+    offsets = sorted(r["nn_id"] % (1 << 32) for r in res)
+    assert offsets == [50, 300]
+    assert all(r["dist"] < 1e-6 for r in res)
