@@ -315,6 +315,41 @@ SELECT c_custkey, c_name, revenue,
        CAST(row_number() OVER (ORDER BY revenue DESC, c_custkey ASC) AS INT) AS rk
 FROM rev QUALIFY rk <= 10"""
 
+ORACLES["q_sfa_words_equidepth"] = f"""WITH {_coef_ctes()},
+sym AS (
+  SELECT series_id, win, seg,
+         CAST(ntile({A}) OVER (PARTITION BY seg ORDER BY coef, series_id, win) - 1 AS INT) AS symbol
+  FROM paa
+),
+words AS (
+  SELECT series_id, win,
+         CAST(sum(CAST(symbol AS BIGINT) << (2 * seg)) AS BIGINT) AS word
+  FROM sym GROUP BY series_id, win
+),
+nr AS (
+  SELECT series_id, win, word,
+         lag(word) OVER (PARTITION BY series_id ORDER BY win) AS prev
+  FROM words
+)
+SELECT series_id, word, CAST(count(*) AS BIGINT) AS cnt
+FROM nr WHERE prev IS NULL OR word <> prev
+GROUP BY series_id, word"""
+
+ORACLES["q_derivatives"] = f"""WITH {SERIES},
+mv AS (
+  SELECT series_id, 0 AS dim, pos, value FROM series
+  UNION ALL
+  SELECT series_id, 1 AS dim, pos, abs(nxt - value) AS value FROM (
+    SELECT series_id, pos, value,
+           lead(value) OVER (PARTITION BY series_id ORDER BY pos) AS nxt
+    FROM series
+  ) WHERE nxt IS NOT NULL
+)
+SELECT series_id, CAST(dim AS INT) AS dim,
+       CAST(count(*) AS BIGINT) AS n_points,
+       round(sum(value) + 1e-9, 2) + 0.0 AS sum_value
+FROM mv GROUP BY series_id, dim"""
+
 # -- spectral cross-implementation oracles: Spark uses numpy FFT, the
 # -- oracle recomputes coefficients as explicit trig sums.
 

@@ -162,6 +162,28 @@ def q_word_bigrams(spark, sf_dir):
     )
 
 
+def q_sfa_words_equidepth(spark, sf_dir):
+    """Flagship chain with rank-based equi-depth symbols (Q2a end to
+    end): deterministic ntile tie-break (coef, series_id, win)."""
+    coef = coef_df(spark, sf_dir)
+    sym = quantize.equi_depth_symbols(coef, A)
+    wd = words.pack_words(sym.select("series_id", "win", "seg", "symbol"), A)
+    return bags.bag_of_words(bags.numerosity_reduce(wd))
+
+
+def q_derivatives(spark, sf_dir):
+    """S4 derivative channels on the events series: dim 0 = value,
+    dim 1 = |first difference| (length n−1)."""
+    from sfa_spark.sources.multivariate import derivatives
+
+    s = series_df(spark, sf_dir).withColumn("dim", F.lit(0).cast("int"))
+    mv = derivatives(s.select("series_id", "dim", "pos", "value", "n"), n_dims=1)
+    return mv.groupBy("series_id", "dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        rnd(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
 # ---------------------------------------------------------------- selection / models
 
 def q_chi2(spark, sf_dir):
