@@ -221,3 +221,139 @@ def teaser_predict(model: TeaserModel, test_arrays: DataFrame) -> DataFrame:
     for p in parts[1:]:
         snap = snap.unionByName(p)
     return _decide(snap, model.slaves, model.v, model.n_snapshots)
+
+
+# ---------------------------------------------------------------- MTEASER (C11)
+
+@dataclass
+class MTeaserSlave:
+    snapshot: int
+    prefix_len: int
+    parts: list  # [(dim, SFAModel, word_length, tfidf DataFrame)]
+    tau: float
+
+
+@dataclass
+class MTeaserModel:
+    slaves: list[MTeaserSlave]
+    v: int
+    n_snapshots: int
+
+
+def _mv_prefix(mv_arrays: DataFrame, plen: int) -> DataFrame:
+    return mv_arrays.select(
+        "series_id", "dim", F.slice("values", 1, plen).alias("values")
+    )
+
+
+def _mslave_scores(slave: MTeaserSlave, mv_arrays: DataFrame) -> DataFrame:
+    """Multivariate slave: per-dim tf-idf scores summed over dims
+    (reference MTEASER uses a MUSE slave — same shape: per-dim features
+    pooled into one class score)."""
+    parts = []
+    for dim, model, wl, m in slave.parts:
+        arr = mv_arrays.where(F.col("dim") == dim).select("series_id", "values")
+        words = sfa.transform_windowing(model, arr)
+        masked = words.withColumn("word", mask_word(F.col("word"), wl, model.alphabet))
+        bag = bags.bag_of_words(bags.numerosity_reduce(masked))
+        parts.append(
+            bag.join(F.broadcast(m), "word")
+            .groupBy("series_id", "label")
+            .agg(F.sum(F.col("cnt") * F.col("weight")).alias("score"))
+        )
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    scored = allp.groupBy("series_id", "label").agg(F.sum("score").alias("score"))
+    w = Window.partitionBy("series_id")
+    rk = Window.partitionBy("series_id").orderBy(F.col("score").desc(), F.col("label").asc())
+    return (
+        scored.withColumn("total", F.sum("score").over(w))
+        .withColumn("rn", F.row_number().over(rk))
+        .where(F.col("rn") == 1)
+        .select(
+            "series_id",
+            F.col("label").alias("pred_label"),
+            F.when(F.col("total") > 0, F.col("score") / F.col("total"))
+            .otherwise(F.lit(0.0))
+            .alias("top"),
+        )
+    )
+
+
+def mteaser_fit(
+    mv_arrays: DataFrame,
+    labels: DataFrame,
+    n_snapshots: int = 4,
+    window: int = 16,
+    word_length: int = 4,
+    alphabet: int = 4,
+    accept_quantile: float = 0.1,
+    v_grid: tuple[int, ...] = (1, 2, 3),
+) -> MTeaserModel:
+    """MTEASER (reference MTEASERClassifier.java): TEASER control flow
+    with a multivariate slave per snapshot."""
+    dims = [r["dim"] for r in mv_arrays.select("dim").distinct().orderBy("dim").collect()]
+    series_len = mv_arrays.select(F.min(F.size("values"))).collect()[0][0]
+    slaves: list[MTeaserSlave] = []
+    snaps = []
+    for s in range(1, n_snapshots + 1):
+        plen = max(window, series_len * s // n_snapshots)
+        pref = _mv_prefix(mv_arrays, plen).cache()
+        parts = []
+        for d in dims:
+            arr = pref.where(F.col("dim") == d).select("series_id", "values")
+            model = sfa.fit(
+                arr, window=window, word_length=word_length, alphabet=alphabet,
+                histogram="equi_depth",
+            )
+            words = sfa.transform_windowing(model, arr)
+            bag = bags.bag_of_words(bags.numerosity_reduce(words))
+            m = tfidf.fit_tfidf(bag.join(labels, "series_id")).cache()
+            parts.append((d, model, word_length, m))
+        slave = MTeaserSlave(s, plen, parts, tau=0.0)
+        sc = _mslave_scores(slave, pref).join(labels, "series_id").cache()
+        correct = sc.where(F.col("pred_label") == F.col("label")).select("top")
+        try:
+            tau = correct.agg(F.percentile("top", F.lit(accept_quantile))).collect()[0][0]
+        except Exception:  # noqa: BLE001
+            tau = None
+        slave.tau = float(tau) if tau is not None else 0.0
+        slaves.append(slave)
+        snaps.append(
+            sc.select("series_id", F.lit(s).alias("s"), "pred_label", "top")
+            .withColumn("accepted", F.col("top") >= F.lit(slave.tau))
+        )
+    snap = snaps[0]
+    for x in snaps[1:]:
+        snap = snap.unionByName(x)
+    snap = snap.cache()
+    best_v, best_hm = v_grid[0], -1.0
+    fake = [TeaserSlave(sl.snapshot, sl.prefix_len, None, 0, None, sl.tau) for sl in slaves]
+    for v in v_grid:
+        dec = _decide(snap, fake, v, n_snapshots)
+        ev = dec.join(labels, "series_id").agg(
+            F.avg((F.col("pred_label") == F.col("label")).cast("double")).alias("acc"),
+            F.avg("earliness").alias("e"),
+        ).collect()[0]
+        acc, earl = ev["acc"] or 0.0, 1.0 - (ev["e"] or 1.0)
+        hm = 2 * acc * earl / (acc + earl) if (acc + earl) > 0 else 0.0
+        if hm > best_hm:
+            best_hm, best_v = hm, v
+    return MTeaserModel(slaves, best_v, n_snapshots)
+
+
+def mteaser_predict(model: MTeaserModel, mv_arrays: DataFrame) -> DataFrame:
+    parts = []
+    for sl in model.slaves:
+        pref = _mv_prefix(mv_arrays, sl.prefix_len)
+        sc = _mslave_scores(sl, pref)
+        parts.append(
+            sc.select("series_id", F.lit(sl.snapshot).alias("s"), "pred_label", "top")
+            .withColumn("accepted", F.col("top") >= F.lit(sl.tau))
+        )
+    snap = parts[0]
+    for p in parts[1:]:
+        snap = snap.unionByName(p)
+    fake = [TeaserSlave(sl.snapshot, sl.prefix_len, None, 0, None, sl.tau) for sl in model.slaves]
+    return _decide(snap, fake, model.v, model.n_snapshots)

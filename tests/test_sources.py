@@ -27,3 +27,26 @@ def test_random_walk_deterministic(spark):
     b = random_walk(spark, 2, 16, seed=5).orderBy("series_id", "pos").collect()
     assert [r["value"] for r in a] == [r["value"] for r in b]
     assert len(a) == 32
+
+
+def test_read_arff_multivariate(spark, tmp_path):
+    from sfa_spark.sources.arff import read_arff_multivariate
+
+    p = tmp_path / "mv.arff"
+    p.write_text(
+        "@relation test\n"
+        "@attribute mts relational\n"
+        "% comment\n"
+        "'1.0,2.0,?\\n10.0,20.0,30.0',cylinder\n"
+        "'4.0,5.0,6.0\\n40.0,50.0,60.0',bell\n"
+        "'7.0,8.0,9.0\\n70.0,80.0,90.0',2.0\n"
+    )
+    mv, labels = read_arff_multivariate(spark, str(p))
+    rows = {(r["series_id"], r["dim"]): r["values"] for r in mv.collect()}
+    labs = {r["series_id"]: r["label"] for r in labels.collect()}
+    sids = sorted(labs)
+    assert rows[(sids[0], 0)] == [1.0, 2.0]  # '?' dropped
+    assert rows[(sids[0], 1)] == [10.0, 20.0, 30.0]
+    assert labs[sids[2]] == 2.0  # numeric label passes through
+    # string classes mapped deterministically (sorted): bell=1, cylinder=2
+    assert labs[sids[0]] == 2.0 and labs[sids[1]] == 1.0
