@@ -17,6 +17,8 @@ side is vocabulary-sized, not data-sized.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -56,6 +58,56 @@ def chi_squared(
             .drop("rk")
         )
     return chi
+
+
+def chi2_sf(x: float, dof: int) -> float:
+    """Survival function of the χ² distribution for integer dof —
+    pure-python (no scipy in this environment; reference uses
+    commons-math ChiSquaredDistribution, WEASEL.java:346-475).
+
+    Even dof: closed form exp(−x/2)·Σ_{k<dof/2} (x/2)^k/k!.
+    Odd dof: recurrence seeded by erfc(√(x/2))."""
+    import math
+
+    if x <= 0:
+        return 1.0
+    h = x / 2.0
+    if dof % 2 == 0:
+        term, acc = 1.0, 1.0
+        for k in range(1, dof // 2):
+            term *= h / k
+            acc += term
+        return min(1.0, math.exp(-h) * acc)
+    # odd dof: P(X > x) = erfc(√h) + exp(−h)·Σ ... via Q(a+1) = Q(a) + h^a e^−h / Γ(a+1)
+    sf = math.erfc(math.sqrt(h))
+    a = 0.5
+    for _ in range(dof // 2):
+        sf += math.exp(a * math.log(h) - h - math.lgamma(a + 1.0))
+        a += 1.0
+    return min(1.0, sf)
+
+
+def chi_squared_pvalues(
+    bags_labeled: DataFrame,
+    p_limit: float = 0.05,
+    key_col: str = "word",
+) -> DataFrame:
+    """trainChiSquared_new: keep keys whose χ² p-value ≤ p_limit.
+    The χ² statistic comes from the same SQL aggregate cascade; the
+    p-value map is a scalar pandas UDF over it (dof = #classes − 1)."""
+    from pyspark.sql.functions import pandas_udf
+
+    n_classes = bags_labeled.select("label").distinct().count()
+    dof = max(1, n_classes - 1)
+    stats = chi_squared(bags_labeled, limit=-1.0, word_limit=None, key_col=key_col)
+
+    @pandas_udf("double")
+    def _sf(xs: pd.Series) -> pd.Series:
+        return xs.map(lambda x: chi2_sf(float(x), dof))
+
+    return stats.withColumn("p_value", _sf("chi2")).where(
+        F.col("p_value") <= p_limit
+    )
 
 
 def filter_bags(bags: DataFrame, selected: DataFrame, key_col: str = "word") -> DataFrame:

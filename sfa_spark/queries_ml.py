@@ -52,6 +52,17 @@ def q_weasel_predict(spark, sf_dir):
     return C.weasel_predict(model, test_a)
 
 
+def q_bossvs_predict(spark, sf_dir):
+    train_a, labels, test_a = _corpus(spark, sf_dir)
+    train_l = labels.join(train_a.select("series_id"), "series_id")
+    model = C.bossvs_fit(
+        train_a, train_l, windows=[16], word_lengths=(4,), n_folds=2
+    )
+    return model.predict(test_a).select(
+        "series_id", F.col("pred_label").cast("double").alias("pred_label")
+    )
+
+
 def q_shotgun_1nn(spark, sf_dir):
     train_a, labels, test_a = _corpus(spark, sf_dir)
     nn = knn.shotgun_1nn(test_a, train_a, window=16)

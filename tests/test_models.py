@@ -135,3 +135,31 @@ def test_weighted_vote_tie_breaks_larger_label(spark):
     )
     got = folds.weighted_vote(votes).collect()[0]["pred_label"]
     assert got == 2.0
+
+
+def test_chi2_sf_matches_known_values():
+    from sfa_spark.operators.select import chi2_sf
+
+    # reference points (R: pchisq(x, df, lower.tail=FALSE))
+    known = [
+        (3.841, 1, 0.05), (5.991, 2, 0.05), (7.815, 3, 0.05),
+        (6.635, 1, 0.01), (9.210, 2, 0.01), (13.277, 4, 0.01),
+    ]
+    for x, dof, p in known:
+        assert abs(chi2_sf(x, dof) - p) < 5e-4, (x, dof)
+
+
+def test_chi2_pvalue_selection(spark):
+    from sfa_spark.operators import select
+
+    # word 1 perfectly separates classes; word 2 is uniform
+    bag = spark.createDataFrame(
+        [(i, 1, 30, 0) for i in range(3)]
+        + [(10 + i, 2, 30, 1) for i in range(3)]
+        + [(i, 3, 10, i % 2) for i in range(6)],
+        "series_id long, word long, cnt long, label long",
+    )
+    sel = select.chi_squared_pvalues(bag, p_limit=0.01)
+    kept = {r["word"] for r in sel.collect()}
+    assert 1 in kept and 2 in kept  # separating words survive
+    assert 3 not in kept  # uniform word filtered
