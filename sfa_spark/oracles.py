@@ -406,6 +406,18 @@ SELECT series_id, win, CAST(2 * (k - 1) + 1 AS INT) AS seg,
        round(im + 1e-9, 4) + 0.0 AS coef
 FROM normed"""
 
+ORACLES["q_stream_window_stats"] = """WITH b AS (
+  SELECT user_id AS series_id,
+         (epoch_ns(ts) // 600000000000) * 600 AS w_start,
+         value
+  FROM events
+)
+SELECT series_id, CAST(w_start AS BIGINT) AS w_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(avg(value) + 1e-9, 4) + 0.0 AS mean,
+       round(stddev_pop(value) + 1e-9, 4) + 0.0 AS std
+FROM b GROUP BY series_id, w_start"""
+
 ORACLES["q_sessionize"] = """WITH g AS (
   SELECT user_id, ts, event_id, value,
          epoch_ns(ts) -

@@ -1,0 +1,40 @@
+"""Streaming driver query: runs the watermarked windowed-stats stream
+to completion (availableNow trigger, memory sink) and returns the
+result as a batch DataFrame — so the driver's DuckDB oracle can check
+the STREAMING path against a plain SQL aggregation.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import functions as F
+
+from sfa_spark.queries import rnd
+from sfa_spark.streaming import scoring
+
+
+def q_stream_window_stats(spark, sf_dir):
+    src = tempfile.mkdtemp(prefix="sfa_stream_src_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
+    name = f"swstats_{uuid.uuid4().hex[:8]}"
+    stream = scoring.events_stream(spark, src)
+    q = (
+        scoring.windowed_stats(stream, window="10 minutes")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = spark.table(name)
+    return out.select(
+        "series_id",
+        F.col("w_start").cast("long").alias("w_start"),  # epoch seconds
+        F.col("n_events").cast("bigint").alias("n_events"),
+        rnd("mean", 4).alias("mean"),
+        rnd("std", 4).alias("std"),
+    )
