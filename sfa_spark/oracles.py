@@ -406,6 +406,15 @@ SELECT series_id, win, CAST(2 * (k - 1) + 1 AS INT) AS seg,
        round(im + 1e-9, 4) + 0.0 AS coef
 FROM normed"""
 
+ORACLES["q_revenue_by_nation"] = """SELECT n_name,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_customers
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name"""
+
 ORACLES["q_stream_window_stats"] = """WITH b AS (
   SELECT user_id AS series_id,
          (epoch_ns(ts) // 600000000000) * 600 AS w_start,

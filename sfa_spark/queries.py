@@ -281,6 +281,22 @@ def q_top_customers(spark, sf_dir):
     )
 
 
+def q_revenue_by_nation(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            dec_sum("o_totalprice").alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.countDistinct("c_custkey").cast("bigint").alias("n_customers"),
+        )
+    )
+
+
 def q_sessionize(spark, sf_dir):
     # ts arrives as bigint nanoseconds (see session.py nanosAsLong)
     ev = load_table(spark, sf_dir, "events")

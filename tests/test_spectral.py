@@ -124,3 +124,20 @@ def test_sfa_supervised_prefers_separating_coefficient(spark):
     assert model.best_segs is not None and len(model.best_segs) == 4
     wd = sfa.transform_windowing(model, arrays)
     assert wd.count() == 20  # one window per series (n == w)
+
+
+def test_variable_length_series_words(spark):
+    """Reference SFAWordsVariableLengthTest: series of different lengths
+    all transform; window count = n-w+1 per series; too-short dropped."""
+    import numpy as np
+
+    rng = np.random.default_rng(43)
+    lengths = [40, 56, 64, 30, 10]  # 10 < w → dropped
+    data = [(i, rng.normal(0, 1, n).tolist()) for i, n in enumerate(lengths)]
+    arrays = spark.createDataFrame(data, "series_id long, values array<double>")
+    w = 16
+    usable = arrays.where(F.size("values") >= w)
+    model = sfa.fit(usable, window=w, word_length=4, alphabet=4)
+    words = sfa.transform_windowing(model, usable)
+    counts = {r["series_id"]: r["count"] for r in words.groupBy("series_id").count().collect()}
+    assert counts == {0: 25, 1: 41, 2: 49, 3: 15}
