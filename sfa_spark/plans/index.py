@@ -61,6 +61,28 @@ def _box_lb(qcols: list, mins, maxs):
     return total
 
 
+def _sfa_row_lb(qdft_col, syms_col, bins_map: dict[int, list[float]], l: int):
+    """Squared SFA lower bound (SFADistance.java:22-67) as a codegen'd
+    expression: per coefficient, gap from the query's DFT value to the
+    candidate symbol's bin interval, 2·gap² summed. CASE branches guard
+    the ANSI element_at bounds."""
+    total = F.lit(0.0)
+    for i in range(l):
+        bs = bins_map.get(i, [])
+        if not bs:
+            continue
+        v = F.element_at(qdft_col, i + 1)
+        c = F.element_at(syms_col, i + 1)
+        blit = F.array(*[F.lit(float(b)) for b in bs])
+        lo = F.when(c <= 0, F.lit(float("-inf"))).otherwise(F.element_at(blit, c))
+        hi = F.when(c >= len(bs), F.lit(float("inf"))).otherwise(
+            F.element_at(blit, c + 1)
+        )
+        gap = F.when(v < lo, lo - v).when(v > hi, v - hi).otherwise(F.lit(0.0))
+        total = total + F.lit(2.0) * gap * gap
+    return total
+
+
 @dataclass
 class SFAIndex:
     path: str
@@ -103,7 +125,7 @@ class SFAIndex:
             F.element_at("syms", i + 1).alias(f"p{i}") for i in range(prefix_len)
         ]
         data = gathered.join(arrays.select("series_id", "values"), "series_id").select(
-            *pcols, "series_id", "dft", "values"
+            *pcols, "series_id", "dft", "syms", "values"
         )
         data.write.mode("overwrite").partitionBy(
             *[f"p{i}" for i in range(prefix_len)]
@@ -240,13 +262,24 @@ class SFAIndex:
             qxs.crossJoin(F.broadcast(summary))
             .withColumn("lb", _box_lb(qcols, F.col("mins"), F.col("maxs")))
             .where(F.col("lb") <= F.col("ub"))
-            .select("q_id", "qvals", *pk)
+            .select("q_id", "qvals", "qdft", "ub", *pk)
         )
-        verify = data.join(
-            F.broadcast(cand_prefixes), on=pk
-        ).select(
-            "q_id", F.col("series_id").alias("nn_id"),
-            _sq_ed(F.col("qvals"), F.col("values")).alias("sqdist"),
+        # third pruning level: row-wise SFA lower bound (reference
+        # SFADistance, Q9) against the candidate's word symbols — skips
+        # the exact ED fold for rows whose LB already exceeds the bound
+        bins_map = {
+            r["seg"]: list(r["bins"]) for r in self.model.bins.collect()
+        }
+        row_lb = _sfa_row_lb(
+            F.col("qdft"), F.col("syms"), bins_map, self.model.word_length
+        )
+        verify = (
+            data.join(F.broadcast(cand_prefixes), on=pk)
+            .where(row_lb <= F.col("ub"))
+            .select(
+                "q_id", F.col("series_id").alias("nn_id"),
+                _sq_ed(F.col("qvals"), F.col("values")).alias("sqdist"),
+            )
         )
         return (
             verify.withColumn("rk", F.row_number().over(wk).cast("int"))

@@ -100,3 +100,29 @@ def test_subsequence_index_finds_planted_motif(spark, tmp_path):
     offsets = sorted(r["nn_id"] % (1 << 32) for r in res)
     assert offsets == [50, 300]
     assert all(r["dist"] < 1e-6 for r in res)
+
+
+def test_sfa_lb_distance_property(spark, corpus, tmp_path):
+    """SFAMinDistanceTest twin: the word-level SFA lower bound is ≤ the
+    true Euclidean distance for every (query, candidate) pair."""
+    import numpy as np
+
+    from sfa_spark.functions.distances import sfa_lb_distance
+    from sfa_spark.operators import sfa as SFA
+
+    df, Z = corpus
+    sub = df.where("series_id < 30")
+    model = SFA.fit_whole(sub, word_length=8, alphabet=8)
+    tl = SFA.transform_whole_long(model, sub).collect()
+    bins = {r["seg"]: list(r["bins"]) for r in model.bins.collect()}
+    dfts, syms = {}, {}
+    for r in tl:
+        dfts.setdefault(r["series_id"], {})[r["seg"]] = r["coef"]
+        syms.setdefault(r["series_id"], {})[r["seg"]] = r["symbol"]
+    ids = sorted(dfts)
+    for qi in ids[:10]:
+        q = [dfts[qi][i] for i in range(8)]
+        for ci in ids:
+            lb = sfa_lb_distance(q, [syms[ci][i] for i in range(8)], bins)
+            ed = float(np.sqrt(((Z[qi] - Z[ci]) ** 2).sum()))
+            assert lb <= ed + 1e-6, (qi, ci, lb, ed)
