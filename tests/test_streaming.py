@@ -88,3 +88,50 @@ def test_teaser_accept_streak(spark, tmp_path):
         for r in spark.sql("select * from teaser").collect()
     }
     assert got == {1: (1.0, 2)}
+
+
+def test_stream_sfa_words_equal_batch_across_microbatches(spark, tmp_path):
+    """The stateful streaming word pipeline must emit EXACTLY the batch
+    flagship words, with windows spanning micro-batch boundaries
+    (3 time-ordered files, one per micro-batch)."""
+    from sfa_spark import queries as Q
+    from sfa_spark.streaming import words as SW
+
+    sf = "/root/testdata/sf0.001"
+    batch_words = {
+        (r["series_id"], r["win"]): r["word"]
+        for r in Q.q_sfa_words(spark, sf).collect()
+    }
+    stats = SW.fit_equi_width_stats(Q.coef_df(spark, sf))
+
+    ev = spark.read.parquet(f"{sf}/events.parquet").orderBy("ts")
+    n = ev.count()
+    rows = ev.collect()
+    src = str(tmp_path / "ev_stream")
+    import os
+
+    os.makedirs(src)
+    third = n // 3
+    for i, chunk in enumerate([rows[:third], rows[third : 2 * third], rows[2 * third :]]):
+        spark.createDataFrame(chunk, ev.schema).coalesce(1).write.parquet(
+            f"{src}/part{i}", mode="overwrite"
+        )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/part*")
+    )
+    q = (
+        SW.stream_sfa_words(stream, stats, w=16, l=4, a=4)
+        .writeStream.format("memory")
+        .queryName("swords")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["series_id"], r["win"]): r["word"]
+        for r in spark.sql("select * from swords").collect()
+    }
+    assert got == batch_words
