@@ -139,6 +139,35 @@ FROM banded a JOIN banded b USING (band, band_key)
 WHERE a.doc_id < b.doc_id
 GROUP BY 1, 2"""
 
+ORACLES["q_lsh_verified_dedup"] = f"""WITH {_SIGS},
+banded AS (
+  SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+         md5(string_agg(minhash, ',' ORDER BY seed)) AS band_key
+  FROM sigs GROUP BY doc_id, 2
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS n_bands
+  FROM banded a JOIN banded b USING (band, band_key)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM shingles a JOIN shingles b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b, c.n_bands,
+       CAST(i.inter AS BIGINT) AS inter,
+       CAST(sa.sz + sb.sz - i.inter AS BIGINT) AS union_sz,
+       round(i.inter * 1.0 / (sa.sz + sb.sz - i.inter) + 1e-9, 4) + 0.0 AS jaccard
+FROM cand c
+JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b"""
+
 ORACLES["q_simhash"] = f"""WITH tok AS (
   SELECT doc_id, ('0x' || substr(md5(unnest({_TOKS})), 1, 8))::BIGINT AS h
   FROM documents

@@ -84,6 +84,20 @@ def q_lsh_pairs(spark, sf_dir):
     return dedup.lsh_candidate_pairs(sig, band_size=2)
 
 
+def q_lsh_verified_dedup(spark, sf_dir):
+    """Two-phase near-dedup end to end: MinHash-LSH candidate pairs →
+    exact Jaccard verify on candidates only — the signature→bucket→
+    verify shape that scales to 100 TB (never all-pairs)."""
+    docs = _docs(spark, sf_dir)
+    sig = dedup.minhash_signatures(docs, n_seeds=8, k=3)
+    cand = dedup.lsh_candidate_pairs(sig, band_size=2)
+    exact = dedup.jaccard_pairs(docs, k=3)
+    return cand.join(exact, ["doc_a", "doc_b"]).select(
+        "doc_a", "doc_b", "n_bands", "inter", "union_sz",
+        rnd("jaccard", 4).alias("jaccard"),
+    )
+
+
 def q_simhash(spark, sf_dir):
     return dedup.simhash(_docs(spark, sf_dir))
 
