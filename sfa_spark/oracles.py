@@ -406,6 +406,16 @@ SELECT series_id, win, CAST(2 * (k - 1) + 1 AS INT) AS seg,
        round(im + 1e-9, 4) + 0.0 AS coef
 FROM normed"""
 
+ORACLES["q_daily_revenue"] = """WITH d AS (
+  SELECT CAST(floor(epoch(l_shipdate) / 86400) AS BIGINT) AS day,
+         CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+         CAST(count(*) AS BIGINT) AS n_items
+  FROM lineitem GROUP BY 1
+)
+SELECT CAST(day AS BIGINT) AS day, revenue, n_items,
+       CAST(row_number() OVER (ORDER BY revenue DESC, day ASC) AS INT) AS rk
+FROM d QUALIFY rk <= 10"""
+
 ORACLES["q_revenue_by_nation"] = """SELECT n_name,
        CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
        CAST(count(*) AS BIGINT) AS n_orders,

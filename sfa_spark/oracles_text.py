@@ -181,6 +181,33 @@ SELECT doc_id,
        CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
 FROM votes GROUP BY doc_id"""
 
+ORACLES["q_corpus_filter"] = f"""WITH t AS (
+  SELECT doc_id, text, {_TOKS} AS tk FROM documents
+),
+s AS (
+  SELECT doc_id,
+         CAST(len(tk) AS BIGINT) AS n_tokens,
+         length(text) * 1.0 / len(tk) AS avg_tok_len,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / length(text) AS digit_ratio,
+         len(list_filter(tk, x -> x IN ('the','a','and','of','to'))) * 1.0 / len(tk) AS stopword_ratio
+  FROM t
+),
+q AS (
+  SELECT doc_id, n_tokens,
+         greatest(0.0,
+           1.0 - least(1.0, abs(avg_tok_len - 5.0) / 10.0) * 0.4
+               - least(1.0, digit_ratio * 5.0) * 0.3
+               - CASE WHEN stopword_ratio <= 0.0 THEN 0.3 ELSE 0.0 END) AS quality
+  FROM s
+),
+k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+SELECT q.doc_id,
+       CAST(CASE WHEN k.doc_id IS NOT NULL AND q.quality >= 0.5
+                  AND q.n_tokens BETWEEN 8 AND 200 THEN 1 ELSE 0 END AS BIGINT) AS kept,
+       CAST(CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS uniq,
+       q.n_tokens
+FROM q LEFT JOIN k ON k.doc_id = q.doc_id"""
+
 _NORMED = """normed AS (
   SELECT vec_id,
          embedding,

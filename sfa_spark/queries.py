@@ -281,6 +281,22 @@ def q_top_customers(spark, sf_dir):
     )
 
 
+def q_daily_revenue(spark, sf_dir):
+    """Time-bucketed lineitem revenue (l_shipdate is a plain timestamp,
+    unlike events.ts — bucketed via epoch-seconds // 86400)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    day = F.floor(F.unix_timestamp(F.col("l_shipdate").cast("timestamp")) / 86400).cast("bigint")
+    daily = li.groupBy(day.alias("day")).agg(
+        dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("day").asc())
+    return (
+        daily.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= 10)
+    )
+
+
 def q_revenue_by_nation(spark, sf_dir):
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")

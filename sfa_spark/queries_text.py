@@ -102,6 +102,33 @@ def q_simhash(spark, sf_dir):
     return dedup.simhash(_docs(spark, sf_dir))
 
 
+def q_corpus_filter(spark, sf_dir):
+    """The composed LLM-corpus cleaning pass: exact-dedup keepers ∩
+    quality floor ∩ token-count band, with per-doc keep/drop verdict —
+    the shape of a real 100 TB pretraining filter job."""
+    docs = _docs(spark, sf_dir)
+    stats = text.quality_score(text.token_stats(docs))
+    keepers = dedup.exact_dedup(docs).select(
+        F.col("keeper_doc_id").alias("doc_id"), F.lit(True).alias("is_keeper")
+    )
+    joined = (
+        stats.join(keepers, "doc_id", "left")
+        .withColumn("is_keeper", F.coalesce("is_keeper", F.lit(False)))
+        .withColumn(
+            "kept",
+            F.col("is_keeper")
+            & (F.col("quality") >= 0.5)
+            & F.col("n_tokens").between(8, 200),
+        )
+    )
+    return joined.select(
+        "doc_id",
+        F.col("kept").cast("int").cast("bigint").alias("kept"),
+        F.col("is_keeper").cast("int").cast("bigint").alias("uniq"),
+        "n_tokens",
+    )
+
+
 # ---------------------------------------------------------------- similarity
 
 def q_cosine_topk(spark, sf_dir):
