@@ -123,6 +123,10 @@ FROM z GROUP BY series_id, win, 3"""
 ORACLES["q_sfa_words"] = f"""WITH {_words_ctes()}
 SELECT series_id, win, word FROM words"""
 
+# the streaming stateful operator must produce the SAME words as the
+# batch chain — identical oracle
+ORACLES["q_stream_sfa_words"] = ORACLES["q_sfa_words"]
+
 ORACLES["q_bag_topk"] = f"""WITH {_bag_ctes()}
 SELECT series_id, word, cnt,
        CAST(row_number() OVER (PARTITION BY series_id ORDER BY cnt DESC, word ASC) AS INT) AS rk

@@ -16,6 +16,34 @@ from sfa_spark.queries import rnd
 from sfa_spark.streaming import scoring
 
 
+def q_stream_sfa_words(spark, sf_dir):
+    """The flagship SFA-word pipeline through the STATEFUL streaming
+    operator (applyInPandasWithState), checked against the same SQL
+    oracle as the batch q_sfa_words — streaming and batch must agree
+    exactly."""
+    from sfa_spark import queries as Q
+    from sfa_spark.streaming import words as SW
+
+    stats = SW.fit_equi_width_stats(Q.coef_df(spark, sf_dir))
+    src = tempfile.mkdtemp(prefix="sfa_swords_src_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
+    name = f"swords_{uuid.uuid4().hex[:8]}"
+    stream = spark.readStream.schema(
+        "event_id bigint, ts bigint, user_id bigint, event_type string, "
+        "value double, props string"
+    ).parquet(src)
+    q = (
+        SW.stream_sfa_words(stream, stats, w=16, l=4, a=4)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select("series_id", "win", "word")
+
+
 def q_stream_window_stats(spark, sf_dir):
     src = tempfile.mkdtemp(prefix="sfa_stream_src_")
     shutil.copy(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
