@@ -75,6 +75,94 @@ def cosine_topk(
     )
 
 
+def scalar_quantize(
+    emb: DataFrame,
+    alphabet: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, DataFrame]:
+    """SQ compression — the SFA idea applied to embeddings (SURVEY §7:
+    'SFA words over embedding coordinates generalize to vector
+    quantization'): per DIMENSION, equi-width bins over the corpus;
+    each float becomes a small int symbol (alphabet≤256 → int8-sized).
+
+    Returns (codes, stats):
+      codes = (vec_id, codes array<int>) — 4-8× smaller than float32;
+      stats = (dim, vmin, vmax) — the tiny codebook.
+    Distances on reconstructed values (bin centers) approximate true
+    distances; exact re-rank on the float column is the verify phase.
+    """
+    dims = emb.select(
+        F.posexplode(_as_double(F.col(vec_col))).alias("dim", "v"),
+        F.col(id_col).alias("vid"),
+    )
+    stats = dims.groupBy("dim").agg(
+        F.min("v").alias("vmin"), F.max("v").alias("vmax")
+    )
+    rng = F.col("vmax") - F.col("vmin")
+    sym = F.when(rng < 1e-12, F.lit(0)).otherwise(
+        F.least(
+            F.lit(alphabet - 1),
+            F.greatest(
+                F.lit(0), F.floor((F.col("v") - F.col("vmin")) * alphabet / rng).cast("int")
+            ),
+        )
+    )
+    coded = (
+        dims.join(F.broadcast(stats), "dim")
+        .select("vid", "dim", sym.cast("int").alias("sym"))
+        .groupBy("vid")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("dim", "sym"))),
+                lambda s: s["sym"],
+            ).alias("codes")
+        )
+        .select(F.col("vid").alias(id_col), "codes")
+    )
+    return coded, stats
+
+
+def sq_reconstructed_topk(
+    codes: DataFrame,
+    stats: DataFrame,
+    k: int,
+    alphabet: int = 16,
+    n_queries: int = 10,
+) -> DataFrame:
+    """Approximate top-k by squared ED between RECONSTRUCTED vectors
+    (bin centers): recon = vmin + (sym + 0.5)·step. All arithmetic on
+    the compressed codes — the float column is never read."""
+    centers = stats.select(
+        "dim",
+        "vmin",
+        F.when(F.col("vmax") - F.col("vmin") < 1e-12, F.lit(0.0))
+        .otherwise((F.col("vmax") - F.col("vmin")) / alphabet)
+        .alias("step"),
+    )
+    long = codes.select(
+        "vec_id", F.posexplode("codes").alias("dim", "sym")
+    ).join(F.broadcast(centers), "dim").select(
+        "vec_id",
+        "dim",
+        (F.col("vmin") + (F.col("sym") + 0.5) * F.col("step")).alias("r"),
+    )
+    q = long.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), "dim", F.col("r").alias("qr")
+    )
+    c = long.select(F.col("vec_id").alias("nn_id"), "dim", F.col("r").alias("cr"))
+    d = (
+        q.join(c, "dim")
+        .where(F.col("q_id") != F.col("nn_id"))
+        .groupBy("q_id", "nn_id")
+        .agg(F.sum((F.col("qr") - F.col("cr")) ** 2).alias("sqdist"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sqdist").asc(), F.col("nn_id").asc())
+    return d.withColumn("rk", F.row_number().over(w).cast("int")).where(
+        F.col("rk") <= k
+    )
+
+
 def sign_bucket(col, n_bits: int = 6):
     """Coarse quantizer: bucket = Σ (v[i] > 0) << i over the first
     n_bits dims. Cheap, deterministic, SQL-portable. n_bits is a static

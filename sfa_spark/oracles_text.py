@@ -239,6 +239,37 @@ SELECT q_id, nn_id, round(dist + 1e-9, 4) + 0.0 AS dist,
        CAST(row_number() OVER (PARTITION BY q_id ORDER BY dist ASC, nn_id ASC) AS INT) AS rk
 FROM pairs QUALIFY rk <= 3"""
 
+ORACLES["q_sq_ann"] = """WITH dims AS (
+  SELECT vec_id, i AS dim, embedding[i + 1]::DOUBLE AS v
+  FROM embeddings, generate_series(0, 63) t(i)
+),
+stats AS (
+  SELECT dim, min(v) AS vmin, max(v) AS vmax FROM dims GROUP BY dim
+),
+sym AS (
+  SELECT d.vec_id, d.dim,
+         CASE WHEN s.vmax - s.vmin < 1e-12 THEN 0
+              ELSE least(15, greatest(0,
+                   CAST(floor((d.v - s.vmin) * 16 / (s.vmax - s.vmin)) AS INT))) END AS sym,
+         s.vmin,
+         CASE WHEN s.vmax - s.vmin < 1e-12 THEN 0.0
+              ELSE (s.vmax - s.vmin) / 16 END AS step
+  FROM dims d JOIN stats s USING (dim)
+),
+recon AS (
+  SELECT vec_id, dim, vmin + (sym + 0.5) * step AS r FROM sym
+),
+d AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS nn_id,
+         sum(pow(q.r - c.r, 2)) AS sqdist
+  FROM recon q JOIN recon c USING (dim)
+  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+  GROUP BY 1, 2
+)
+SELECT q_id, nn_id, round(sqdist + 1e-9, 4) + 0.0 AS sqdist,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY sqdist ASC, nn_id ASC) AS INT) AS rk
+FROM d QUALIFY rk <= 3"""
+
 _BUCKETED = """bucketed AS (
   SELECT vec_id, embedding, nrm,
          (SELECT CAST(sum(CASE WHEN embedding[i+1]::DOUBLE > 0

@@ -139,6 +139,17 @@ def q_cosine_topk(spark, sf_dir):
     return res.select("q_id", "nn_id", rnd("cosine", 4).alias("cosine"), "rk")
 
 
+def q_sq_ann(spark, sf_dir):
+    """Scalar-quantized ANN: per-dim equi-width codes (int8-sized) →
+    top-3 by reconstructed distance; the compressed path never touches
+    the float column. SQ8-style compression for 100 TB embedding
+    stores."""
+    emb = _emb(spark, sf_dir)
+    codes, stats = similarity.scalar_quantize(emb, alphabet=16)
+    res = similarity.sq_reconstructed_topk(codes, stats, k=3, alphabet=16)
+    return res.select("q_id", "nn_id", rnd("sqdist", 4).alias("sqdist"), "rk")
+
+
 def q_cosine_ivf(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     res = similarity.cosine_topk_bucketed(

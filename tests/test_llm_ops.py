@@ -103,3 +103,31 @@ def test_bucketed_neighbors_subset_of_bucket(spark):
     buckets = (E[:, :4] > 0).astype(int) @ (2 ** np.arange(4))
     for r in res.collect():
         assert buckets[r["q_id"]] == buckets[r["nn_id"]] == r["bucket"]
+
+
+def test_scalar_quantize_recall(spark):
+    """SQ compressed search must mostly recover the exact neighbors at
+    alphabet 16 on 64-dim gaussians (recall@5 well above chance)."""
+    import numpy as np
+
+    rng = np.random.default_rng(8)
+    E = rng.normal(0, 1, (80, 64))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(E)],
+        "vec_id long, embedding array<double>",
+    )
+    codes, stats = similarity.scalar_quantize(df, alphabet=16)
+    approx = similarity.sq_reconstructed_topk(codes, stats, k=5, alphabet=16, n_queries=10)
+    D = ((E[:, None, :] - E[None, :, :]) ** 2).sum(-1)
+    hits = total = 0
+    got = {}
+    for r in approx.collect():
+        got.setdefault(r["q_id"], set()).add(r["nn_id"])
+    for qi, nns in got.items():
+        exact = set(np.argsort(D[qi])[1:6])
+        hits += len(nns & exact)
+        total += 5
+    assert hits / total >= 0.6, f"recall@5 {hits/total}"
+    # codes really are small ints
+    row = codes.limit(1).collect()[0]
+    assert all(0 <= c <= 15 for c in row["codes"]) and len(row["codes"]) == 64
