@@ -83,6 +83,19 @@ def score_bag_stream(bag_stream: DataFrame, tfidf_model: DataFrame) -> DataFrame
     )
 
 
+def class_tf_stream(bag_stream: DataFrame) -> DataFrame:
+    """Streaming model maintenance for BOSS VS (README.md:239-242 —
+    'cheap model updates'): running per-(label, word) term frequencies
+    as an update-mode aggregation. A periodic foreachBatch snapshot
+    feeds fit_tfidf to refresh the broadcast scoring matrix — tf
+    accumulation is incremental, idf/normalize is the cheap batch hop.
+
+    Input: labeled bag stream (series_id, word, cnt, label)."""
+    return bag_stream.groupBy("label", "word").agg(
+        F.sum("cnt").alias("tf")
+    )
+
+
 TEASER_OUTPUT = StructType(
     [
         StructField("series_id", LongType()),

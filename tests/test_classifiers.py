@@ -53,3 +53,19 @@ def test_weasel_cbf(spark, cbf):
     pred = C.weasel_predict(model, te_a)
     acc = _accuracy(pred, te_l)
     assert acc >= 0.75, f"WEASEL CBF accuracy {acc}"
+
+
+def test_mllib_pipeline_composition(spark, cbf):
+    """SURVEY §2.10: engine stages compose in a pyspark.ml Pipeline."""
+    from pyspark.ml import Pipeline
+
+    from sfa_spark.ml.pipeline import BagOfPatterns, SFAWords
+
+    tr_a, _, te_a, _ = cbf
+    pipe = Pipeline(stages=[SFAWords(window=16, wordLength=4), BagOfPatterns()])
+    fitted = pipe.fit(tr_a)
+    out = fitted.transform(te_a)
+    assert set(out.columns) == {"series_id", "word", "cnt"}
+    assert out.count() > 0
+    # same series set in, same out
+    assert out.select("series_id").distinct().count() == te_a.count()

@@ -135,3 +135,28 @@ def test_stream_sfa_words_equal_batch_across_microbatches(spark, tmp_path):
         for r in spark.sql("select * from swords").collect()
     }
     assert got == batch_words
+
+
+def test_class_tf_stream_accumulates_across_batches(spark, tmp_path):
+    """BOSS VS streaming model update: running (label, word) tf equals
+    the batch aggregate after two micro-batches."""
+    import os
+
+    src = str(tmp_path / "labeled_bags")
+    os.makedirs(src)
+    b1 = [(1, 10, 2, 0.0), (2, 10, 3, 1.0)]
+    b2 = [(3, 10, 5, 0.0), (4, 11, 1, 0.0)]
+    schema = "series_id long, word long, cnt long, label double"
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(f"{src}/p0")
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(f"{src}/p1")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/p*")
+    )
+    _run_stream("ctf", scoring.class_tf_stream(stream))
+    got = {
+        (r["label"], r["word"]): r["tf"]
+        for r in spark.sql("select * from ctf").collect()
+    }
+    assert got == {(0.0, 10): 7, (1.0, 10): 3, (0.0, 11): 1}
