@@ -152,6 +152,18 @@ class BossVSModel:
         return folds.weighted_vote(allv)
 
 
+def sqrt_spaced_windows(min_w: int, max_w: int, count: int) -> list[int]:
+    """BOSS VS's √-spaced window sampling (BOSSVSClassifier.java:98-103):
+    denser at small windows, sparser at large — √-scale interpolation."""
+    import math
+
+    if count <= 1 or max_w <= min_w:
+        return [min_w]
+    lo, hi = math.sqrt(min_w), math.sqrt(max_w)
+    ws = {int(round((lo + (hi - lo) * i / (count - 1)) ** 2)) for i in range(count)}
+    return sorted(max(min_w, min(max_w, w)) for w in ws)
+
+
 def bossvs_fit(
     train_arrays: DataFrame,
     labels: DataFrame,

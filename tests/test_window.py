@@ -79,3 +79,41 @@ def test_rolling_stats_match_python(spark):
         s = math.sqrt(sum((x - m) ** 2 for x in seg) / w)
         assert abs(r["r_mean"] - m) < 1e-9
         assert abs(r["r_std"] - s) < 1e-9
+
+
+def test_constant_series_flagship_chain(spark):
+    """All-constant series: znorm guard (std 0 → 1) keeps the chain
+    NaN-free; all windows quantize to symbol 0 → one word after
+    numerosity reduction."""
+    from sfa_spark.operators import bags, quantize, words
+
+    const = spark.createDataFrame(
+        [(1, p, 5.0, 40) for p in range(40)],
+        "series_id long, pos long, value double, n long",
+    )
+    sw = window.window_znorm(window.sliding_long(const, 16))
+    coef = words.paa_long(sw, 16, 4)
+    assert coef.where("isnan(coef)").count() == 0
+    sym = quantize.equi_width_symbols(coef, 4)
+    wd = words.pack_words(sym.select("series_id", "win", "seg", "symbol"), 4)
+    bag = bags.bag_of_words(bags.numerosity_reduce(wd))
+    rows = bag.collect()
+    assert len(rows) == 1 and rows[0]["word"] == 0 and rows[0]["cnt"] == 1
+
+
+def test_short_series_dropped_everywhere(spark):
+    short = spark.createDataFrame(
+        [(1, p, float(p), 5) for p in range(5)],
+        "series_id long, pos long, value double, n long",
+    )
+    assert window.sliding_long(short, 16).count() == 0
+    assert window.disjoint_long(short, 16).count() == 0
+
+
+def test_sqrt_spaced_windows():
+    from sfa_spark.ml.classifiers import sqrt_spaced_windows
+
+    ws = sqrt_spaced_windows(10, 250, 8)
+    assert ws[0] == 10 and ws[-1] == 250 and ws == sorted(set(ws))
+    gaps = [b - a for a, b in zip(ws, ws[1:])]
+    assert gaps[0] < gaps[-1]  # denser at the small end
