@@ -117,3 +117,20 @@ def test_sqrt_spaced_windows():
     assert ws[0] == 10 and ws[-1] == 250 and ws == sorted(set(ws))
     gaps = [b - a for a, b in zip(ws, ws[1:])]
     assert gaps[0] < gaps[-1]  # denser at the small end
+
+
+def test_fast_and_explode_coef_paths_agree(spark):
+    """The shifted-rolling-aggregate PAA plan must produce the same
+    coefficients as the explode plan (algebraic identity)."""
+    from sfa_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    a = {
+        (r["series_id"], r["win"], r["seg"]): round(r["coef"], 9)
+        for r in Q.coef_df(spark, sf, fast=False).collect()
+    }
+    b = {
+        (r["series_id"], r["win"], r["seg"]): round(r["coef"], 9)
+        for r in Q.coef_df(spark, sf, fast=True).collect()
+    }
+    assert a == b
