@@ -59,9 +59,15 @@ def main() -> None:
     for name in HEADLINE:
         if name not in qs:
             continue
-        t0 = time.time()
-        n = qs[name](spark, sf_dir).count()  # force full execution
-        timings[name] = round(time.time() - t0, 3)
+        # min of 2 runs: the box is shared, single-shot timings swing
+        # ±20%; min-of-N is the standard noise-robust point estimate
+        best, n = None, 0
+        for _ in range(2):
+            t0 = time.time()
+            n = qs[name](spark, sf_dir).count()  # force full execution
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)

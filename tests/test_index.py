@@ -126,3 +126,21 @@ def test_sfa_lb_distance_property(spark, corpus, tmp_path):
             lb = sfa_lb_distance(q, [syms[ci][i] for i in range(8)], bins)
             ed = float(np.sqrt(((Z[qi] - Z[ci]) ** 2).sum()))
             assert lb <= ed + 1e-6, (qi, ci, lb, ed)
+
+
+def test_prefix_depth_invariance(spark, corpus, tmp_path):
+    """SFABulkLoadTest twin: the index must answer identically no
+    matter how the build partitioned it (prefix depth 1 vs 2 ≈ bulk
+    chunking choices in the reference)."""
+    df, Z = corpus
+    q = df.where("series_id < 4")
+    res = {}
+    for d in (1, 2):
+        idx = SFAIndex.build(
+            df, str(tmp_path / f"depth{d}"), word_length=8, alphabet=8, prefix_len=d
+        )
+        res[d] = sorted(
+            (r["q_id"], r["rk"], r["nn_id"], round(r["dist"], 9))
+            for r in idx.knn(q, k=3).collect()
+        )
+    assert res[1] == res[2]
