@@ -478,3 +478,67 @@ def muse_predict(model: MuseModel, mv_arrays: DataFrame, bigrams: bool = True) -
         "prediction double, pred_label double",
     )
     return pred.join(F.broadcast(idx_map), "prediction").select("series_id", "pred_label")
+
+
+def weasel_fit_grid(
+    train_arrays: DataFrame,
+    labels: DataFrame,
+    windows: list[int],
+    word_lengths: tuple[int, ...] = (4, 6),
+    alphabet: int = 4,
+    n_folds: int = 3,
+    **kw,
+) -> WeaselModel:
+    """WEASEL grid fit (reference WEASELClassifier.fitWeasel,
+    WEASELClassifier.java:214-263): grid over word lengths f, each
+    scored by stratified k-fold CV accuracy of the logistic model;
+    early exit on a perfect CV score; refit the winner on all data.
+    (Reference grids norm ∈ {T,F} too; norm_mean passes through **kw.)
+    """
+    from pyspark.ml.classification import LogisticRegression
+
+    folded = folds.stratified_folds(labels, n_folds).cache()
+    best_f, best_acc = word_lengths[0], -1.0
+    for f in word_lengths:
+        model = weasel_fit(
+            train_arrays, labels, windows, word_length=f, alphabet=alphabet, **kw
+        )
+        # CV accuracy on the fitted featurization (bags fixed, LR per fold)
+        key_bags = _weasel_features(model.sfa_models, train_arrays)
+        kept = select.filter_bags(key_bags, model.dictionary, key_col="key")
+        feats = _to_vectors(kept, model.dictionary, model.n_features)
+        lmap_df = labels.sparkSession.createDataFrame(
+            [(float(lab), float(i)) for i, lab in enumerate(model.label_map)],
+            "label double, label_idx double",
+        )
+        data = (
+            feats.join(labels, "series_id")
+            .join(F.broadcast(lmap_df), "label")
+            .join(folded.select("series_id", "fold"), "series_id")
+            .cache()
+        )
+        data.count()
+        correct = total = 0
+        for i in range(n_folds):
+            tr = data.where(F.col("fold") != i)
+            te = data.where(F.col("fold") == i)
+            lr = LogisticRegression(
+                featuresCol="features", labelCol="label_idx", maxIter=15,
+                regParam=0.5, family="multinomial",
+            )
+            pred = lr.fit(tr).transform(te)
+            r = pred.agg(
+                F.sum((F.col("prediction") == F.col("label_idx")).cast("long")),
+                F.count(F.lit(1)),
+            ).collect()[0]
+            correct += r[0] or 0
+            total += r[1]
+        data.unpersist()
+        acc = correct / total if total else 0.0
+        if acc > best_acc:
+            best_acc, best_f = acc, f
+        if acc == 1.0:  # reference early exit on perfect score
+            break
+    return weasel_fit(
+        train_arrays, labels, windows, word_length=best_f, alphabet=alphabet, **kw
+    )

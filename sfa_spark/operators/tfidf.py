@@ -59,8 +59,14 @@ def fit_tfidf(bags_labeled: DataFrame) -> DataFrame:
 def score_tfidf(test_bags: DataFrame, tfidf: DataFrame) -> DataFrame:
     """Predict argmax_class Σ tf_test · weight_class per test series.
 
-    Broadcast the model; deterministic tie-break (score desc, label asc).
-    Output: (series_id, pred_label, score).
+    Parity note: the reference scores Σ tf·(weight + 1.0)
+    (BOSSVSClassifier.java:236) — the +1 contributes Σ tf, which is
+    class-INDEPENDENT per sample, so the argmax is identical to this
+    formulation (reference default normMagnitudes=false). The reference
+    tie-breaks by hash-map iteration order (nondeterministic); we use
+    (score desc, label asc) — deterministic by construction.
+
+    Broadcast the model. Output: (series_id, pred_label, score).
     """
     scored = (
         test_bags.join(F.broadcast(tfidf), "word")
