@@ -270,6 +270,16 @@ SELECT q_id, nn_id, round(sqdist + 1e-9, 4) + 0.0 AS sqdist,
        CAST(row_number() OVER (PARTITION BY q_id ORDER BY sqdist ASC, nn_id ASC) AS INT) AS rk
 FROM d QUALIFY rk <= 3"""
 
+ORACLES["q_index_range"] = """WITH pairs AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS nn_id,
+         sqrt((SELECT sum(pow(q.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE, 2))
+               FROM generate_series(1, 64) t(i))) AS dist
+  FROM embeddings q CROSS JOIN embeddings c
+  WHERE q.vec_id < 10
+)
+SELECT q_id, nn_id, round(dist + 1e-9, 4) + 0.0 AS dist
+FROM pairs WHERE dist <= 10.0"""
+
 _BUCKETED = """bucketed AS (
   SELECT vec_id, embedding, nrm,
          (SELECT CAST(sum(CASE WHEN embedding[i+1]::DOUBLE > 0
