@@ -240,9 +240,7 @@ def _weasel_features(
 
 def _to_vectors(key_bags: DataFrame, dictionary: DataFrame, n_features: int) -> DataFrame:
     """bags ⋈ dictionary → MLlib SparseVector features per series."""
-    from pyspark.ml.functions import array_to_vector  # noqa: F401  (not used; manual udf below)
     from pyspark.ml.linalg import SparseVector, VectorUDT
-    from pyspark.sql.types import StructType
 
     joined = (
         key_bags.join(F.broadcast(dictionary), "key")

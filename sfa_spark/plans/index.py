@@ -37,7 +37,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sfa_spark.operators import sfa as SFA
-from sfa_spark.operators.words import binlog
 
 
 def _sq_ed(a, b):
