@@ -354,6 +354,26 @@ SELECT series_id, CAST(dim AS INT) AS dim,
        round(sum(value) + 1e-9, 2) + 0.0 AS sum_value
 FROM mv GROUP BY series_id, dim"""
 
+ORACLES["q_pla_segments"] = f"""WITH {SERIES},
+d AS (
+  SELECT series_id,
+         CASE WHEN pos * 2 < n THEN 0 ELSE 1 END AS seg,
+         CAST(pos - CASE WHEN pos * 2 < n THEN 0
+                         ELSE n // 2 END AS DOUBLE) AS x,
+         value
+  FROM series
+),
+agg AS (
+  SELECT series_id, CAST(seg AS INT) AS seg,
+         covar_pop(x, value) AS cxy, var_pop(x) AS vx,
+         avg(x) AS mx, avg(value) AS my
+  FROM d GROUP BY series_id, seg
+)
+SELECT series_id, seg,
+       round(CASE WHEN vx < 1e-12 THEN 0.0 ELSE cxy / vx END + 1e-9, 4) + 0.0 AS slope,
+       round(my - (CASE WHEN vx < 1e-12 THEN 0.0 ELSE cxy / vx END) * mx + 1e-9, 4) + 0.0 AS icept
+FROM agg"""
+
 # -- spectral cross-implementation oracles: Spark uses numpy FFT, the
 # -- oracle recomputes coefficients as explicit trig sums.
 

@@ -42,6 +42,60 @@ def q_mft_sliding(spark, sf_dir):
     )
 
 
+def q_pla_segments(spark, sf_dir):
+    """PLA (T9) in PURE SQL: least-squares slope/intercept per
+    half-series segment via covar_pop/var_pop — no UDF at all."""
+    from sfa_spark.queries import rnd, series_df
+
+    s = series_df(spark, sf_dir)
+    seg = F.when(F.col("pos") * 2 < F.col("n"), 0).otherwise(1).cast("int")
+    seg_start = F.when(F.col("seg") == 0, 0).otherwise(
+        (F.col("n") / 2).cast("bigint")
+    )
+    d = s.withColumn("seg", seg).withColumn("x", (F.col("pos") - seg_start).cast("double"))
+    agg = d.groupBy("series_id", "seg").agg(
+        F.covar_pop("x", "value").alias("cxy"),
+        F.var_pop("x").alias("vx"),
+        F.avg("x").alias("mx"),
+        F.avg("value").alias("my"),
+    )
+    slope = F.when(F.col("vx") < 1e-12, F.lit(0.0)).otherwise(
+        F.col("cxy") / F.col("vx")
+    )
+    return agg.select(
+        "series_id",
+        "seg",
+        rnd(slope, 4).alias("slope"),
+        rnd(F.col("my") - slope * F.col("mx"), 4).alias("icept"),
+    )
+
+
+def q_dwt_coefs(spark, sf_dir):
+    """Haar DWT coefficients per series (rows-only; orthonormality and
+    LB property are covered by tests/test_representations.py)."""
+    from sfa_spark.functions import representations as R
+    from sfa_spark.queries import rnd
+
+    arr = _arrays(spark, sf_dir)
+    t = R.transform(arr, "dwt", 8)
+    return spectral.coefs_to_long(t).select(
+        "series_id", "seg", rnd("coef", 4).alias("coef")
+    )
+
+
+def q_apca_segments(spark, sf_dir):
+    """APCA adaptive segments per series (rows-only; greedy merge is
+    inherently sequential per series — grouped pandas UDF)."""
+    from sfa_spark.functions import representations as R
+    from sfa_spark.queries import rnd
+
+    arr = _arrays(spark, sf_dir)
+    t = R.transform(arr, "apca", 8)
+    return spectral.coefs_to_long(t).select(
+        "series_id", "seg", rnd("coef", 4).alias("coef")
+    )
+
+
 def q_sfa_words_dft(spark, sf_dir):
     """Full SFA: equi-depth bins fitted on disjoint windows → sliding
     words. No SQL oracle (binning on rounded orderlines is brittle to
