@@ -15,7 +15,24 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+def ensure_session_compat(spark: SparkSession) -> None:
+    """Runtime-settable confs the engine depends on, applied defensively
+    so queries also work on a session we did not build (e.g. the
+    driver's): nanos-parquet reading (events.ts), UTC timestamp
+    semantics (oracle parity), Arrow batching for pandas UDFs."""
+    for k, v in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # noqa: BLE001 — static conf on some builds; keep going
+            pass
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_session_compat(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

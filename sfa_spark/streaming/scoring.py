@@ -41,6 +41,9 @@ def events_stream(spark, path: str, schema: str | None = None) -> DataFrame:
         "event_id bigint, ts bigint, user_id bigint, event_type string, "
         "value double, props string"
     )
+    from sfa_spark.sources.events import ensure_session_compat
+
+    ensure_session_compat(spark)
     raw = spark.readStream.schema(schema).parquet(path)
     return raw.withColumn(
         "event_time", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
