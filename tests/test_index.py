@@ -144,3 +144,26 @@ def test_prefix_depth_invariance(spark, corpus, tmp_path):
             for r in idx.knn(q, k=3).collect()
         )
     assert res[1] == res[2]
+
+
+def test_out_of_distribution_query_falls_back_to_full_scan(spark, corpus, tmp_path):
+    """A query whose SFA prefix bucket is EMPTY must still return the
+    exact neighbors (phase-1 probe finds nothing → ub=∞ → phase 2
+    scans all boxes)."""
+    import numpy as np
+
+    df, Z = corpus
+    idx = SFAIndex.build(df, str(tmp_path / "ood"), word_length=8, alphabet=8, prefix_len=2)
+    # extreme query far outside the corpus distribution
+    q_vec = np.full(64, 0.0)
+    q_vec[:32] = 50.0
+    q_vec[32:] = -50.0
+    q_vec = (q_vec - q_vec.mean()) / q_vec.std()
+    q = spark.createDataFrame(
+        [(777, q_vec.tolist())], "series_id long, values array<double>"
+    )
+    res = idx.knn(q, k=2).collect()
+    D = np.sqrt(((Z - q_vec) ** 2).sum(axis=1))
+    order = np.lexsort((np.arange(len(Z)), D))
+    got = sorted((r["rk"], r["nn_id"]) for r in res)
+    assert got == [(1, int(order[0])), (2, int(order[1]))]
