@@ -63,6 +63,30 @@ def q_bossvs_predict(spark, sf_dir):
     )
 
 
+def q_muse_predict(spark, sf_dir):
+    """MUSE (C7) on a 2-dim corpus built from the events series via the
+    derivative channel (S4): dim 0 = value, dim 1 = |first diff|."""
+    from sfa_spark.sources.multivariate import derivatives, dim_arrays
+
+    s = series_df(spark, sf_dir).withColumn("dim", F.lit(0).cast("int"))
+    mv = derivatives(s.select("series_id", "dim", "pos", "value", "n"), n_dims=1)
+    arrays = dim_arrays(mv).where(F.size("values") >= 32).cache()
+    labels = (
+        arrays.select("series_id").distinct()
+        .withColumn("label", (F.col("series_id") % N_LABELS).cast("double"))
+    )
+    train_l = labels.where(F.col("series_id") % TEST_MOD != 0)
+    train_a = arrays.join(train_l.select("series_id"), "series_id")
+    test_a = arrays.join(
+        labels.where(F.col("series_id") % TEST_MOD == 0).select("series_id"),
+        "series_id",
+    )
+    model = C.muse_fit(
+        train_a, train_l, windows=[16], word_length=4, alphabet=4, max_iter=15
+    )
+    return C.muse_predict(model, test_a)
+
+
 def q_shotgun_1nn(spark, sf_dir):
     train_a, labels, test_a = _corpus(spark, sf_dir)
     nn = knn.shotgun_1nn(test_a, train_a, window=16)
