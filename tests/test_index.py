@@ -167,3 +167,22 @@ def test_out_of_distribution_query_falls_back_to_full_scan(spark, corpus, tmp_pa
     order = np.lexsort((np.arange(len(Z)), D))
     got = sorted((r["rk"], r["nn_id"]) for r in res)
     assert got == [(1, int(order[0])), (2, int(order[1]))]
+
+
+def test_index_load_roundtrip(spark, corpus, tmp_path):
+    """An index loaded from disk must answer exactly like the builder's
+    in-memory handle (model bins + layout fully persisted)."""
+    df, Z = corpus
+    path = str(tmp_path / "persist")
+    built = SFAIndex.build(df, path, word_length=8, alphabet=8, prefix_len=2)
+    loaded = SFAIndex.load(spark, path, prefix_len=2)
+    q = df.where("series_id < 3")
+    a = sorted(
+        (r["q_id"], r["rk"], r["nn_id"], round(r["dist"], 9))
+        for r in built.knn(q, k=3).collect()
+    )
+    b = sorted(
+        (r["q_id"], r["rk"], r["nn_id"], round(r["dist"], 9))
+        for r in loaded.knn(q, k=3).collect()
+    )
+    assert a == b
