@@ -108,3 +108,22 @@ def test_ig_bins_separate_labels(spark):
     bins = quantize.fit_ig_bins(df, alphabet=4).collect()[0]["bins"]
     assert any(3 < b <= 10 for b in bins)
     assert bins == sorted(bins)
+
+
+def test_approx_equi_depth_close_to_exact(spark):
+    """The documented 100 TB mode: percentile_approx bins must land
+    near the exact-percentile bins (and identical at tiny epsilon)."""
+    import numpy as np
+
+    from sfa_spark.operators import quantize
+
+    rng = np.random.default_rng(51)
+    df = spark.createDataFrame(
+        [(0, int(i), 0, float(v)) for i, v in enumerate(rng.normal(0, 1, 4000))],
+        "series_id long, win long, seg int, coef double",
+    )
+    exact = quantize.fit_equi_depth_bins(df, 8, relative_error=0.0).collect()[0]["bins"]
+    approx = quantize.fit_equi_depth_bins(df, 8, relative_error=1e-4).collect()[0]["bins"]
+    assert len(exact) == len(approx) == 7
+    for e, a in zip(exact, approx):
+        assert abs(e - a) < 0.05, (e, a)  # tight at eps=1e-4 on 4k samples
