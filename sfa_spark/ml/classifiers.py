@@ -33,9 +33,13 @@ from sfa_spark.operators.words import mask_word
 
 
 def _loo_accuracy(bag: DataFrame, labels: DataFrame) -> float:
-    """Leave-one-out 1-NN train accuracy over a bag table."""
+    """Leave-one-out 1-NN train accuracy over a bag table.
+
+    Queries with no accepted neighbor (reference predicts null) count
+    as incorrect — divide by the full sample count, not matched rows.
+    """
     nn = knn.boss_1nn(bag, bag, loo=True)
-    scored = (
+    correct = (
         nn.join(labels, "series_id")
         .join(
             labels.select(
@@ -43,9 +47,12 @@ def _loo_accuracy(bag: DataFrame, labels: DataFrame) -> float:
             ),
             "nn_id",
         )
-        .agg(F.avg((F.col("label") == F.col("nn_label")).cast("double")))
+        .agg(F.sum((F.col("label") == F.col("nn_label")).cast("long")))
+        .collect()[0][0]
+        or 0
     )
-    return scored.collect()[0][0] or 0.0
+    total = labels.count()
+    return correct / total if total else 0.0
 
 
 @dataclass
@@ -292,7 +299,12 @@ def weasel_fit(
     kept = select.filter_bags(key_bags, selected, key_col="key")
     dictionary = (
         kept.select("key").distinct()
-        .withColumn("idx", F.row_number().over(Window.orderBy("key")) - 1)
+        .withColumn(
+            "idx",
+            # vocabulary is χ²-capped (≤ ~2·word_limit rows); constant
+            # partition avoids the no-partition global-sort WindowExec
+            F.row_number().over(Window.partitionBy(F.lit(0)).orderBy("key")) - 1,
+        )
         .cache()
     )
     n_features = dictionary.count() + 1
@@ -426,7 +438,12 @@ def muse_fit(
     kept = select.filter_bags(key_bags, selected, key_col="key")
     dictionary = (
         kept.select("key").distinct()
-        .withColumn("idx", F.row_number().over(Window.orderBy("key")) - 1)
+        .withColumn(
+            "idx",
+            # vocabulary is χ²-capped (≤ ~2·word_limit rows); constant
+            # partition avoids the no-partition global-sort WindowExec
+            F.row_number().over(Window.partitionBy(F.lit(0)).orderBy("key")) - 1,
+        )
         .cache()
     )
     n_features = dictionary.count() + 1

@@ -1,0 +1,508 @@
+"""Grid-as-data classifier fitting (SURVEY §2.7 C1/C2/C5 with the
+reference's FULL default grids).
+
+The reference fits its ensembles with nested driver loops — norm ∈
+{T,F} × window ∈ [10..250] × word length f ∈ {6..16} × (for BOSS VS)
+10 CV folds — over an in-memory array (BOSSEnsembleClassifier.java:
+83-180, BOSSVSClassifier.java:88-200). A literal port would launch
+thousands of tiny Spark jobs. Here every grid axis becomes a COLUMN:
+
+  * (nm, w)      — emitted by one mapInPandas over the series
+  * seg          — bins fit per (nm, w, seg) in one keyed aggregate
+  * f            — a broadcast cross join + bit-mask re-words the same
+                   packed table per word length (the reference's
+                   "compute words once at maxF, re-mask per f" trick,
+                   BOSS.java:125 — here for ALL windows at once)
+  * fold         — CV becomes 10 tagged copies of the bag table
+
+so the ENTIRE grid fit is a fixed number of distributed jobs (one
+words pass, one bins pass, one 1-NN / tf-idf cascade, one collect of
+the grid-sized score table) regardless of grid size — the shape that
+survives 1000 executors and 100 TB, while matching the reference's
+selection semantics bit for bit.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sfa_spark.functions import spectral
+from sfa_spark.operators import bags, folds, knn, quantize, tfidf
+from sfa_spark.operators.words import binlog
+
+COEF_SCHEMA = (
+    "series_id bigint, nm boolean, w int, wins array<array<double>>"
+)
+
+
+def boss_windows(max_len: int, min_w: int = 10, max_w: int = 250) -> list[int]:
+    """Every integer window length (BOSSEnsembleClassifier.java:89-92)."""
+    return list(range(min_w, min(max_w, max_len) + 1))
+
+
+def bossvs_windows(max_len: int, min_w: int = 10, max_w: int = 250) -> list[int]:
+    """BOSS VS equi-distance window sampling (BOSSVSClassifier.java:
+    97-104): c starts at min and the Java `c += distance` compound
+    assignment TRUNCATES the double sum back to int each step."""
+    maxw = min(max_w, max_len)
+    if maxw <= min_w:
+        return [min_w]
+    distance = (maxw - min_w) / math.sqrt(maxw)
+    ws, c = [], min_w
+    while c <= maxw:
+        ws.append(c)
+        c = int(c + distance)
+    return ws
+
+
+def _multi_coefs(
+    arrays: DataFrame,
+    combos: list[tuple[bool, int]],
+    l: int,
+    sliding: bool,
+) -> DataFrame:
+    """One mapInPandas pass → MFT values for EVERY (norm, window) combo.
+
+    sliding=True: all sliding windows (reference transformWindowing);
+    sliding=False: disjoint chunks, each chunk z-normed then DFT'd (the
+    fitWindowing sample set, SFA.java:281-291 + TimeSeries.java:256-270).
+    Output: (series_id, nm, w, wins array<array<double>>) — the nested
+    array explodes JVM-side to (series_id, nm, w, win, coefs).
+    """
+    combos = sorted(set(combos))
+
+    def gen(batches):
+        for pdf in batches:
+            out_sid, out_nm, out_w, out_wins = [], [], [], []
+            for sid, vals in zip(pdf["series_id"], pdf["values"]):
+                x = np.asarray(vals, dtype=np.float64)
+                for nm, w in combos:
+                    if len(x) < w:
+                        continue  # reference emits no windows for short series
+                    if sliding:
+                        m = spectral.mft_all_windows(
+                            x, w, l, norm_mean=nm, lower_bounding=True
+                        )
+                    else:
+                        k = len(x) // w
+                        if k == 0:
+                            continue
+                        m = np.vstack(
+                            [
+                                spectral.mft_all_windows(
+                                    x[i * w : (i + 1) * w], w, l,
+                                    norm_mean=nm, lower_bounding=True,
+                                )
+                                for i in range(k)
+                            ]
+                        )
+                    out_sid.append(sid)
+                    out_nm.append(nm)
+                    out_w.append(w)
+                    out_wins.append(m.tolist())
+            yield pd.DataFrame(
+                {
+                    "series_id": pd.Series(out_sid, dtype="int64"),
+                    "nm": pd.Series(out_nm, dtype="bool"),
+                    "w": pd.Series(out_w, dtype="int32"),
+                    "wins": pd.Series(out_wins, dtype="object"),
+                }
+            )
+
+    nested = arrays.select("series_id", "values").mapInPandas(gen, COEF_SCHEMA)
+    return nested.select(
+        "series_id", "nm", "w", F.posexplode("wins").alias("win", "coefs")
+    ).select(
+        "series_id", "nm", "w", F.col("win").cast("bigint").alias("win"),
+        F.posexplode("coefs").alias("seg", "coef"),
+    ).withColumn("seg", F.col("seg").cast("int"))
+
+
+GRID_KEYS = ("nm", "w")
+
+
+def fit_grid_bins(
+    train_arrays: DataFrame,
+    combos: list[tuple[bool, int]],
+    max_f: int,
+    alphabet: int,
+) -> DataFrame:
+    """Equi-depth bins per (nm, w, seg) fit on disjoint chunks with the
+    reference's 2-decimal orderline rounding (SFA.java:402). Returns
+    (nm, w, seg, bins) — grid-sized, broadcastable."""
+    long = _multi_coefs(train_arrays, combos, max_f, sliding=False).withColumn(
+        "coef", F.round("coef", 2)
+    )
+    return quantize.fit_equi_depth_bins(
+        long, alphabet, keys=GRID_KEYS
+    )
+
+
+def transform_grid_words(
+    bins: DataFrame,
+    arrays: DataFrame,
+    combos: list[tuple[bool, int]],
+    max_f: int,
+    alphabet: int,
+) -> DataFrame:
+    """Sliding SFA words at max_f for every (nm, w):
+    (nm, w, series_id, win, word). One MFT pass + one broadcast
+    quantize join + one pack aggregate."""
+    from sfa_spark.operators.words import pack_words
+
+    long = _multi_coefs(arrays, combos, max_f, sliding=True)
+    sym = quantize.quantize_with_bins(long, bins, keys=GRID_KEYS)
+    return pack_words(
+        sym.select("series_id", "nm", "w", "win", "seg", "symbol"),
+        alphabet,
+        keys=GRID_KEYS,
+    )
+
+
+def masked_grid_bags(
+    words: DataFrame, f_values: list[int], alphabet: int
+) -> DataFrame:
+    """words × f (broadcast cross join) → mask → numerosity-reduce →
+    bag counts per (nm, w, f, series_id, word). The f axis costs one
+    row-multiplication of the packed words, not a recompute."""
+    spark = words.sparkSession
+    bits = binlog(alphabet)
+    f_df = spark.createDataFrame([(int(f),) for f in f_values], "f int")
+    masked = words.join(F.broadcast(f_df)).withColumn(
+        "word",
+        F.expr(f"word & (shiftleft(cast(1 as bigint), {bits} * f) - 1)"),
+    )
+    keys = ("nm", "w", "f")
+    reduced = bags.numerosity_reduce(masked, keys=keys)
+    return bags.bag_of_words(reduced, keys=keys)
+
+
+@dataclass
+class GridMember:
+    nm: bool
+    w: int
+    f: int
+    train_correct: int  # reference vote weight = training correct COUNT
+
+
+@dataclass
+class BossGridModel:
+    members: list[GridMember]
+    bins: DataFrame  # (nm, w, seg, bins) restricted to member combos
+    train_bags: DataFrame  # (nm, w, f, series_id, word, cnt) member combos
+    train_labels: DataFrame
+    max_f: int
+    alphabet: int
+
+    def predict(self, test_arrays: DataFrame) -> DataFrame:
+        spark = test_arrays.sparkSession
+        combos = sorted({(m.nm, m.w) for m in self.members})
+        words = transform_grid_words(
+            self.bins, test_arrays, combos, self.max_f, self.alphabet
+        )
+        member_df = F.broadcast(
+            spark.createDataFrame(
+                [(m.nm, m.w, m.f, m.train_correct) for m in self.members],
+                "nm boolean, w int, f int, weight long",
+            )
+        )
+        test_bags = masked_grid_bags(
+            words, sorted({m.f for m in self.members}), self.alphabet
+        ).join(member_df.select("nm", "w", "f"), ["nm", "w", "f"], "left_semi")
+        nn = knn.boss_1nn(test_bags, self.train_bags, keys=("nm", "w", "f"))
+        votes = (
+            nn.join(
+                self.train_labels.select(
+                    F.col("series_id").alias("nn_id"),
+                    F.col("label").alias("pred_label"),
+                ),
+                "nn_id",
+            )
+            .join(member_df, ["nm", "w", "f"])
+            .select("series_id", "pred_label", F.col("weight").cast("double").alias("weight"))
+        )
+        return folds.weighted_vote(votes)
+
+
+def _pick_members(
+    acc_rows: list, f_values: list[int], factor: float
+) -> dict[bool, list[GridMember]]:
+    """Driver-side selection over the collected grid-score table,
+    replicating the reference loop order exactly: per (nm, w) the best
+    f is the SMALLEST f with maximal correct count (strict >,
+    BOSSEnsembleClassifier.java:147-158); per nm keep combos with
+    correct ≥ best · factor (filterByFactor)."""
+    correct = {(r["nm"], r["w"], r["f"]): r["correct"] for r in acc_rows}
+    per_norm: dict[bool, list[GridMember]] = {True: [], False: []}
+    for nm in (True, False):
+        ws = sorted({w for (n, w, _) in correct if n == nm})
+        cands: list[GridMember] = []
+        for w in ws:
+            best_f, best_c = None, 0
+            for f in sorted(f_values):
+                c = correct.get((nm, w, f), 0)
+                if best_f is None or c > best_c:
+                    best_f, best_c = f, c
+            if best_f is not None:
+                cands.append(GridMember(nm, w, best_f, best_c))
+        if not cands:
+            continue
+        top = max(c.train_correct for c in cands)
+        per_norm[nm] = [c for c in cands if c.train_correct >= top * factor]
+    return per_norm
+
+
+def boss_ensemble_grid_fit(
+    train_arrays: DataFrame,
+    labels: DataFrame,
+    windows: list[int] | None = None,
+    word_lengths: tuple[int, ...] = (6, 8, 10, 12, 14, 16),
+    alphabet: int = 4,
+    factor: float = 0.92,
+) -> BossGridModel:
+    """BOSS Ensemble fit over the reference's FULL default grid in a
+    bounded number of Spark jobs.
+
+    Reference: BOSSEnsembleClassifier.fit (java:83-112) — windows
+    10..min(250, len) × norm {T,F}; per (norm, w) pick best f by LOO
+    1-NN train count; filterByFactor(0.92) per norm; then the norm
+    whose ensemble VOTE train accuracy is best wins (normMean=true on
+    ties — strict `<` at java:101).
+    """
+    spark = train_arrays.sparkSession
+    if windows is None:
+        max_len = train_arrays.agg(F.max(F.size("values"))).collect()[0][0]
+        windows = boss_windows(max_len)
+    combos = [(nm, w) for nm in (True, False) for w in windows]
+    max_f = max(word_lengths)
+
+    bins = fit_grid_bins(train_arrays, combos, max_f, alphabet).cache()
+    words = transform_grid_words(bins, train_arrays, combos, max_f, alphabet)
+    all_bags = masked_grid_bags(words, list(word_lengths), alphabet).cache()
+
+    keys = ("nm", "w", "f")
+    nn = knn.boss_1nn(all_bags, all_bags, loo=True, keys=keys)
+    lab = labels.select("series_id", "label")
+    nn_lab = lab.select(
+        F.col("series_id").alias("nn_id"), F.col("label").alias("nn_label")
+    )
+    acc_rows = (
+        nn.join(lab, "series_id")
+        .join(nn_lab, "nn_id")
+        .groupBy(*keys)
+        .agg(F.sum((F.col("label") == F.col("nn_label")).cast("long")).alias("correct"))
+        .collect()
+    )
+    per_norm = _pick_members(acc_rows, list(word_lengths), factor)
+
+    # ensemble vote train accuracy per norm — one vote plan, keyed by nm
+    member_rows = [
+        (m.nm, m.w, m.f, m.train_correct)
+        for nm in (True, False)
+        for m in per_norm[nm]
+    ]
+    member_df = F.broadcast(
+        spark.createDataFrame(
+            member_rows, "nm boolean, w int, f int, weight long"
+        )
+    )
+    votes = (
+        nn.join(member_df.select("nm", "w", "f"), ["nm", "w", "f"], "left_semi")
+        .join(nn_lab, "nn_id")
+        .join(member_df, ["nm", "w", "f"])
+        .select(
+            "nm", "series_id",
+            F.col("nn_label").alias("pred_label"),
+            F.col("weight").cast("double").alias("weight"),
+        )
+    )
+    vote_acc = {
+        r["nm"]: r["correct"]
+        for r in folds.weighted_vote(votes, keys=("nm",))
+        .join(lab, "series_id")
+        .groupBy("nm")
+        .agg(F.sum((F.col("pred_label") == F.col("label")).cast("long")).alias("correct"))
+        .collect()
+    }
+    best_nm, best_c = True, -1
+    for nm in (True, False):  # reference NORMALIZATION order; strict >
+        c = vote_acc.get(nm, 0)
+        if c > best_c:
+            best_nm, best_c = nm, c
+    members = per_norm[best_nm]
+
+    mdf = F.broadcast(
+        spark.createDataFrame(
+            [(m.nm, m.w, m.f) for m in members], "nm boolean, w int, f int"
+        )
+    )
+    train_bags = all_bags.join(mdf, ["nm", "w", "f"], "left_semi").cache()
+    member_combos = spark.createDataFrame(
+        [(m.nm, m.w) for m in members], "nm boolean, w int"
+    )
+    kept_bins = bins.join(F.broadcast(member_combos), ["nm", "w"], "left_semi").cache()
+    all_bags.unpersist()
+    return BossGridModel(
+        members=members,
+        bins=kept_bins,
+        train_bags=train_bags,
+        train_labels=lab,
+        max_f=max_f,
+        alphabet=alphabet,
+    )
+
+
+# ---------------------------------------------------------------- BOSS VS grid
+
+@dataclass
+class BossVSGridModel:
+    members: list[GridMember]
+    bins: DataFrame
+    tfidf: DataFrame  # (nm, w, f, label, word, weight) member models
+    max_f: int
+    alphabet: int
+
+    def predict(self, test_arrays: DataFrame) -> DataFrame:
+        spark = test_arrays.sparkSession
+        combos = sorted({(m.nm, m.w) for m in self.members})
+        words = transform_grid_words(
+            self.bins, test_arrays, combos, self.max_f, self.alphabet
+        )
+        member_df = F.broadcast(
+            spark.createDataFrame(
+                [(m.nm, m.w, m.f, m.train_correct) for m in self.members],
+                "nm boolean, w int, f int, weight long",
+            )
+        )
+        test_bags = masked_grid_bags(
+            words, sorted({m.f for m in self.members}), self.alphabet
+        ).join(member_df.select("nm", "w", "f"), ["nm", "w", "f"], "left_semi")
+        pred = tfidf.score_tfidf(test_bags, self.tfidf, keys=("nm", "w", "f"))
+        votes = pred.join(member_df, ["nm", "w", "f"]).select(
+            "series_id", "pred_label", F.col("weight").cast("double").alias("weight")
+        )
+        return folds.weighted_vote(votes)
+
+
+def bossvs_grid_fit(
+    train_arrays: DataFrame,
+    labels: DataFrame,
+    windows: list[int] | None = None,
+    word_lengths: tuple[int, ...] = (4, 6, 8, 10, 12, 14, 16),
+    alphabet: int = 4,
+    factor: float = 0.95,
+    n_folds: int = 10,
+) -> BossVSGridModel:
+    """BOSS VS fit with the reference's √-spaced windows and 10-fold CV
+    run as DATA (fold = a column; all (nm, w, f, fold) tf-idf models
+    fit in one keyed aggregate cascade).
+
+    Reference: BOSSVSClassifier.fit/fitEnsemble (java:88-200) — f from
+    minF to min(w, maxF) step 2; CV correct summed over folds; best f
+    strict >; filterByFactor(0.95); norm tie → normMean=false (`<=` at
+    java:113).
+    """
+    spark = train_arrays.sparkSession
+    if windows is None:
+        max_len = train_arrays.agg(F.max(F.size("values"))).collect()[0][0]
+        windows = bossvs_windows(max_len)
+    combos = [(nm, w) for nm in (True, False) for w in windows]
+    max_f = max(word_lengths)
+    n_classes = labels.select("label").distinct().count()
+
+    bins = fit_grid_bins(train_arrays, combos, max_f, alphabet).cache()
+    words = transform_grid_words(bins, train_arrays, combos, max_f, alphabet)
+    all_bags = masked_grid_bags(words, list(word_lengths), alphabet).cache()
+    # reference: f only ranges up to the window length (java:159)
+    all_bags = all_bags.where(F.col("f") <= F.col("w"))
+
+    lab = labels.select("series_id", "label")
+    folded = folds.stratified_folds(lab, n_folds).select("series_id", "fold")
+    fold_df = spark.createDataFrame([(int(s),) for s in range(n_folds)], "s int")
+    keys = ("nm", "w", "f")
+    bl = all_bags.join(F.broadcast(folded), "series_id").join(lab, "series_id")
+    # CV-as-data: tag each bag row with every fold id s; train slice =
+    # fold != s, scored slice = fold == s
+    tagged = bl.join(F.broadcast(fold_df))
+    cv_keys = (*keys, "s")
+    models = tfidf.fit_tfidf(
+        tagged.where(F.col("fold") != F.col("s")), keys=cv_keys, n_classes=n_classes
+    )
+    scored = tfidf.score_tfidf(
+        tagged.where(F.col("fold") == F.col("s")).select(
+            *cv_keys, "series_id", "word", "cnt"
+        ),
+        models,
+        keys=cv_keys,
+    )
+    acc_rows = (
+        scored.join(lab, "series_id")
+        .groupBy(*keys)
+        .agg(F.sum((F.col("pred_label") == F.col("label")).cast("long")).alias("correct"))
+        .collect()
+    )
+    # selection: best f per (nm, w) — smallest f on ties (strict >)
+    per_norm = _pick_members(acc_rows, list(word_lengths), factor)
+
+    member_rows = [
+        (m.nm, m.w, m.f, m.train_correct)
+        for nm in (True, False)
+        for m in per_norm[nm]
+    ]
+    member_df = F.broadcast(
+        spark.createDataFrame(member_rows, "nm boolean, w int, f int, weight long")
+    )
+    # final per-member tf-idf on ALL train data
+    final_models = tfidf.fit_tfidf(
+        all_bags.join(member_df.select("nm", "w", "f"), ["nm", "w", "f"], "left_semi")
+        .join(lab, "series_id"),
+        keys=keys,
+        n_classes=n_classes,
+    ).cache()
+    # norm choice by ensemble vote train accuracy, tie → normMean=false
+    pred = tfidf.score_tfidf(
+        all_bags.join(member_df.select("nm", "w", "f"), ["nm", "w", "f"], "left_semi"),
+        final_models,
+        keys=keys,
+    )
+    votes = pred.join(member_df, ["nm", "w", "f"]).select(
+        "nm", "series_id", "pred_label", F.col("weight").cast("double").alias("weight")
+    )
+    vote_acc = {
+        r["nm"]: r["correct"]
+        for r in folds.weighted_vote(votes, keys=("nm",))
+        .join(lab, "series_id")
+        .groupBy("nm")
+        .agg(F.sum((F.col("pred_label") == F.col("label")).cast("long")).alias("correct"))
+        .collect()
+    }
+    best_nm, best_c = True, -1
+    for nm in (True, False):  # `<=` in the reference → False wins ties
+        if vote_acc.get(nm, 0) >= best_c:
+            best_nm, best_c = nm, vote_acc.get(nm, 0)
+    members = per_norm[best_nm]
+
+    mdf = F.broadcast(
+        spark.createDataFrame(
+            [(m.nm, m.w, m.f) for m in members], "nm boolean, w int, f int"
+        )
+    )
+    kept_models = final_models.join(mdf, ["nm", "w", "f"], "left_semi").cache()
+    member_combos = spark.createDataFrame(
+        [(m.nm, m.w) for m in members], "nm boolean, w int"
+    )
+    kept_bins = bins.join(F.broadcast(member_combos), ["nm", "w"], "left_semi").cache()
+    all_bags.unpersist()
+    return BossVSGridModel(
+        members=members,
+        bins=kept_bins,
+        tfidf=kept_models,
+        max_f=max_f,
+        alphabet=alphabet,
+    )

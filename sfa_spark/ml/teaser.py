@@ -144,7 +144,11 @@ def teaser_fit(
             F.avg((F.col("pred_label") == F.col("label")).cast("double")).alias("acc"),
             F.avg(F.lit(1.0) - F.col("earliness")).alias("late"),
         ).collect()[0]
-        acc, earl = evald["acc"] or 0.0, 1.0 - (evald["late"] or 1.0)
+        # evald["late"] is already avg(1 - earliness) — the earliness
+        # BENEFIT (higher = decided earlier); use it directly, matching
+        # mteaser_fit and the reference's HM(acc, 1 - earliness)
+        acc = evald["acc"] or 0.0
+        earl = evald["late"] if evald["late"] is not None else 0.0
         hm = 2 * acc * earl / (acc + earl) if (acc + earl) > 0 else 0.0
         if hm > best_hm:
             best_hm, best_v = hm, v

@@ -6,8 +6,10 @@ Reference parity:
   * bag counting         — same
   * WEASEL unigram/bigram keys — WEASEL.createBagOfPatterns
     (`/root/reference/src/main/java/sfa/transformation/WEASEL.java:142-215`,
-     unigram key = word<<highestBit | windowLength, bigram key =
-     prevWord<<32 | word at offset − windowLength)
+     unigram key = word<<highestBit | windowTag with highestBit =
+     binlog(highestOneBit(MAX_WINDOW_LENGTH))+1 = 9; bigram key =
+     rawPrevWord<<32 | taggedUnigramKey at offset − windowLength,
+     emitted only when rawPrevWord != 0 — WEASEL.java:160-170)
 
 Everything here is lag/filter/groupBy — pure SQL, map-side combinable.
 The words input is (series_id, win, word) sorted within series; the lag
@@ -20,13 +22,15 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def numerosity_reduce(words: DataFrame) -> DataFrame:
+def numerosity_reduce(words: DataFrame, keys: tuple[str, ...] = ()) -> DataFrame:
     """Drop a window's word when identical to the previous window's.
 
     Stabilizes against slow-changing signals flooding the bag
-    (BOSS.java:137). lag over (series_id ORDER BY win) — no new shuffle.
+    (BOSS.java:137). lag over (series_id[, *keys] ORDER BY win) — no new
+    shuffle. `keys` carry grid columns (norm/window/word-length) so one
+    call reduces every grid combination at once.
     """
-    w = Window.partitionBy("series_id").orderBy("win")
+    w = Window.partitionBy("series_id", *keys).orderBy("win")
     return (
         words.withColumn("_prev", F.lag("word").over(w))
         .where(F.col("_prev").isNull() | (F.col("word") != F.col("_prev")))
@@ -34,41 +38,51 @@ def numerosity_reduce(words: DataFrame) -> DataFrame:
     )
 
 
-def bag_of_words(words: DataFrame) -> DataFrame:
-    """(series_id, word) → counts. Sparse long-form histogram —
+def bag_of_words(words: DataFrame, keys: tuple[str, ...] = ()) -> DataFrame:
+    """(series_id, word[, *keys]) → counts. Sparse long-form histogram —
     the Spark-idiomatic equivalent of the reference's IntIntHashMap bag."""
-    return words.groupBy("series_id", "word").agg(
+    return words.groupBy("series_id", *keys, "word").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
 
 
 def weasel_keys(
-    words: DataFrame, window_length: int, highest_bit: int = 8, bigrams: bool = True
+    words: DataFrame,
+    window_length: int,
+    highest_bit: int = 9,
+    bigrams: bool = True,
+    window_tag: int | None = None,
 ) -> DataFrame:
     """Emit WEASEL unigram (+ bigram) keys from one window-length's words.
 
-    unigram key = word << highest_bit | window_length
-    bigram  key = (word at win−window_length) << 32 | word
-    The offset-by-window_length lag (not lag(1)) means bigrams pair
-    non-overlapping adjacent windows (WEASEL.java:163-170).
+    unigram key = word << highest_bit | window_tag
+    bigram  key = raw_prev << 32 | unigram_key, only when raw_prev != 0
+    where raw_prev is the UNtagged word at win − window_length (the
+    offset-by-window_length lag pairs non-overlapping adjacent windows,
+    WEASEL.java:160-170). Tagging the second word keeps bigrams from
+    different window lengths distinct; the reference packs a window
+    index with highestBit = binlog(highestOneBit(MAX_WINDOW_LENGTH))+1
+    = 9 bits — any injective tag < 2**highest_bit is equivalent, so we
+    default to the window length itself and assert it fits.
     """
-    uni = words.select(
-        "series_id",
-        (
-            F.shiftleft(F.col("word"), highest_bit)
-            .bitwiseOR(F.lit(window_length))
-        ).alias("key"),
-    )
+    tag = window_length if window_tag is None else window_tag
+    if not 0 <= tag < (1 << highest_bit):
+        raise ValueError(
+            f"window tag {tag} needs more than highest_bit={highest_bit} bits; "
+            "pass window_tag=<window index> or raise highest_bit"
+        )
+    uni_key = F.shiftleft(F.col("word"), highest_bit).bitwiseOR(F.lit(tag))
+    uni = words.select("series_id", uni_key.alias("key"))
     if not bigrams:
         return uni
     w = Window.partitionBy("series_id").orderBy("win")
     prev = F.lag("word", window_length).over(w)
     bi = (
         words.withColumn("prev", prev)
-        .where(F.col("prev").isNotNull())
+        .where(F.col("prev").isNotNull() & (F.col("prev") != 0))
         .select(
             "series_id",
-            F.shiftleft(F.col("prev"), 32).bitwiseOR(F.col("word")).alias("key"),
+            F.shiftleft(F.col("prev"), 32).bitwiseOR(uni_key).alias("key"),
         )
     )
     return uni.unionByName(bi)

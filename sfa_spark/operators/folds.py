@@ -34,19 +34,20 @@ def accuracy(pred_vs_true: DataFrame) -> DataFrame:
     )
 
 
-def weighted_vote(votes: DataFrame) -> DataFrame:
-    """(series_id, pred_label, weight) per ensemble member →
-    (series_id, pred_label) by weighted majority; tie → larger label."""
-    tally = votes.groupBy("series_id", "pred_label").agg(
+def weighted_vote(votes: DataFrame, keys: tuple[str, ...] = ()) -> DataFrame:
+    """(series_id, pred_label, weight[, *keys]) per ensemble member →
+    (series_id[, *keys], pred_label) by weighted majority; tie → larger
+    label. `keys` let one call tally separate ensembles (e.g. per-norm)."""
+    tally = votes.groupBy(*keys, "series_id", "pred_label").agg(
         F.sum("weight").alias("w")
     )
-    rk = Window.partitionBy("series_id").orderBy(
+    rk = Window.partitionBy(*keys, "series_id").orderBy(
         F.col("w").desc(), F.col("pred_label").desc()
     )
     return (
         tally.withColumn("rk", F.row_number().over(rk))
         .where(F.col("rk") == 1)
-        .select("series_id", "pred_label")
+        .select(*keys, "series_id", "pred_label")
     )
 
 

@@ -4,19 +4,22 @@ Reference parity:
   * BOSS 1-NN — BOSSEnsembleClassifier.predict
     (`/root/reference/src/main/java/sfa/classification/BOSSEnsembleClassifier.java:184-236`):
     asymmetric squared distance over the TEST bag's words only:
-    dist(q, c) = Σ_{w ∈ bag(q)} (tf_q[w] − tf_c[w])²; argmin candidate;
-    self-match skipped in leave-one-out mode.
+    dist(q, c) = Σ_{w ∈ bag(q)} (tf_q[w] − tf_c[w])²; argmin candidate.
+    The reference accepts a neighbor only when `distance !=
+    noMatchDistance && distance > 0` (line 216) — candidates sharing no
+    word (or whose cross terms cancel to the no-match distance, or with
+    an identical bag projection) are SKIPPED; a query with no accepted
+    candidate gets no prediction (null label → scored incorrect).
 
 Decomposition (so only matching words are ever joined):
     dist(q, c) = sumsq(q) + Σ_{w ∈ both} (tf_c[w]² − 2·tf_q[w]·tf_c[w])
-Candidates sharing no word with q keep dist = sumsq(q). Counts are
-integers so distances are EXACT bigints — no float-ordering ambiguity.
+The `dist != sumsq` acceptance rule means zero-overlap candidates can
+never win, so the argmin runs over the sparse word-join pairs ONLY —
+no cross join anywhere. Counts are integers so distances are EXACT
+bigints — no float-ordering ambiguity.
 
-Scale: the word-join is the shuffle; its key distribution is the word
-histogram (Zipfian) → AQE skew-join handles hot words. The full
-candidate set per query is materialized only as (q, c) pairs that share
-≥1 word plus a cheap cross of ids for the no-overlap fallback; at large
-scale the LB-prune index path (plans/) replaces the cross.
+Scale: the word-join is the only shuffle; its key distribution is the
+word histogram (Zipfian) → AQE skew-join handles hot words.
 """
 
 from __future__ import annotations
@@ -29,47 +32,55 @@ def boss_1nn(
     test_bags: DataFrame,
     train_bags: DataFrame,
     loo: bool = False,
+    keys: tuple[str, ...] = (),
 ) -> DataFrame:
-    """1-NN by BOSS distance. Inputs: (series_id, word, cnt).
+    """1-NN by BOSS distance. Inputs: (series_id, word, cnt[, *keys]).
 
-    Output: (series_id, nn_id, dist). loo=True skips self-matches
-    (leave-one-out over a single corpus).
+    Output: (series_id, nn_id, dist[, *keys]). loo=True skips
+    self-matches (leave-one-out over a single corpus). `keys` are extra
+    partition columns (e.g. norm/window/word-length) so one call
+    resolves 1-NN for EVERY grid combination in a single plan — the
+    grid-as-data ensemble fit path.
+
+    Reference acceptance (BOSSEnsembleClassifier.java:216): a neighbor
+    must have dist > 0 and dist != sumsq(q), so the argmin needs only
+    the word-overlap pairs; queries with no accepted candidate emit no
+    row (reference predicts null).
     """
+    ks = list(keys)
     q = test_bags.select(
-        F.col("series_id").alias("q_id"),
-        "word",
-        F.col("cnt").alias("q_cnt"),
+        *ks, F.col("series_id").alias("q_id"), "word", F.col("cnt").alias("q_cnt")
     )
     c = train_bags.select(
-        F.col("series_id").alias("c_id"),
-        "word",
-        F.col("cnt").alias("c_cnt"),
+        *ks, F.col("series_id").alias("c_id"), "word", F.col("cnt").alias("c_cnt")
     )
-    sumsq = q.groupBy("q_id").agg(
+    sumsq = q.groupBy(*ks, "q_id").agg(
         F.sum(F.col("q_cnt") * F.col("q_cnt")).alias("sumsq")
     )
-    corr = (
-        q.join(c, "word")
-        .groupBy("q_id", "c_id")
+    pairs = (
+        q.join(c, [*ks, "word"])
+        .groupBy(*ks, "q_id", "c_id")
         .agg(
             F.sum(
                 F.col("c_cnt") * F.col("c_cnt")
                 - F.lit(2) * F.col("q_cnt") * F.col("c_cnt")
             ).alias("corr")
         )
-    )
-    pairs = (
-        sumsq.crossJoin(c.select("c_id").distinct())
-        .join(corr, ["q_id", "c_id"], "left")
-        .withColumn("dist", F.col("sumsq") + F.coalesce(F.col("corr"), F.lit(0)))
+        .join(sumsq, [*ks, "q_id"])
+        .withColumn("dist", F.col("sumsq") + F.col("corr"))
+        .where((F.col("corr") != 0) & (F.col("dist") > 0))
     )
     if loo:
         pairs = pairs.where(F.col("q_id") != F.col("c_id"))
-    w = Window.partitionBy("q_id").orderBy(F.col("dist").asc(), F.col("c_id").asc())
+    w = Window.partitionBy(*ks, "q_id").orderBy(
+        F.col("dist").asc(), F.col("c_id").asc()
+    )
     return (
         pairs.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") == 1)
-        .select(F.col("q_id").alias("series_id"), F.col("c_id").alias("nn_id"), "dist")
+        .select(
+            *ks, F.col("q_id").alias("series_id"), F.col("c_id").alias("nn_id"), "dist"
+        )
     )
 
 

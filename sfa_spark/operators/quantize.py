@@ -61,30 +61,78 @@ def equi_depth_symbols(coef_long: DataFrame, alphabet: int) -> DataFrame:
 
 
 def fit_equi_depth_bins(
-    coef_long: DataFrame, alphabet: int, relative_error: float = 0.0
+    coef_long: DataFrame,
+    alphabet: int,
+    relative_error: float = 0.0,
+    method: str = "reference",
+    keys: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Fit equi-depth bin BOUNDARIES per coefficient (the scale path).
+    """Fit equi-depth bin BOUNDARIES per coefficient.
 
-    Returns (seg, bins array<double>) with alphabet-1 upper boundaries.
-    relative_error=0 → exact percentile; >0 → approx_percentile with
-    that ε (documented 100 TB mode; exact quantiles don't scale).
+    Returns (seg, bins array<double>) with ≤ alphabet-1 upper boundaries.
+
+    Modes:
+      * relative_error > 0 → percentile_approx with that ε — the 100 TB
+        mode (exact per-seg scans don't scale; downstream quantize join
+        is identical).
+      * method="reference" (default) — exact parity with
+        SFA.divideEquiDepthHistogram (`SFA.java:436-450`): walk the
+        sorted orderline, set bins[pos] to the value at the first
+        1-based position > ceil(depth·(pos+1)), skipping values equal
+        to the previous boundary (duplicate suppression). Grouped
+        applyInPandas per seg — group size is #series × #windows for
+        ONE coefficient, the same bounded shape as fit_ig_bins.
+      * method="interpolated" — exact interpolated percentile
+        (deviates from the reference for boundaries that fall between
+        data points; kept for the rank-quantile oracle queries).
     """
+    ks = list(keys)
     qs = [i / alphabet for i in range(1, alphabet)]
-    if relative_error <= 0:
-        agg = F.percentile("coef", F.array(*[F.lit(q) for q in qs]))
-    else:
+    if relative_error > 0:
         acc = max(1, int(1.0 / relative_error))
         agg = F.percentile_approx("coef", F.array(*[F.lit(q) for q in qs]), acc)
-    return coef_long.groupBy("seg").agg(agg.alias("bins"))
+        return coef_long.groupBy(*ks, "seg").agg(agg.alias("bins"))
+    if method == "interpolated":
+        agg = F.percentile("coef", F.array(*[F.lit(q) for q in qs]))
+        return coef_long.groupBy(*ks, "seg").agg(agg.alias("bins"))
+
+    import math
+
+    def _scan(kv, pdf):
+        v = pdf["coef"].sort_values(kind="mergesort").to_numpy()
+        depth = len(v) / alphabet
+        bins: list[float] = []
+        pos, count = 0, 0
+        for val in v:
+            count += 1
+            if pos >= alphabet - 1:
+                break
+            if count > math.ceil(depth * (pos + 1)) and (
+                pos == 0 or bins[-1] != val
+            ):
+                bins.append(float(val))
+                pos += 1
+        out = {c: [k] for c, k in zip([*ks, "seg"], kv)}
+        out["bins"] = [bins]
+        return pd.DataFrame(out)
+
+    in_schema = coef_long.select(*ks, "seg").schema
+    key_fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in in_schema)
+    return coef_long.select(*ks, "seg", "coef").groupBy(*ks, "seg").applyInPandas(
+        _scan, schema=f"{key_fields}, bins array<double>"
+    )
 
 
-def quantize_with_bins(coef_long: DataFrame, bins: DataFrame) -> DataFrame:
+def quantize_with_bins(
+    coef_long: DataFrame, bins: DataFrame, keys: tuple[str, ...] = ()
+) -> DataFrame:
     """symbol = #boundaries <= value (reference 'first bin > value').
 
     Broadcast the tiny bins table; symbol via a higher-order filter —
-    stays in whole-stage codegen, no Python.
+    stays in whole-stage codegen, no Python. `keys` are extra join
+    columns (grid dimensions) so one join quantizes every combination.
     """
-    return coef_long.join(F.broadcast(bins), "seg").withColumn(
+    return coef_long.join(F.broadcast(bins), [*keys, "seg"]).withColumn(
         "symbol",
         F.size(F.filter("bins", lambda b: F.col("coef") >= b)).cast("int"),
     )

@@ -3,9 +3,12 @@
 Reference parity:
   * χ² word selection — WEASEL.trainChiSquared
     (`/root/reference/src/main/java/sfa/transformation/WEASEL.java:217-339`):
-    observed = per-(class, word) count sum; expected = p(class) ·
-    total(word); χ² = Σ_classes (obs − exp)²/exp; keep χ² ≥ limit,
-    capped at WORD_LIMIT by χ² desc.
+    observed = per-(class, word) PRESENCE count (each sample counts 1
+    per word it contains — WEASEL.java:237-241); expected = p(class) ·
+    featureCount(word); every class×word cell is evaluated including
+    obs = 0 cells; a word survives when any cell's (obs − exp)²/exp ≥
+    limit; cap at WORD_LIMIT by χ² desc, unigrams (key < 2³²) and
+    bigrams capped separately (WEASEL.java:304-323).
   * ANOVA F ranking  — SFASupervised.getFoneway
     (`.../transformation/SFASupervised.java:105-219`, a port of sklearn
     f_oneway): rank coefficient indices by F, keep top word_length.
@@ -28,35 +31,66 @@ def chi_squared(
     limit: float = 2.0,
     word_limit: int | None = 10000,
     key_col: str = "word",
+    split_unigram_bigram: bool = False,
+    cell_agg: str = "max",
 ) -> DataFrame:
-    """(series_id, word, cnt, label) → (word, chi2) surviving selection."""
-    per_cw = bags_labeled.groupBy("label", key_col).agg(
-        F.sum("cnt").cast("double").alias("obs")
+    """(series_id, word, cnt, label) → (word, chi2) surviving selection.
+
+    Reference semantics (WEASEL.trainChiSquared):
+      * presence counts, not term frequencies — a sample contributes 1
+        per word it contains (`featureCount.putOrAdd(key, 1, 1)`)
+      * the full class×word grid is evaluated — obs = 0 cells contribute
+        (0 − exp)²/exp and are exactly the discriminative ones
+      * selection keeps a word when ANY cell ≥ limit ⇔ max cell ≥ limit
+        (cell_agg="max"); trainChiSquared_new sums cells (cell_agg="sum")
+      * the reference ranks capped words by the first passing cell in
+        hash-iteration order (nondeterministic); we rank by the same
+        cell_agg statistic — identical surviving set, deterministic cap.
+
+    The cap is orderBy().limit() — Catalyst plans TakeOrderedAndProject
+    (parallel partial top-k), never a single-partition global window.
+    With split_unigram_bigram, unigram (key < 2³²) and bigram keys are
+    capped separately at word_limit each (WEASEL.java:304-323).
+    """
+    pres = bags_labeled.where(F.col("cnt") > 0).select(
+        "series_id", key_col, "label"
+    ).distinct()
+    per_cw = pres.groupBy("label", key_col).agg(
+        F.count(F.lit(1)).cast("double").alias("obs")
     )
     per_w = per_cw.groupBy(key_col).agg(F.sum("obs").alias("tot_w"))
-    per_c = per_cw.groupBy("label").agg(F.sum("obs").alias("tot_c"))
+    # class priors over SAMPLES (all series, whatever words they hold)
+    per_c = (
+        bags_labeled.select("series_id", "label")
+        .distinct()
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).cast("double").alias("n_c"))
+    )
     # grand total stays in-plan (broadcast 1-row aggregate) — a collect()
     # here would recompute the upstream bag chain as an extra job
-    total = per_cw.agg(F.sum("obs").alias("total"))
+    total = per_c.agg(F.sum("n_c").alias("n_samples"))
+    agg_fn = F.max if cell_agg == "max" else F.sum
     chi = (
-        per_cw.join(per_w, key_col)
-        .join(F.broadcast(per_c), "label")
+        per_w.crossJoin(F.broadcast(per_c))
         .crossJoin(F.broadcast(total))
-        .withColumn("exp", F.col("tot_w") * F.col("tot_c") / F.col("total"))
+        .join(per_cw, [key_col, "label"], "left")
+        .withColumn("exp", F.col("n_c") / F.col("n_samples") * F.col("tot_w"))
         .withColumn(
-            "term", (F.col("obs") - F.col("exp")) ** 2 / F.col("exp")
+            "term",
+            (F.coalesce(F.col("obs"), F.lit(0.0)) - F.col("exp")) ** 2 / F.col("exp"),
         )
         .groupBy(key_col)
-        .agg(F.sum("term").alias("chi2"))
+        .agg(agg_fn("term").alias("chi2"))
         .where(F.col("chi2") >= limit)
     )
     if word_limit is not None:
-        w = Window.orderBy(F.col("chi2").desc(), F.col(key_col).asc())
-        chi = (
-            chi.withColumn("rk", F.row_number().over(w))
-            .where(F.col("rk") <= word_limit)
-            .drop("rk")
-        )
+        rank = [F.col("chi2").desc(), F.col(key_col).asc()]
+        if split_unigram_bigram:
+            uni = chi.where(F.col(key_col) < F.lit(1 << 32)).orderBy(*rank).limit(word_limit)
+            bi = chi.where(F.col(key_col) >= F.lit(1 << 32)).orderBy(*rank).limit(word_limit)
+            chi = uni.unionByName(bi)
+        else:
+            chi = chi.orderBy(*rank).limit(word_limit)
     return chi
 
 
@@ -93,13 +127,16 @@ def chi_squared_pvalues(
     key_col: str = "word",
 ) -> DataFrame:
     """trainChiSquared_new: keep keys whose χ² p-value ≤ p_limit.
-    The χ² statistic comes from the same SQL aggregate cascade; the
-    p-value map is a scalar pandas UDF over it (dof = #classes − 1)."""
+    The χ² statistic is the cell SUM (WEASEL.java:382-396 accumulates
+    chiSquareSum over all class cells); the p-value map is a scalar
+    pandas UDF over it (dof = #classes − 1)."""
     from pyspark.sql.functions import pandas_udf
 
     n_classes = bags_labeled.select("label").distinct().count()
     dof = max(1, n_classes - 1)
-    stats = chi_squared(bags_labeled, limit=-1.0, word_limit=None, key_col=key_col)
+    stats = chi_squared(
+        bags_labeled, limit=-1.0, word_limit=None, key_col=key_col, cell_agg="sum"
+    )
 
     @pandas_udf("double")
     def _sf(xs: pd.Series) -> pd.Series:
@@ -153,8 +190,7 @@ def anova_f(coef_labeled: DataFrame) -> DataFrame:
 def top_coefficients(f_stats: DataFrame, word_length: int) -> DataFrame:
     """Keep the word_length best coefficient indices by F desc
     (tie → seg asc), as the reference's bestValues array."""
-    w = Window.orderBy(F.col("f_stat").desc(), F.col("seg").asc())
-    return (
-        f_stats.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= word_length)
-    )
+    order = [F.col("f_stat").desc(), F.col("seg").asc()]
+    top = f_stats.orderBy(*order).limit(word_length)
+    w = Window.partitionBy(F.lit(0)).orderBy(*order)
+    return top.withColumn("rank", F.row_number().over(w))

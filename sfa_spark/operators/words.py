@@ -44,15 +44,17 @@ def paa_long(win_long: DataFrame, w: int, l: int, value_col: str = "value_z") ->
     )
 
 
-def pack_words(sym_long: DataFrame, alphabet: int) -> DataFrame:
-    """(series_id, win, seg, symbol) → (series_id, win, word bigint).
+def pack_words(
+    sym_long: DataFrame, alphabet: int, keys: tuple[str, ...] = ()
+) -> DataFrame:
+    """(series_id, win, seg, symbol[, *keys]) → (series_id, win, word).
 
     word = Σ symbol_seg << (bits·seg). Disjoint bit ranges, so SUM is a
-    bit-OR; pure SQL aggregate.
+    bit-OR; pure SQL aggregate. `keys` carry grid columns.
     """
     bits = binlog(alphabet)
     return (
-        sym_long.groupBy("series_id", "win")
+        sym_long.groupBy("series_id", *keys, "win")
         .agg(
             F.sum(
                 F.expr(f"shiftleft(cast(symbol as bigint), {bits} * seg)")

@@ -133,12 +133,25 @@ SELECT series_id, word, cnt,
 FROM bag
 QUALIFY rk <= {TOPK}"""
 
+# reference-exact equi-depth (SFA.divideEquiDepthHistogram): boundary p
+# = first sorted value at 1-based rank > ceil(n/a*p), strictly above the
+# previous boundary (duplicate suppression). Unrolled for A=4.
 ORACLES["q_equi_depth_bins"] = f"""WITH {_coef_ctes()},
-q AS (
-  SELECT seg, quantile_cont(coef, [0.25, 0.5, 0.75]) AS qs FROM paa GROUP BY seg
-)
-SELECT seg, CAST(i AS BIGINT) AS bin_idx, round(qs[CAST(i AS INT)] + 1e-9, 3) + 0.0 AS boundary
-FROM q, generate_series(1, {A - 1}) t(i)"""
+ranked AS (
+  SELECT seg, coef, row_number() OVER (PARTITION BY seg ORDER BY coef) AS rn,
+         count(*) OVER (PARTITION BY seg) AS n
+  FROM paa
+),
+b1 AS (SELECT seg, min(coef) AS b FROM ranked WHERE rn > ceil(n / {A}.0 * 1) GROUP BY seg),
+b2 AS (SELECT r.seg, min(r.coef) AS b FROM ranked r JOIN b1 USING (seg)
+       WHERE r.rn > ceil(r.n / {A}.0 * 2) AND r.coef > b1.b GROUP BY r.seg),
+b3 AS (SELECT r.seg, min(r.coef) AS b FROM ranked r JOIN b2 USING (seg)
+       WHERE r.rn > ceil(r.n / {A}.0 * 3) AND r.coef > b2.b GROUP BY r.seg)
+SELECT seg, bin_idx, round(b + 1e-9, 3) + 0.0 AS boundary FROM (
+  SELECT seg, CAST(1 AS BIGINT) AS bin_idx, b FROM b1
+  UNION ALL SELECT seg, 2, b FROM b2
+  UNION ALL SELECT seg, 3, b FROM b3
+)"""
 
 ORACLES["q_equi_depth_hist"] = f"""WITH {_coef_ctes()}
 SELECT seg,
@@ -156,14 +169,14 @@ SELECT seg, symbol, CAST(count(*) AS BIGINT) AS cnt FROM sym GROUP BY seg, symbo
 
 ORACLES["q_word_bigrams"] = f"""WITH {_words_ctes()},
 uni AS (
-  SELECT series_id, (word << 8) | {W} AS key FROM words
+  SELECT series_id, (word << 9) | {W} AS key FROM words
 ),
 bi AS (
-  SELECT series_id, (prev << 32) | word AS key FROM (
+  SELECT series_id, (prev << 32) | ((word << 9) | {W}) AS key FROM (
     SELECT series_id, word,
            lag(word, {W}) OVER (PARTITION BY series_id ORDER BY win) AS prev
     FROM words
-  ) WHERE prev IS NOT NULL
+  ) WHERE prev IS NOT NULL AND prev <> 0
 ),
 keys AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
 kbag AS (
@@ -175,19 +188,25 @@ SELECT key, CAST(sum(cnt) AS BIGINT) AS total,
 FROM kbag GROUP BY key"""
 
 ORACLES["q_chi2"] = f"""WITH {_bag_ctes()},
-labeled AS (
-  SELECT series_id, word, cnt, CAST(series_id % {N_LABELS} AS BIGINT) AS label FROM bag
+pres AS (
+  SELECT DISTINCT series_id, word, CAST(series_id % {N_LABELS} AS BIGINT) AS label
+  FROM bag WHERE cnt > 0
 ),
 per_cw AS (
-  SELECT label, word, CAST(sum(cnt) AS DOUBLE) AS obs FROM labeled GROUP BY label, word
+  SELECT label, word, CAST(count(*) AS DOUBLE) AS obs FROM pres GROUP BY label, word
 ),
 per_w AS (SELECT word, sum(obs) AS tot_w FROM per_cw GROUP BY word),
-per_c AS (SELECT label, sum(obs) AS tot_c FROM per_cw GROUP BY label),
-tot AS (SELECT sum(obs) AS total FROM per_cw)
-SELECT word, round(sum(pow(obs - expd, 2) / expd) + 1e-9, 3) + 0.0 AS chi2
+per_c AS (
+  SELECT label, CAST(count(*) AS DOUBLE) AS n_c
+  FROM (SELECT DISTINCT series_id, CAST(series_id % {N_LABELS} AS BIGINT) AS label FROM bag)
+  GROUP BY label
+),
+tot AS (SELECT sum(n_c) AS n_samples FROM per_c)
+SELECT word, round(max(pow(COALESCE(obs, 0) - expd, 2) / expd) + 1e-9, 3) + 0.0 AS chi2
 FROM (
-  SELECT p.word, p.obs, w.tot_w * c.tot_c / t.total AS expd
-  FROM per_cw p JOIN per_w w USING (word) JOIN per_c c USING (label) CROSS JOIN tot t
+  SELECT w.word, p.obs, c.n_c / t.n_samples * w.tot_w AS expd
+  FROM per_w w CROSS JOIN per_c c CROSS JOIN tot t
+  LEFT JOIN per_cw p ON p.word = w.word AND p.label = c.label
 )
 GROUP BY word"""
 
@@ -226,7 +245,7 @@ ncls AS (SELECT CAST(count(DISTINCT label) AS DOUBLE) AS c FROM ct),
 raw AS (
   SELECT label, word,
          CASE WHEN df >= c THEN 0.0
-              ELSE (1.0 + log10(tf)) * log10(1.0 + c / df) END AS weight
+              ELSE (1.0 + log10(tf)) / log10(1.0 + c / df) END AS weight
   FROM ct JOIN dfreq USING (word) CROSS JOIN ncls
 ),
 tfidf AS (
@@ -282,10 +301,12 @@ corr AS (
   GROUP BY 1, 2
 ),
 pairs AS (
-  SELECT s.q_id, c.c_id, CAST(s.ssq + coalesce(k.corr, 0) AS BIGINT) AS dist
-  FROM sumsq s
-  CROSS JOIN (SELECT DISTINCT series_id AS c_id FROM train) c
-  LEFT JOIN corr k ON k.q_id = s.q_id AND k.c_id = c.c_id
+  -- reference acceptance (BOSSEnsembleClassifier.java:216): neighbor
+  -- needs dist != sumsq (corr != 0) and dist > 0 — zero-overlap
+  -- candidates never win, so only word-join pairs are scanned
+  SELECT k.q_id, k.c_id, CAST(s.ssq + k.corr AS BIGINT) AS dist
+  FROM corr k JOIN sumsq s USING (q_id)
+  WHERE k.corr <> 0 AND s.ssq + k.corr > 0
 )
 SELECT q_id AS series_id, c_id AS nn_id, dist
 FROM pairs

@@ -195,7 +195,7 @@ def q_equi_depth_hist(spark, sf_dir):
 
 def q_word_bigrams(spark, sf_dir):
     wd = words_df(spark, sf_dir)
-    keys = bags.weasel_keys(wd, window_length=W, highest_bit=8, bigrams=True)
+    keys = bags.weasel_keys(wd, window_length=W, bigrams=True)
     b = bags.bag_of_keys(keys)
     return b.groupBy("key").agg(
         F.sum("cnt").cast("bigint").alias("total"),
@@ -314,11 +314,14 @@ def q_top_customers(spark, sf_dir):
         .groupBy("c_custkey", "c_name")
         .agg(dec_sum("o_totalprice").alias("revenue"))
     )
-    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
-    return (
-        rev.withColumn("rk", F.row_number().over(w).cast("int"))
-        .where(F.col("rk") <= 10)
-        .select("c_custkey", "c_name", "revenue", "rk")
+    # top-k via orderBy().limit() → TakeOrderedAndProject (parallel
+    # partial top-k); the rank window then runs over k rows only, with
+    # an explicit (constant) partition so no global-sort WindowExec
+    order = [F.col("revenue").desc(), F.col("c_custkey").asc()]
+    top = rev.orderBy(*order).limit(10)
+    w = Window.partitionBy(F.lit(0)).orderBy(*order)
+    return top.withColumn("rk", F.row_number().over(w).cast("int")).select(
+        "c_custkey", "c_name", "revenue", "rk"
     )
 
 
@@ -331,11 +334,10 @@ def q_daily_revenue(spark, sf_dir):
         dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
         F.count(F.lit(1)).cast("bigint").alias("n_items"),
     )
-    w = Window.orderBy(F.col("revenue").desc(), F.col("day").asc())
-    return (
-        daily.withColumn("rk", F.row_number().over(w).cast("int"))
-        .where(F.col("rk") <= 10)
-    )
+    order = [F.col("revenue").desc(), F.col("day").asc()]
+    top = daily.orderBy(*order).limit(10)
+    w = Window.partitionBy(F.lit(0)).orderBy(*order)
+    return top.withColumn("rk", F.row_number().over(w).cast("int"))
 
 
 def q_revenue_by_nation(spark, sf_dir):

@@ -62,16 +62,12 @@ def q_dedup_exact(spark, sf_dir):
 
 def q_jaccard_topk(spark, sf_dir):
     pairs = dedup.jaccard_pairs(_docs(spark, sf_dir), k=3)
-    w = Window.orderBy(
-        F.col("jaccard").desc(), F.col("doc_a").asc(), F.col("doc_b").asc()
-    )
-    return (
-        pairs.withColumn("rk", F.row_number().over(w).cast("int"))
-        .where(F.col("rk") <= JACCARD_TOPK)
-        .select(
-            "doc_a", "doc_b", "inter", "union_sz",
-            rnd("jaccard", 4).alias("jaccard"), "rk",
-        )
+    order = [F.col("jaccard").desc(), F.col("doc_a").asc(), F.col("doc_b").asc()]
+    top = pairs.orderBy(*order).limit(JACCARD_TOPK)
+    w = Window.partitionBy(F.lit(0)).orderBy(*order)
+    return top.withColumn("rk", F.row_number().over(w).cast("int")).select(
+        "doc_a", "doc_b", "inter", "union_sz",
+        rnd("jaccard", 4).alias("jaccard"), "rk",
     )
 
 

@@ -50,7 +50,7 @@ def read_arff_multivariate(spark: SparkSession, path: str) -> tuple[DataFrame, D
         parsed.where(numeric.isNull())
         .select("label_str")
         .distinct()
-        .withColumn("mapped", F.row_number().over(Window.orderBy("label_str")).cast("double"))
+        .withColumn("mapped", F.row_number().over(Window.partitionBy(F.lit(0)).orderBy("label_str")).cast("double"))
     )
     labels = (
         parsed.join(F.broadcast(str_classes), "label_str", "left")

@@ -92,11 +92,23 @@ def test_weasel_bigram_offset(spark):
     df = spark.createDataFrame(
         [(1, i, 100 + i) for i in range(5)], "series_id long, win long, word long"
     )
-    keys = bags.weasel_keys(df, window_length=2, highest_bit=8, bigrams=True)
-    uni = {(100 + i) << 8 | 2 for i in range(5)}
-    bi = {((100 + i) << 32) | (100 + i + 2) for i in range(3)}
+    keys = bags.weasel_keys(df, window_length=2, bigrams=True)
+    uni = {(100 + i) << 9 | 2 for i in range(5)}
+    bi = {((100 + i) << 32) | ((100 + i + 2) << 9 | 2) for i in range(3)}
     got = {r["key"] for r in keys.collect()}
     assert got == uni | bi
+
+
+def test_weasel_bigram_skips_zero_prev(spark):
+    # reference WEASEL.java:166 guards prevWord != 0 — word 0 never
+    # anchors a bigram
+    df = spark.createDataFrame(
+        [(1, 0, 0), (1, 1, 7), (1, 2, 8)], "series_id long, win long, word long"
+    )
+    keys = bags.weasel_keys(df, window_length=1, bigrams=True)
+    uni = {0 << 9 | 1, 7 << 9 | 1, 8 << 9 | 1}
+    bi = {(7 << 32) | (8 << 9 | 1)}  # 0->7 bigram suppressed
+    assert {r["key"] for r in keys.collect()} == uni | bi
 
 
 def test_ig_bins_separate_labels(spark):
