@@ -36,6 +36,18 @@ from sfa_spark.functions import spectral
 from sfa_spark.operators import bags, folds, knn, quantize, tfidf
 from sfa_spark.operators.words import binlog
 
+__all__ = [
+    "boss_windows",
+    "bossvs_windows",
+    "shotgun_windows",
+    "boss_ensemble_grid_fit",
+    "bossvs_grid_fit",
+    "shotgun_grid_fit",
+    "BossGridModel",
+    "BossVSGridModel",
+    "ShotgunGridModel",
+]
+
 COEF_SCHEMA = (
     "series_id bigint, nm boolean, w int, wins array<array<double>>"
 )
@@ -63,31 +75,39 @@ def bossvs_windows(max_len: int, min_w: int = 10, max_w: int = 250) -> list[int]
 
 def _multi_coefs(
     arrays: DataFrame,
-    combos: list[tuple[bool, int]],
-    l: int,
+    combos: list[tuple[bool, int]] | list[tuple[bool, int, int]],
+    l: int | None,
     sliding: bool,
+    lower_bounding: bool = True,
 ) -> DataFrame:
     """One mapInPandas pass → MFT values for EVERY (norm, window) combo.
 
     sliding=True: all sliding windows (reference transformWindowing);
     sliding=False: disjoint chunks, each chunk z-normed then DFT'd (the
     fitWindowing sample set, SFA.java:281-291 + TimeSeries.java:256-270).
+    Combos are (nm, w) with a shared word length `l`, or (nm, w, l)
+    triples for per-combo lengths (the supervised path); l=None → l=w
+    (every coefficient, SFASupervised.fitTransform's full-length DFT).
     Output: (series_id, nm, w, wins array<array<double>>) — the nested
     array explodes JVM-side to (series_id, nm, w, win, coefs).
     """
-    combos = sorted(set(combos))
+    norm3 = [
+        (c[0], c[1], (c[2] if len(c) > 2 else (l if l is not None else c[1])))
+        for c in combos
+    ]
+    norm3 = sorted(set(norm3))
 
     def gen(batches):
         for pdf in batches:
             out_sid, out_nm, out_w, out_wins = [], [], [], []
             for sid, vals in zip(pdf["series_id"], pdf["values"]):
                 x = np.asarray(vals, dtype=np.float64)
-                for nm, w in combos:
+                for nm, w, lc in norm3:
                     if len(x) < w:
                         continue  # reference emits no windows for short series
                     if sliding:
                         m = spectral.mft_all_windows(
-                            x, w, l, norm_mean=nm, lower_bounding=True
+                            x, w, lc, norm_mean=nm, lower_bounding=lower_bounding
                         )
                     else:
                         k = len(x) // w
@@ -96,8 +116,8 @@ def _multi_coefs(
                         m = np.vstack(
                             [
                                 spectral.mft_all_windows(
-                                    x[i * w : (i + 1) * w], w, l,
-                                    norm_mean=nm, lower_bounding=True,
+                                    x[i * w : (i + 1) * w], w, lc,
+                                    norm_mean=nm, lower_bounding=lower_bounding,
                                 )
                                 for i in range(k)
                             ]
@@ -505,4 +525,269 @@ def bossvs_grid_fit(
         tfidf=kept_models,
         max_f=max_f,
         alphabet=alphabet,
+    )
+
+
+# ---------------------------------------------------------------- Shotgun grid
+
+def shotgun_windows(max_len: int, min_w: int = 5, max_w: int = 250) -> list[int]:
+    """Every integer window length (ShotgunClassifier.java:106-109)."""
+    return list(range(min_w, min(max_w, max_len) + 1))
+
+
+def _shotgun_nn_frame(
+    queries: DataFrame,
+    corpus: DataFrame,
+    combos: list[tuple[bool, int]],
+    loo: bool,
+) -> DataFrame:
+    """Shotgun-distance 1-NN for every (nm, w) combo in one grouped
+    applyInPandas pass.
+
+    Reference ShotgunClassifier.predict (java:152-237): the query is
+    cut into DISJOINT windows of length min(len, w), each z-normed
+    (σ-divide; mean-subtract iff nm — TimeSeries.norm); candidates
+    expose all SLIDING windows normalized as (x − mean·[nm])·(1/σ or 1)
+    (calcMeansStds java:240-258); dist = Σ_q-windows min_c-window ED²;
+    the argmin candidate in TRAIN ORDER wins ties (strict <).
+
+    Grid-as-data: the (small, replicate-everywhere) series set is
+    broadcast-joined against the combo list, so each (nm, w) group
+    holds all series and one numpy matmul cascade resolves that
+    combo's whole 1-NN — 1000-executor-shaped: combos spread across
+    the cluster, no driver loop.
+    """
+    spark = queries.sparkSession
+    combo_df = F.broadcast(
+        spark.createDataFrame(
+            sorted(set(combos)), "nm boolean, w int"
+        )
+    )
+    q = queries.select(
+        "series_id", "values", F.lit(True).alias("is_q")
+    )
+    c = corpus.select("series_id", "values", F.lit(False).alias("is_q"))
+    if loo:
+        both = q  # same frame serves both roles; identity-skip inside
+    else:
+        both = q.unionByName(c)
+    tagged = both.join(combo_df)
+
+    def _group(kv, pdf):
+        nm, w = bool(kv[0]), int(kv[1])
+        sub = pdf.sort_values("series_id")
+        if loo:
+            q_rows = list(zip(sub["series_id"], sub["values"]))
+            c_rows = q_rows
+        else:
+            q_rows = list(
+                zip(sub.loc[sub["is_q"], "series_id"], sub.loc[sub["is_q"], "values"])
+            )
+            c_rows = list(
+                zip(sub.loc[~sub["is_q"], "series_id"], sub.loc[~sub["is_q"], "values"])
+            )
+        if not q_rows or not c_rows:
+            return pd.DataFrame(
+                {"nm": [], "w": [], "series_id": [], "nn_id": [], "dist": []}
+            )
+
+        # query disjoint windows, z-normed per window (TimeSeries.norm)
+        q_wins, q_owner_ofs = [], [0]
+        for _, vals in q_rows:
+            x = np.asarray(vals, dtype=np.float64)
+            wq = min(len(x), w)
+            k = len(x) // wq
+            m = x[: k * wq].reshape(k, wq).astype(np.float64)
+            mu = m.mean(axis=1, keepdims=True)
+            sd = m.std(axis=1, keepdims=True)
+            inv = np.where(sd != 0, 1.0 / np.where(sd == 0, 1.0, sd), 1.0)
+            m = (m - mu) * inv if nm else m * inv
+            q_wins.append(m)
+            q_owner_ofs.append(q_owner_ofs[-1] + k)
+
+        # candidate sliding windows, (x − mean·[nm]) · (1/σ or 1)
+        c_mats = []
+        for _, vals in c_rows:
+            x = np.asarray(vals, dtype=np.float64)
+            if len(x) < w:
+                c_mats.append(None)
+                continue
+            sw = np.lib.stride_tricks.sliding_window_view(x, w).astype(np.float64)
+            mu = sw.mean(axis=1, keepdims=True)
+            sd = sw.std(axis=1, keepdims=True)
+            inv = np.where(sd > 0, 1.0 / np.where(sd <= 0, 1.0, sd), 1.0)
+            c_mats.append((sw - mu) * inv if nm else sw * inv)
+
+        out_sid, out_nn, out_dist = [], [], []
+        for qi, (qid, _) in enumerate(q_rows):
+            Q = q_wins[qi]
+            q2 = (Q * Q).sum(axis=1)
+            best_dist, best_id = np.inf, None
+            for cj, (cid, _) in enumerate(c_rows):
+                if loo and cid == qid:
+                    continue  # reference `ts != query` object identity
+                C = c_mats[cj]
+                if C is None or C.shape[1] != Q.shape[1]:
+                    continue
+                d = (
+                    q2[:, None]
+                    + (C * C).sum(axis=1)[None, :]
+                    - 2.0 * (Q @ C.T)
+                )
+                total = np.maximum(d, 0.0).min(axis=1).sum()
+                if total < best_dist:
+                    best_dist, best_id = total, cid
+            if best_id is not None:
+                out_sid.append(qid)
+                out_nn.append(best_id)
+                out_dist.append(float(best_dist))
+        return pd.DataFrame(
+            {
+                "nm": np.repeat(nm, len(out_sid)),
+                "w": np.repeat(np.int32(w), len(out_sid)),
+                "series_id": pd.Series(out_sid, dtype="int64"),
+                "nn_id": pd.Series(out_nn, dtype="int64"),
+                "dist": pd.Series(out_dist, dtype="float64"),
+            }
+        )
+
+    return tagged.groupBy("nm", "w").applyInPandas(
+        _group,
+        schema="nm boolean, w int, series_id bigint, nn_id bigint, dist double",
+    )
+
+
+@dataclass
+class ShotgunGridModel:
+    members: list[GridMember]  # f unused (0); single-model = 1 member
+    train_arrays: DataFrame
+    train_labels: DataFrame
+
+    def predict(self, test_arrays: DataFrame) -> DataFrame:
+        spark = test_arrays.sparkSession
+        combos = sorted({(m.nm, m.w) for m in self.members})
+        nn = _shotgun_nn_frame(test_arrays, self.train_arrays, combos, loo=False)
+        member_df = F.broadcast(
+            spark.createDataFrame(
+                [(m.nm, m.w, m.train_correct) for m in self.members],
+                "nm boolean, w int, weight long",
+            )
+        )
+        votes = (
+            nn.join(member_df, ["nm", "w"])
+            .join(
+                self.train_labels.select(
+                    F.col("series_id").alias("nn_id"),
+                    F.col("label").alias("pred_label"),
+                ),
+                "nn_id",
+            )
+            .select(
+                "series_id", "pred_label",
+                F.col("weight").cast("double").alias("weight"),
+            )
+        )
+        return folds.weighted_vote(votes)
+
+
+def shotgun_grid_fit(
+    train_arrays: DataFrame,
+    labels: DataFrame,
+    windows: list[int] | None = None,
+    factor: float = 1.0,
+    ensemble: bool = False,
+) -> ShotgunGridModel:
+    """Shotgun fit over the full window grid (5..min(250, len)) × both
+    norms in ONE distributed 1-NN pass.
+
+    factor=1.0 + ensemble=False → the single best model (reference
+    ShotgunClassifier.fit: best train count, ties → larger window
+    because getWindowsBetween enumerates max→min and
+    getHighestScoringModel takes the first inserted; norm ties →
+    normMean=true, strict `<` java:87).
+    ensemble=True + factor=0.92 → ShotgunEnsembleClassifier.fit
+    (java:56-77): filterByFactor per norm, overall vote train accuracy
+    picks the norm (`<=` → normMean=false wins ties).
+    """
+    spark = train_arrays.sparkSession
+    if windows is None:
+        max_len = train_arrays.agg(F.max(F.size("values"))).collect()[0][0]
+        windows = shotgun_windows(max_len)
+    combos = [(nm, w) for nm in (True, False) for w in windows]
+
+    nn = _shotgun_nn_frame(train_arrays, train_arrays, combos, loo=True).cache()
+    lab = labels.select("series_id", "label")
+    nn_lab = lab.select(
+        F.col("series_id").alias("nn_id"), F.col("label").alias("nn_label")
+    )
+    acc_rows = (
+        nn.join(lab, "series_id")
+        .join(nn_lab, "nn_id")
+        .groupBy("nm", "w")
+        .agg(F.sum((F.col("label") == F.col("nn_label")).cast("long")).alias("correct"))
+        .collect()
+    )
+    correct = {(r["nm"], r["w"]): r["correct"] for r in acc_rows}
+
+    per_norm: dict[bool, list[GridMember]] = {}
+    for nm in (True, False):
+        cands = [
+            GridMember(nm, w, 0, correct.get((nm, w), 0)) for w in sorted(windows)
+        ]
+        best = max((c.train_correct for c in cands), default=0)
+        per_norm[nm] = [c for c in cands if c.train_correct >= best * factor]
+
+    if not ensemble:
+        # single best model per norm: max count, tie → larger window
+        choice: dict[bool, GridMember] = {}
+        for nm in (True, False):
+            ms = per_norm[nm]
+            best = max(ms, key=lambda m: (m.train_correct, m.w))
+            choice[nm] = best
+        best_nm, best_c = True, -1
+        for nm in (True, False):  # strict > — normMean=true wins ties
+            if choice[nm].train_correct > best_c:
+                best_nm, best_c = nm, choice[nm].train_correct
+        members = [choice[best_nm]]
+    else:
+        # per-norm ensembles; norm picked by overall vote train accuracy
+        member_rows = [
+            (m.nm, m.w, m.train_correct)
+            for nm in (True, False)
+            for m in per_norm[nm]
+        ]
+        member_df = F.broadcast(
+            spark.createDataFrame(member_rows, "nm boolean, w int, weight long")
+        )
+        votes = (
+            nn.join(member_df, ["nm", "w"])
+            .join(nn_lab, "nn_id")
+            .select(
+                "nm", "series_id",
+                F.col("nn_label").alias("pred_label"),
+                F.col("weight").cast("double").alias("weight"),
+            )
+        )
+        vote_acc = {
+            r["nm"]: r["correct"]
+            for r in folds.weighted_vote(votes, keys=("nm",))
+            .join(lab, "series_id")
+            .groupBy("nm")
+            .agg(
+                F.sum((F.col("pred_label") == F.col("label")).cast("long")).alias(
+                    "correct"
+                )
+            )
+            .collect()
+        }
+        best_nm, best_c = True, -1
+        for nm in (True, False):  # `<=` in the reference → False wins ties
+            if vote_acc.get(nm, 0) >= best_c:
+                best_nm, best_c = nm, vote_acc.get(nm, 0)
+        members = per_norm[best_nm]
+    nn.unpersist()
+    return ShotgunGridModel(
+        members=members,
+        train_arrays=train_arrays.select("series_id", "values").cache(),
+        train_labels=lab,
     )

@@ -138,7 +138,9 @@ def quantize_with_bins(
     )
 
 
-def fit_ig_bins(coef_labeled: DataFrame, alphabet: int) -> DataFrame:
+def fit_ig_bins(
+    coef_labeled: DataFrame, alphabet: int, keys: tuple[str, ...] = ()
+) -> DataFrame:
     """Information-gain bin boundaries per coefficient (supervised).
 
     Reference: recursive best-entropy split on the (value,label)
@@ -146,10 +148,12 @@ def fit_ig_bins(coef_labeled: DataFrame, alphabet: int) -> DataFrame:
     3 decimals (SFA.java:497-557, :529). Inherently sequential per
     coefficient → grouped applyInPandas; each group is only
     (#series × #windows) rows for ONE coefficient, so group size is
-    bounded and skew is benign.
+    bounded and skew is benign. `keys` add grid columns to the group.
 
-    Input: (seg int, coef double, label double). Output: (seg, bins).
+    Input: ([*keys], seg int, coef double, label double).
+    Output: ([*keys], seg, bins).
     """
+    ks = list(keys)
 
     def _split(pdf: pd.DataFrame) -> pd.DataFrame:
         # orderline: sort by (rounded value, label) as the reference does
@@ -205,8 +209,15 @@ def fit_ig_bins(coef_labeled: DataFrame, alphabet: int) -> DataFrame:
 
         find_best(0, len(v), alphabet - 1)
         bins = sorted(splits)[: alphabet - 1]
-        return pd.DataFrame({"seg": [int(pdf["seg"].iloc[0])], "bins": [bins]})
+        out = {c: [pdf[c].iloc[0]] for c in ks}
+        out["seg"] = [int(pdf["seg"].iloc[0])]
+        out["bins"] = [bins]
+        return pd.DataFrame(out)
 
-    return coef_labeled.groupBy("seg").applyInPandas(
-        _split, schema="seg int, bins array<double>"
+    in_schema = coef_labeled.select(*ks).schema
+    key_fields = "".join(
+        f"{f.name} {f.dataType.simpleString()}, " for f in in_schema
+    )
+    return coef_labeled.groupBy(*ks, "seg").applyInPandas(
+        _split, schema=f"{key_fields}seg int, bins array<double>"
     )

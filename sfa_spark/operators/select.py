@@ -33,6 +33,7 @@ def chi_squared(
     key_col: str = "word",
     split_unigram_bigram: bool = False,
     cell_agg: str = "max",
+    keys: tuple[str, ...] = (),
 ) -> DataFrame:
     """(series_id, word, cnt, label) → (word, chi2) surviving selection.
 

@@ -70,3 +70,36 @@ def test_bossvs_golden(spark, dataset, golden):
     )
     acc = _accuracy(model.predict(te.select("series_id", "values")), te)
     assert abs(acc - golden) <= DELTA, f"{dataset}: acc {acc} vs golden {golden}"
+
+
+@pytest.mark.parametrize(
+    "dataset,golden",
+    [("CBF", 0.969), ("Coffee", 1.000)],
+)
+def test_shotgun_golden(spark, dataset, golden):
+    from sfa_spark.ml import grid
+
+    tr, te = _load(spark, dataset)
+    model = grid.shotgun_grid_fit(
+        tr.select("series_id", "values"), tr.select("series_id", "label")
+    )
+    acc = _accuracy(model.predict(te.select("series_id", "values")), te)
+    assert abs(acc - golden) <= DELTA, f"{dataset}: acc {acc} vs golden {golden}"
+
+
+@pytest.mark.parametrize(
+    "dataset,golden",
+    [("CBF", 0.991), ("Coffee", 0.929)],
+)
+def test_shotgun_ensemble_golden(spark, dataset, golden):
+    from sfa_spark.ml import grid
+
+    tr, te = _load(spark, dataset)
+    model = grid.shotgun_grid_fit(
+        tr.select("series_id", "values"),
+        tr.select("series_id", "label"),
+        factor=0.92,
+        ensemble=True,
+    )
+    acc = _accuracy(model.predict(te.select("series_id", "values")), te)
+    assert abs(acc - golden) <= DELTA, f"{dataset}: acc {acc} vs golden {golden}"
