@@ -268,6 +268,22 @@ def _to_vectors(key_bags: DataFrame, dictionary: DataFrame, n_features: int) -> 
     return joined.select("series_id", to_vec("pairs").alias("features"))
 
 
+def _empty_vec_fill(all_ids: DataFrame, feats: DataFrame, n_features: int) -> DataFrame:
+    """Left-join features onto the full id set, filling series with zero
+    surviving keys with an empty SparseVector (they still need a row)."""
+    from pyspark.ml.linalg import SparseVector, VectorUDT
+
+    n_feats = n_features  # close over the int only (picklable)
+
+    @F.udf(returnType=VectorUDT())
+    def empty_vec():
+        return SparseVector(n_feats, [], [])
+
+    return all_ids.join(feats, "series_id", "left").select(
+        "series_id", F.coalesce("features", empty_vec()).alias("features")
+    )
+
+
 def weasel_fit(
     train_arrays: DataFrame,
     labels: DataFrame,

@@ -29,11 +29,11 @@ from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from sfa_spark.functions import spectral
-from sfa_spark.operators import bags, folds, knn, quantize, tfidf
+from sfa_spark.operators import bags, folds, knn, quantize, select, tfidf
 from sfa_spark.operators.words import binlog
 
 __all__ = [
@@ -43,9 +43,12 @@ __all__ = [
     "boss_ensemble_grid_fit",
     "bossvs_grid_fit",
     "shotgun_grid_fit",
+    "weasel_windows",
+    "weasel_grid_fit",
     "BossGridModel",
     "BossVSGridModel",
     "ShotgunGridModel",
+    "WeaselGridModel",
 ]
 
 COEF_SCHEMA = (
@@ -790,4 +793,364 @@ def shotgun_grid_fit(
         members=members,
         train_arrays=train_arrays.select("series_id", "values").cache(),
         train_labels=lab,
+    )
+
+
+# ---------------------------------------------------------------- WEASEL grid
+
+def weasel_windows(max_len: int, norm: bool, min_w: int = 2, max_w: int = 350) -> list[int]:
+    """Every window length MIN..min(350, len); norm raises min to 3
+    (WEASELClassifier.getWindowLengths, java:202-212)."""
+    lo = max(3, min_w) if norm and min_w <= 2 else min_w
+    return list(range(lo, min(max_w, max_len) + 1))
+
+
+def _supervised_grid_model(
+    arrays: DataFrame,
+    labels: DataFrame,
+    combos: list[tuple[bool, int]],
+    max_f: int,
+    alphabet: int,
+    lower_bounding: bool = False,
+):
+    """Per-(nm, w) supervised SFA (SFASupervised.fitTransform,
+    java:70-96) as one keyed plan: full-length DFT of disjoint chunks →
+    ANOVA-F per (nm, w, seg) with the reference's NaN-drop / inf-keep
+    semantics → top max_f segs per (nm, w) (F desc, seg asc — the
+    stable descending sort of Indices) → IG bins per (nm, w, rank) on
+    2-dp-rounded coefs. Returns (best, bins, lens):
+      best  — (nm, w, seg, rank) broadcastable rank map
+      bins  — (nm, w, seg=rank, bins)
+      lens  — {(nm, w): maxWordLength} for the sliding transform
+    """
+    dis = _multi_coefs(
+        arrays, combos, l=None, sliding=False, lower_bounding=lower_bounding
+    )
+    lab = labels.select("series_id", "label")
+    labeled = dis.join(F.broadcast(lab), "series_id")
+
+    g = labeled.groupBy("nm", "w", "seg", "label").agg(
+        F.sum("coef").alias("s"),
+        F.sum(F.col("coef") * F.col("coef")).alias("ss"),
+        F.count(F.lit(1)).cast("double").alias("m"),
+    )
+    tot = g.groupBy("nm", "w", "seg").agg(
+        F.sum("s").alias("S"),
+        F.sum("ss").alias("SS"),
+        F.sum("m").alias("N"),
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum(F.col("s") * F.col("s") / F.col("m")).alias("sq_over_m"),
+    )
+    ssbn = F.col("sq_over_m") - F.col("S") * F.col("S") / F.col("N")
+    sswn = (F.col("SS") - F.col("S") * F.col("S") / F.col("N")) - ssbn
+    dfwn = F.col("N") - F.col("k")
+    # Java double semantics under Spark ANSI mode: msw == 0 gives ±inf
+    # (kept, ranks first) or NaN (dropped) instead of a divide error
+    f_expr = (
+        F.when((F.col("k") <= 1) | (dfwn <= 0), F.lit(float("nan")))
+        .when(sswn != 0, (ssbn / (F.col("k") - 1)) / (sswn / dfwn))
+        .when(ssbn > 0, F.lit(float("inf")))
+        .when(ssbn < 0, F.lit(float("-inf")))
+        .otherwise(F.lit(float("nan")))
+    )
+    f_stats = tot.select("nm", "w", "seg", f_expr.alias("f_stat")).where(
+        ~F.isnan("f_stat")
+    )  # reference drops NaN, keeps +inf first
+
+    rk = Window.partitionBy("nm", "w").orderBy(
+        F.col("f_stat").desc(), F.col("seg").asc()
+    )
+    best = (
+        f_stats.withColumn("rank", F.row_number().over(rk))
+        .where(F.col("rank") <= max_f)
+        .select("nm", "w", "seg", (F.col("rank") - 1).cast("int").alias("rank"))
+        .cache()
+    )
+    # maxWordLength per (nm, w): max kept seg + 1, rounded up to even
+    lens = {
+        (r["nm"], r["w"]): int(r["ml"] + r["ml"] % 2)
+        for r in best.groupBy("nm", "w")
+        .agg((F.max("seg") + 1).alias("ml"))
+        .collect()
+    }
+    kept = (
+        labeled.join(F.broadcast(best), ["nm", "w", "seg"])
+        .select(
+            "nm", "w",
+            F.col("rank").alias("seg"),
+            F.round("coef", 2).alias("coef"),  # orderline rounding
+            "label",
+        )
+    )
+    bins = quantize.fit_ig_bins(kept, alphabet, keys=GRID_KEYS).cache()
+    return best, bins, lens
+
+
+def _weasel_grid_keys(
+    arrays: DataFrame,
+    best: DataFrame,
+    bins: DataFrame,
+    lens: dict,
+    combos: list[tuple[bool, int]],
+    f_values: list[int],
+    alphabet: int,
+    lower_bounding: bool = False,
+) -> DataFrame:
+    """Sliding supervised words for every (nm, w) → masked per f →
+    window-tagged unigram + bigram keys → key bags per (nm, f).
+
+    Bigrams pair each window with the one `w` positions earlier
+    (WEASEL.java:160-170); the variable per-combo offset rules out a
+    window-function lag, so it's an equi-join on
+    (series_id, nm, f, w, win − w) instead. The window-length tag
+    lives in the low 9 bits of every key, so per-window χ² caps can
+    regroup on `key & 511` later.
+    """
+    from sfa_spark.operators.words import pack_words
+
+    combos_l = [(nm, w, lens[(nm, w)]) for nm, w in combos if (nm, w) in lens]
+    sliding = _multi_coefs(
+        arrays, combos_l, l=None, sliding=True, lower_bounding=lower_bounding
+    )
+    ranked = sliding.join(F.broadcast(best), ["nm", "w", "seg"]).select(
+        "series_id", "nm", "w", "win", F.col("rank").alias("seg"), "coef"
+    )
+    sym = quantize.quantize_with_bins(ranked, bins, keys=GRID_KEYS)
+    words = pack_words(
+        sym.select("series_id", "nm", "w", "win", "seg", "symbol"),
+        alphabet,
+        keys=GRID_KEYS,
+    )
+    spark = arrays.sparkSession
+    bits = binlog(alphabet)
+    f_df = spark.createDataFrame([(int(f),) for f in f_values], "f int")
+    masked = words.join(F.broadcast(f_df)).withColumn(
+        "word", F.expr(f"word & (shiftleft(cast(1 as bigint), {bits} * f) - 1)")
+    )
+    uni_key = F.expr("shiftleft(word, 9)").bitwiseOR(F.col("w").cast("bigint"))
+    uni = masked.select("series_id", "nm", "f", uni_key.alias("key"))
+    prev = masked.select(
+        "series_id", "nm", "f", "w",
+        F.col("win").alias("prev_win"), F.col("word").alias("prev_word"),
+    )
+    cur = masked.withColumn("prev_win", F.col("win") - F.col("w"))
+    bi = (
+        cur.join(prev, ["series_id", "nm", "f", "w", "prev_win"])
+        .where(F.col("prev_word") != 0)
+        .select(
+            "series_id", "nm", "f",
+            F.expr("shiftleft(prev_word, 32)").bitwiseOR(uni_key).alias("key"),
+        )
+    )
+    allk = uni.unionByName(bi)
+    return allk.groupBy("series_id", "nm", "f", "key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+
+
+@dataclass
+class WeaselGridModel:
+    nm: bool
+    f: int
+    best: DataFrame  # (nm, w, seg, rank)
+    bins: DataFrame  # (nm, w, seg=rank, bins)
+    lens: dict
+    combos: list
+    dictionary: DataFrame  # (key, idx)
+    lr_model: object
+    label_map: list[float]
+    n_features: int
+    alphabet: int = 4
+    lower_bounding: bool = False
+
+    def _score(self, test_arrays: DataFrame) -> DataFrame:
+        from sfa_spark.ml.classifiers import _to_vectors, _empty_vec_fill
+
+        key_bags = _weasel_grid_keys(
+            test_arrays, self.best, self.bins, self.lens,
+            [(self.nm, w) for (n, w) in self.combos if n == self.nm],
+            [self.f], self.alphabet, lower_bounding=self.lower_bounding,
+        ).select("series_id", "key", "cnt")
+        feats = _to_vectors(key_bags, self.dictionary, self.n_features)
+        feats = _empty_vec_fill(
+            test_arrays.select("series_id").distinct(), feats, self.n_features
+        )
+        pred = self.lr_model.transform(feats)
+        spark = test_arrays.sparkSession
+        idx_map = spark.createDataFrame(
+            [(float(i), lab) for i, lab in enumerate(self.label_map)],
+            "prediction double, pred_label double",
+        )
+        return pred.join(F.broadcast(idx_map), "prediction")
+
+    def predict(self, test_arrays: DataFrame) -> DataFrame:
+        return self._score(test_arrays).select("series_id", "pred_label")
+
+    def predict_proba(self, test_arrays: DataFrame) -> DataFrame:
+        """(series_id, pred_label, probs array<double> in label_map
+        order) — the slave output TEASER's master consumes (reference
+        WEASELClassifier.predictProbabilities, java:175-200)."""
+        from pyspark.ml.functions import vector_to_array
+
+        return self._score(test_arrays).select(
+            "series_id", "pred_label",
+            vector_to_array("probability").alias("probs"),
+        )
+
+
+def weasel_grid_fit(
+    train_arrays: DataFrame,
+    labels: DataFrame,
+    max_windows: int = 350,
+    word_lengths: tuple[int, ...] = (4, 6),
+    alphabet: int = 4,
+    chi_limit: float = 2.0,
+    word_limit: int = 1000,
+    n_folds: int = 10,
+    max_iter: int = 50,
+    reg_param: float = 1.0,
+    lower_bounding: bool = False,
+) -> WeaselGridModel:
+    """WEASEL fit with the reference's full defaults
+    (WEASELClassifier.fitWeasel, java:214-263): windows 2..min(350,len)
+    (3.. when normed), per-window supervised SFA + per-window χ² with
+    separate 1000-unigram/1000-bigram caps, norm × f grid scored by
+    k-fold CV of the linear model, early exit on a perfect score,
+    winner refit on all data.
+
+    Featurization for EVERY (nm, w, f) runs as one keyed plan; only the
+    (4-combo × fold) linear solves loop on the driver — they are the
+    reference's liblinear calls, each over a #train × vocab sparse
+    matrix (MLlib LogisticRegression here).
+    """
+    from pyspark.ml.classification import LogisticRegression
+    from sfa_spark.ml.classifiers import _to_vectors
+
+    spark = train_arrays.sparkSession
+    max_len = train_arrays.agg(F.max(F.size("values"))).collect()[0][0]
+    combos = [
+        (nm, w)
+        for nm in (True, False)
+        for w in weasel_windows(max_len, nm, max_w=max_windows)
+    ]
+    max_f = max(word_lengths)
+    lab = labels.select("series_id", "label")
+
+    best, bins, lens = _supervised_grid_model(
+        train_arrays, lab, combos, max_f, alphabet, lower_bounding=lower_bounding
+    )
+    key_bags = _weasel_grid_keys(
+        train_arrays, best, bins, lens, combos, list(word_lengths), alphabet,
+        lower_bounding=lower_bounding,
+    ).cache()
+
+    # per-window chi-squared with split unigram/bigram caps: the window
+    # tag is the low 9 bits of every key
+    selected = select.chi_squared(
+        key_bags.join(F.broadcast(lab), "series_id").withColumn(
+            "wtag", F.col("key").bitwiseAND(F.lit(511))
+        ),
+        limit=chi_limit,
+        word_limit=word_limit,
+        key_col="key",
+        split_unigram_bigram=True,
+        keys=("nm", "f", "wtag"),
+    ).select("nm", "f", "key")
+    kept = key_bags.join(
+        F.broadcast(selected), ["nm", "f", "key"], "left_semi"
+    ).cache()
+    kept.count()
+    key_bags.unpersist()
+
+    # dictionaries + fold splits once; LR per (nm, f) × fold on the driver
+    folded = folds.stratified_folds(lab, n_folds).select("series_id", "fold")
+    label_map = [
+        r["label"] for r in lab.select("label").distinct().orderBy("label").collect()
+    ]
+    lmap_df = spark.createDataFrame(
+        [(float(l), float(i)) for i, l in enumerate(label_map)],
+        "label double, label_idx double",
+    )
+    n_train = lab.count()
+
+    def _lr():
+        return LogisticRegression(
+            featuresCol="features", labelCol="label_idx", maxIter=max_iter,
+            regParam=1.0 / (2.0 * reg_param), family="multinomial",
+        )
+
+    best_key, best_correct, results = None, -1, {}
+    stop = False
+    for nm in (True, False):  # reference NORMALIZATION order
+        if stop:
+            break
+        for f in sorted(word_lengths):
+            sub = kept.where((F.col("nm") == nm) & (F.col("f") == f)).select(
+                "series_id", "key", "cnt"
+            )
+            dictionary = (
+                sub.select("key").distinct()
+                .withColumn(
+                    "idx",
+                    F.row_number().over(
+                        Window.partitionBy(F.lit(0)).orderBy("key")
+                    ) - 1,
+                )
+                .cache()
+            )
+            n_features = dictionary.count() + 1
+            feats = _to_vectors(sub, dictionary, n_features)
+            data = (
+                feats.join(lab, "series_id")
+                .join(F.broadcast(lmap_df), "label")
+                .join(F.broadcast(folded), "series_id")
+                .cache()
+            )
+            data.count()
+
+            def _fold_correct(s):
+                tr = data.where(F.col("fold") != s)
+                te = data.where(F.col("fold") == s)
+                pred = _lr().fit(tr).transform(te)
+                return (
+                    pred.agg(
+                        F.sum(
+                            (F.col("prediction") == F.col("label_idx")).cast("long")
+                        )
+                    ).collect()[0][0]
+                    or 0
+                )
+
+            # fold solves are independent tiny jobs — run them as
+            # concurrent Spark jobs (thread-per-fold; the scheduler
+            # interleaves them across cores)
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=n_folds) as ex:
+                correct = sum(ex.map(_fold_correct, range(n_folds)))
+            data.unpersist()
+            results[(nm, f)] = (correct, dictionary, n_features)
+            if correct > best_correct:
+                best_correct, best_key = correct, (nm, f)
+            else:
+                dictionary.unpersist()
+            if correct >= n_train:  # reference early exit on perfect CV
+                stop = True
+                break
+
+    nm, f = best_key
+    _, dictionary, n_features = results[best_key]
+    sub = kept.where((F.col("nm") == nm) & (F.col("f") == f)).select(
+        "series_id", "key", "cnt"
+    )
+    feats = _to_vectors(sub, dictionary, n_features)
+    data = feats.join(lab, "series_id").join(F.broadcast(lmap_df), "label").cache()
+    data.count()
+    lr_model = _lr().fit(data)
+    data.unpersist()
+    kept.unpersist()
+    return WeaselGridModel(
+        nm=nm, f=f, best=best, bins=bins, lens=lens, combos=combos,
+        dictionary=dictionary, lr_model=lr_model, label_map=label_map,
+        n_features=n_features, alphabet=alphabet, lower_bounding=lower_bounding,
     )

@@ -34,18 +34,32 @@ FEATURE_SCHEMA = (
 )
 
 
+try:  # real-codec escape hatch: PIL decodes png/jpeg when installed
+    from PIL import Image as _PILImage
+except ImportError:  # deterministic fake codec remains the CI path
+    _PILImage = None
+
+
 def _decode_one(payload: bytes, fmt: str, width: int, height: int, channels: int) -> np.ndarray:
     """Decode a media payload to (H, W, C) uint8.
 
-    Only the deterministic 'fake' codec ships in-container; real codecs
-    plug in here."""
+    The deterministic 'fake' codec always ships; png/jpeg route through
+    PIL when it is importable (env-gated — absent in this container)."""
     if fmt == "fake":
         seed = int.from_bytes(hashlib.md5(payload).digest()[:8], "big")
         rng = np.random.default_rng(seed)
         return rng.integers(0, 256, (height, width, channels), dtype=np.uint8)
+    if fmt in ("png", "jpeg", "jpg") and _PILImage is not None:
+        import io
+
+        img = _PILImage.open(io.BytesIO(payload))
+        arr = np.asarray(img.convert("RGB" if channels == 3 else "L"), dtype=np.uint8)
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        return arr
     raise NotImplementedError(
         f"codec for format={fmt!r} not available in this environment; "
-        "install the media libs and extend _decode_one"
+        "install Pillow/ffmpeg to enable real decode"
     )
 
 

@@ -53,45 +53,63 @@ def chi_squared(
     With split_unigram_bigram, unigram (key < 2³²) and bigram keys are
     capped separately at word_limit each (WEASEL.java:304-323).
     """
+    ks = list(keys)
     pres = bags_labeled.where(F.col("cnt") > 0).select(
-        "series_id", key_col, "label"
+        *ks, "series_id", key_col, "label"
     ).distinct()
-    per_cw = pres.groupBy("label", key_col).agg(
+    per_cw = pres.groupBy(*ks, "label", key_col).agg(
         F.count(F.lit(1)).cast("double").alias("obs")
     )
-    per_w = per_cw.groupBy(key_col).agg(F.sum("obs").alias("tot_w"))
+    per_w = per_cw.groupBy(*ks, key_col).agg(F.sum("obs").alias("tot_w"))
     # class priors over SAMPLES (all series, whatever words they hold)
     per_c = (
-        bags_labeled.select("series_id", "label")
+        pres.select(*ks, "series_id", "label")
         .distinct()
-        .groupBy("label")
+        .groupBy(*ks, "label")
         .agg(F.count(F.lit(1)).cast("double").alias("n_c"))
     )
-    # grand total stays in-plan (broadcast 1-row aggregate) — a collect()
-    # here would recompute the upstream bag chain as an extra job
-    total = per_c.agg(F.sum("n_c").alias("n_samples"))
+    # grand totals stay in-plan (broadcast aggregates) — a driver-side
+    # count() here would recompute the upstream bag chain as extra jobs
+    total = per_c.groupBy(*ks).agg(F.sum("n_c").alias("n_samples"))
     agg_fn = F.max if cell_agg == "max" else F.sum
+    grid = per_w.join(F.broadcast(per_c), ks) if ks else per_w.crossJoin(
+        F.broadcast(per_c)
+    )
+    grid = grid.join(F.broadcast(total), ks) if ks else grid.crossJoin(
+        F.broadcast(total)
+    )
     chi = (
-        per_w.crossJoin(F.broadcast(per_c))
-        .crossJoin(F.broadcast(total))
-        .join(per_cw, [key_col, "label"], "left")
+        grid.join(per_cw, [*ks, key_col, "label"], "left")
         .withColumn("exp", F.col("n_c") / F.col("n_samples") * F.col("tot_w"))
         .withColumn(
             "term",
             (F.coalesce(F.col("obs"), F.lit(0.0)) - F.col("exp")) ** 2 / F.col("exp"),
         )
-        .groupBy(key_col)
+        .groupBy(*ks, key_col)
         .agg(agg_fn("term").alias("chi2"))
         .where(F.col("chi2") >= limit)
     )
     if word_limit is not None:
-        rank = [F.col("chi2").desc(), F.col(key_col).asc()]
+        order = [F.col("chi2").desc(), F.col(key_col).asc()]
+        if ks:
+            # per-group cap: partitioned row_number (parallel across the
+            # grid key space — never a single global sort)
+            def _cap(df):
+                w = Window.partitionBy(*ks).orderBy(*order)
+                return (
+                    df.withColumn("_rk", F.row_number().over(w))
+                    .where(F.col("_rk") <= word_limit)
+                    .drop("_rk")
+                )
+        else:
+            def _cap(df):
+                return df.orderBy(*order).limit(word_limit)
         if split_unigram_bigram:
-            uni = chi.where(F.col(key_col) < F.lit(1 << 32)).orderBy(*rank).limit(word_limit)
-            bi = chi.where(F.col(key_col) >= F.lit(1 << 32)).orderBy(*rank).limit(word_limit)
+            uni = _cap(chi.where(F.col(key_col) < F.lit(1 << 32)))
+            bi = _cap(chi.where(F.col(key_col) >= F.lit(1 << 32)))
             chi = uni.unionByName(bi)
         else:
-            chi = chi.orderBy(*rank).limit(word_limit)
+            chi = _cap(chi)
     return chi
 
 

@@ -175,6 +175,84 @@ def sign_bucket(col, n_bits: int = 6):
     return b
 
 
+def probe_buckets_expr(vec_col: str, n_bits: int, n_probes: int):
+    """Column: the query's multi-probe bucket list.
+
+    Multi-probe LSH: beyond the query's own sign bucket, probe the
+    buckets reached by flipping the sign bits with the SMALLEST
+    absolute coordinate (the least-confident signs — where the true
+    neighbors leak to). Probe sequence: own, flip(b1), flip(b2),
+    flip(b1,b2), truncated to n_probes. Pure SQL expressions; with the
+    corpus written partitionBy(bucket), the probe-bucket join prunes to
+    n_probes partitions per query.
+    """
+    assert 1 <= n_probes <= 4
+    ms = (
+        f"array_sort(transform(sequence(0, {n_bits - 1}), "
+        f"j -> struct(abs(cast(element_at({vec_col}, j + 1) as double)) as m, j as j)))"
+    )
+    own = f"_pb_bucket"
+    f1 = f"shiftleft(cast(1 as bigint), {ms}[0].j)"
+    f2 = f"shiftleft(cast(1 as bigint), {ms}[1].j)"
+    return F.expr(
+        f"slice(array({own}, {own} ^ {f1}, {own} ^ {f2}, {own} ^ {f1} ^ {f2}), 1, {n_probes})"
+    )
+
+
+def cosine_topk_multiprobe(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    n_bits: int = 6,
+    n_probes: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Multi-probe sign-bucket ANN: each query probes its own bucket
+    plus the n_probes−1 nearest flips; exact cosine re-rank over the
+    union of probed buckets. Output: (q_id, nn_id, cosine, rk).
+
+    Recall beats single-probe at the same index (candidates ∝
+    n_probes/2^n_bits of the corpus); every candidate appears in
+    exactly one bucket so no dedup pass is needed. The corpus side is
+    untouched — at 100 TB this is a broadcast of (query × n_probes)
+    rows against a bucket-partitioned corpus scan with partition
+    pruning.
+    """
+    q = (
+        with_norm(queries, vec_col)
+        .select(
+            F.col(id_col).alias("q_id"),
+            _as_double(F.col(vec_col)).alias("qv"),
+            F.col("norm").alias("qn"),
+        )
+        .withColumn("_pb_bucket", sign_bucket(F.col("qv"), n_bits))
+        .withColumn("probes", probe_buckets_expr("qv", n_bits, n_probes))
+        .select(
+            "q_id", "qv", "qn", F.explode("probes").alias("bucket")
+        )
+    )
+    c = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("nn_id"),
+        _as_double(F.col(vec_col)).alias("cv"),
+        F.col("norm").alias("cn"),
+        sign_bucket(_as_double(F.col(vec_col)), n_bits).alias("bucket"),
+    )
+    pairs = c.join(F.broadcast(q), "bucket").where(F.col("q_id") != F.col("nn_id"))
+    scored = pairs.select(
+        "q_id",
+        "nn_id",
+        (dot_expr(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("nn_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= k)
+    )
+
+
 def cosine_topk_bucketed(
     queries: DataFrame,
     corpus: DataFrame,

@@ -187,6 +187,55 @@ SELECT key, CAST(sum(cnt) AS BIGINT) AS total,
        CAST(count(*) AS BIGINT) AS n_series
 FROM kbag GROUP BY key"""
 
+# chi-squared over the WEASEL unigram+bigram keyspace with the
+# WORD_LIMIT cap engaged per key population (key >= 2^32 → bigram)
+ORACLES["q_chi2_capped"] = f"""WITH {_words_ctes()},
+uni AS (
+  SELECT series_id, (word << 9) | {W} AS key FROM words
+),
+bi AS (
+  SELECT series_id, (prev << 32) | ((word << 9) | {W}) AS key FROM (
+    SELECT series_id, word,
+           lag(word, {W}) OVER (PARTITION BY series_id ORDER BY win) AS prev
+    FROM words
+  ) WHERE prev IS NOT NULL AND prev <> 0
+),
+kbag AS (
+  SELECT series_id, key, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi) GROUP BY series_id, key
+),
+pres AS (
+  SELECT DISTINCT series_id, key, CAST(series_id % {N_LABELS} AS BIGINT) AS label
+  FROM kbag WHERE cnt > 0
+),
+per_cw AS (
+  SELECT label, key, CAST(count(*) AS DOUBLE) AS obs FROM pres GROUP BY label, key
+),
+per_w AS (SELECT key, sum(obs) AS tot_w FROM per_cw GROUP BY key),
+per_c AS (
+  SELECT label, CAST(count(*) AS DOUBLE) AS n_c
+  FROM (SELECT DISTINCT series_id, CAST(series_id % {N_LABELS} AS BIGINT) AS label FROM kbag)
+  GROUP BY label
+),
+tot AS (SELECT sum(n_c) AS n_samples FROM per_c),
+chi AS (
+  SELECT key, max(pow(COALESCE(obs, 0) - expd, 2) / expd) AS chi2
+  FROM (
+    SELECT w.key, p.obs, c.n_c / t.n_samples * w.tot_w AS expd
+    FROM per_w w CROSS JOIN per_c c CROSS JOIN tot t
+    LEFT JOIN per_cw p ON p.key = w.key AND p.label = c.label
+  )
+  GROUP BY key
+)
+SELECT key, round(chi2 + 1e-9, 3) + 0.0 AS chi2
+FROM (
+  SELECT key, chi2,
+         row_number() OVER (PARTITION BY (key >= 4294967296)
+                            ORDER BY chi2 DESC, key ASC) AS rk
+  FROM chi
+)
+WHERE rk <= 25"""
+
 ORACLES["q_chi2"] = f"""WITH {_bag_ctes()},
 pres AS (
   SELECT DISTINCT series_id, word, CAST(series_id % {N_LABELS} AS BIGINT) AS label

@@ -300,3 +300,33 @@ pairs AS (
 SELECT q_id, nn_id, bucket, round(cosine + 1e-9, 4) + 0.0 AS cosine,
        CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, nn_id ASC) AS INT) AS rk
 FROM pairs QUALIFY rk <= 3"""
+
+# multi-probe: own bucket + flips of the two smallest-|coordinate| sign
+# bits (mirrors similarity.probe_buckets_expr — sort by (margin, j))
+ORACLES["q_cosine_multiprobe"] = f"""WITH {_NORMED},
+{_BUCKETED},
+probed AS (
+  SELECT vec_id, embedding, nrm, bucket,
+         list_sort(list_transform(range(0, 6),
+             j -> {{'m': abs(embedding[j + 1]::DOUBLE), 'j': j}})) AS ms
+  FROM bucketed WHERE vec_id < 10
+),
+qprobes AS (
+  SELECT vec_id, embedding, nrm,
+         unnest([bucket,
+                 xor(bucket, CAST(1 AS BIGINT) << ms[1].j),
+                 xor(bucket, CAST(1 AS BIGINT) << ms[2].j),
+                 xor(xor(bucket, CAST(1 AS BIGINT) << ms[1].j),
+                     CAST(1 AS BIGINT) << ms[2].j)]) AS bucket
+  FROM probed
+),
+pairs AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS nn_id,
+         (SELECT sum(q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)
+          FROM generate_series(1, 64) t(i)) / (q.nrm * c.nrm) AS cosine
+  FROM qprobes q JOIN bucketed c USING (bucket)
+  WHERE q.vec_id <> c.vec_id
+)
+SELECT q_id, nn_id, round(cosine + 1e-9, 4) + 0.0 AS cosine,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, nn_id ASC) AS INT) AS rk
+FROM pairs QUALIFY rk <= 3"""

@@ -233,6 +233,25 @@ def q_chi2(spark, sf_dir):
     return chi.select("word", rnd("chi2", 3).alias("chi2"))
 
 
+CHI2_CAP = 25
+
+
+def q_chi2_capped(spark, sf_dir):
+    """χ² selection with the WORD_LIMIT cap ENGAGED over the WEASEL
+    unigram+bigram keyspace — unigrams (key < 2³²) and bigrams capped
+    separately at CHI2_CAP each, ranked by χ² desc then key asc
+    (WEASEL.java:287-324). Plans as TakeOrderedAndProject, never a
+    global-sort window."""
+    wd = words_df(spark, sf_dir)
+    keys = bags.weasel_keys(wd, window_length=W, bigrams=True)
+    kb = bags.bag_of_keys(keys).withColumn("label", _label())
+    chi = select.chi_squared(
+        kb, limit=0.0, word_limit=CHI2_CAP, key_col="key",
+        split_unigram_bigram=True,
+    )
+    return chi.select("key", rnd("chi2", 3).alias("chi2"))
+
+
 def q_anova_f(spark, sf_dir):
     coef = coef_df(spark, sf_dir).withColumn("label", _label())
     f = select.anova_f(coef.select("seg", "coef", "label"))

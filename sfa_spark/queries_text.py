@@ -154,3 +154,15 @@ def q_cosine_ivf(spark, sf_dir):
     return res.select(
         "q_id", "nn_id", "bucket", rnd("cosine", 4).alias("cosine"), "rk"
     )
+
+
+def q_cosine_multiprobe(spark, sf_dir):
+    """Multi-probe sign-bucket ANN (4 probes): each query also probes
+    the buckets reached by flipping its two least-confident sign bits —
+    recall recovers toward brute force at 4/2^6 of the scan cost."""
+    emb = _emb(spark, sf_dir)
+    res = similarity.cosine_topk_multiprobe(
+        emb.where(F.col("vec_id") < COS_QUERIES), emb, k=IVF_K,
+        n_bits=IVF_BITS, n_probes=4,
+    )
+    return res.select("q_id", "nn_id", rnd("cosine", 4).alias("cosine"), "rk")

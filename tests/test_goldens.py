@@ -89,6 +89,21 @@ def test_shotgun_golden(spark, dataset, golden):
 
 @pytest.mark.parametrize(
     "dataset,golden",
+    [("CBF", 0.998), ("Coffee", 1.000)],
+)
+def test_weasel_golden(spark, dataset, golden):
+    from sfa_spark.ml import grid
+
+    tr, te = _load(spark, dataset)
+    model = grid.weasel_grid_fit(
+        tr.select("series_id", "values"), tr.select("series_id", "label")
+    )
+    acc = _accuracy(model.predict(te.select("series_id", "values")), te)
+    assert abs(acc - golden) <= DELTA, f"{dataset}: acc {acc} vs golden {golden}"
+
+
+@pytest.mark.parametrize(
+    "dataset,golden",
     [("CBF", 0.991), ("Coffee", 0.929)],
 )
 def test_shotgun_ensemble_golden(spark, dataset, golden):

@@ -131,3 +131,61 @@ def test_scalar_quantize_recall(spark):
     # codes really are small ints
     row = codes.limit(1).collect()[0]
     assert all(0 <= c <= 15 for c in row["codes"]) and len(row["codes"]) == 64
+
+
+def test_multiprobe_recall_beats_single_probe(spark):
+    """Multi-probe (4 probes over 64 buckets) must reach recall@3 ≥ 0.9
+    vs brute force on the test corpus — the VERDICT round-2 target."""
+    import numpy as np
+
+    from sfa_spark.operators import similarity
+
+    rng = np.random.default_rng(17)
+    # clustered corpus (real embedding geometry): 20 centers, points
+    # scattered around them — iid gaussians are the no-structure worst
+    # case where NO sublinear ANN can work
+    centers = rng.normal(0, 1, (20, 16))
+    vecs = np.vstack(
+        [c + rng.normal(0, 0.25, (20, 16)) for c in centers]
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    ).cache()
+    q = emb.where("vec_id < 25")
+    exact = similarity.cosine_topk(q, emb, k=3)
+    multi = similarity.cosine_topk_multiprobe(q, emb, k=3, n_bits=6, n_probes=4)
+    truth = {(r["q_id"], r["nn_id"]) for r in exact.collect()}
+    got = {(r["q_id"], r["nn_id"]) for r in multi.collect()}
+    recall = len(truth & got) / len(truth)
+    single = similarity.cosine_topk_bucketed(q, emb, k=3, n_bits=6)
+    got1 = {(r["q_id"], r["nn_id"]) for r in single.collect()}
+    recall1 = len(truth & got1) / len(truth)
+    assert recall >= 0.9, f"multi-probe recall@3 {recall}"
+    assert recall >= recall1, (recall, recall1)
+
+
+def test_bucket_partitioned_write_prunes(spark, tmp_path):
+    """The 100 TB layout: corpus written partitionBy(bucket); probing a
+    bucket subset must show PartitionFilters in the scan plan (partition
+    pruning, not a full scan)."""
+    import numpy as np
+
+    from sfa_spark.operators import similarity
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(0, 1, (200, 16))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    path = str(tmp_path / "bucketed_corpus")
+    emb.withColumn(
+        "bucket", similarity.sign_bucket(F.col("embedding"), 6)
+    ).write.partitionBy("bucket").mode("overwrite").parquet(path)
+    corpus = spark.read.parquet(path)
+    probed = corpus.where(F.col("bucket").isin([1, 2, 3]))
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "bucket" in plan, plan
+    assert probed.count() == corpus.where(F.col("bucket").isin([1, 2, 3])).count()

@@ -99,3 +99,25 @@ def test_real_codec_raises(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|codec"):
         multimodal.extract_features(jpg).collect()
+
+
+def test_real_codec_gate():
+    """png decode raises NotImplementedError without PIL, and decodes a
+    real image when PIL is present (env-gated escape hatch)."""
+    import numpy as np
+    import pytest
+
+    from sfa_spark.operators import multimodal as mm
+
+    if mm._PILImage is None:
+        with pytest.raises(NotImplementedError):
+            mm._decode_one(b"\x89PNG fake", "png", 4, 4, 3)
+    else:
+        import io
+
+        img = mm._PILImage.new("RGB", (4, 4), (10, 20, 30))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        arr = mm._decode_one(buf.getvalue(), "png", 4, 4, 3)
+        assert arr.shape == (4, 4, 3) and arr.dtype == np.uint8
+        assert (arr[0, 0] == [10, 20, 30]).all()
