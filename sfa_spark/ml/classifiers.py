@@ -335,10 +335,13 @@ def weasel_fit(
     # featurization lineage (MFT -> keys -> chi2 -> vectors) re-executes
     # EVERY iteration (observed 11s/iter at sf0.01)
     train = feats.join(labels, "series_id").join(F.broadcast(lmap_df), "label").cache()
-    train.count()
+    n_train = train.count()
+    # liblinear parity: C=1 maps to regParam = 1/(C·n); MLlib's default
+    # feature standardization has no liblinear counterpart
     lr = LogisticRegression(
         featuresCol="features", labelCol="label_idx",
-        maxIter=max_iter, regParam=1.0 / (2.0 * reg_param), family="multinomial",
+        maxIter=max_iter, regParam=1.0 / (reg_param * n_train),
+        family="multinomial", standardization=False,
     )
     lr_model = lr.fit(train)
     train.unpersist()
@@ -470,10 +473,11 @@ def muse_fit(
         "label double, label_idx double",
     )
     train = feats.join(labels, "series_id").join(F.broadcast(lmap_df), "label").cache()
-    train.count()  # materialize before iterative LR (see weasel_fit note)
+    n_train = train.count()  # materialize before iterative LR (see weasel_fit note)
     lr = LogisticRegression(
         featuresCol="features", labelCol="label_idx",
-        maxIter=max_iter, regParam=1.0 / (2.0 * reg_param), family="multinomial",
+        maxIter=max_iter, regParam=1.0 / (reg_param * n_train),
+        family="multinomial", standardization=False,
     )
     model = lr.fit(train)
     train.unpersist()

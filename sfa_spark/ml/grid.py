@@ -82,6 +82,7 @@ def _multi_coefs(
     l: int | None,
     sliding: bool,
     lower_bounding: bool = True,
+    seg_map: dict[tuple[bool, int], list[int]] | None = None,
 ) -> DataFrame:
     """One mapInPandas pass → MFT values for EVERY (norm, window) combo.
 
@@ -91,6 +92,11 @@ def _multi_coefs(
     Combos are (nm, w) with a shared word length `l`, or (nm, w, l)
     triples for per-combo lengths (the supervised path); l=None → l=w
     (every coefficient, SFASupervised.fitTransform's full-length DFT).
+    seg_map[(nm, w)] = selected coefficient indices in RANK order: only
+    those columns are emitted and `seg` becomes the rank position —
+    this keeps the exploded row count at #selected × #windows instead
+    of w × #windows (the supervised transform path would otherwise
+    materialize Σ_w w·(n−w) rows).
     Output: (series_id, nm, w, wins array<array<double>>) — the nested
     array explodes JVM-side to (series_id, nm, w, win, coefs).
     """
@@ -125,6 +131,11 @@ def _multi_coefs(
                                 for i in range(k)
                             ]
                         )
+                    if seg_map is not None:
+                        segs = seg_map.get((nm, w))
+                        if segs is None:
+                            continue
+                        m = m[:, segs]
                     out_sid.append(sid)
                     out_nm.append(nm)
                     out_w.append(w)
@@ -883,12 +894,16 @@ def _supervised_grid_model(
         )
     )
     bins = quantize.fit_ig_bins(kept, alphabet, keys=GRID_KEYS).cache()
-    return best, bins, lens
+    # rank-ordered original segs per combo, for column-sliced transforms
+    seg_map: dict[tuple[bool, int], list[int]] = {}
+    for r in best.orderBy("nm", "w", "rank").collect():
+        seg_map.setdefault((r["nm"], r["w"]), []).append(r["seg"])
+    return best, bins, lens, seg_map
 
 
 def _weasel_grid_keys(
     arrays: DataFrame,
-    best: DataFrame,
+    seg_map: dict,
     bins: DataFrame,
     lens: dict,
     combos: list[tuple[bool, int]],
@@ -909,13 +924,14 @@ def _weasel_grid_keys(
     from sfa_spark.operators.words import pack_words
 
     combos_l = [(nm, w, lens[(nm, w)]) for nm, w in combos if (nm, w) in lens]
+    # seg_map slices the selected coefficients inside the UDF, so `seg`
+    # arrives already in rank order — no per-row rank join, and the
+    # exploded size is #selected × #windows, not w × #windows
     sliding = _multi_coefs(
-        arrays, combos_l, l=None, sliding=True, lower_bounding=lower_bounding
+        arrays, combos_l, l=None, sliding=True,
+        lower_bounding=lower_bounding, seg_map=seg_map,
     )
-    ranked = sliding.join(F.broadcast(best), ["nm", "w", "seg"]).select(
-        "series_id", "nm", "w", "win", F.col("rank").alias("seg"), "coef"
-    )
-    sym = quantize.quantize_with_bins(ranked, bins, keys=GRID_KEYS)
+    sym = quantize.quantize_with_bins(sliding, bins, keys=GRID_KEYS)
     words = pack_words(
         sym.select("series_id", "nm", "w", "win", "seg", "symbol"),
         alphabet,
@@ -952,7 +968,7 @@ def _weasel_grid_keys(
 class WeaselGridModel:
     nm: bool
     f: int
-    best: DataFrame  # (nm, w, seg, rank)
+    seg_map: dict  # (nm, w) → selected segs in rank order
     bins: DataFrame  # (nm, w, seg=rank, bins)
     lens: dict
     combos: list
@@ -967,7 +983,7 @@ class WeaselGridModel:
         from sfa_spark.ml.classifiers import _to_vectors, _empty_vec_fill
 
         key_bags = _weasel_grid_keys(
-            test_arrays, self.best, self.bins, self.lens,
+            test_arrays, self.seg_map, self.bins, self.lens,
             [(self.nm, w) for (n, w) in self.combos if n == self.nm],
             [self.f], self.alphabet, lower_bounding=self.lower_bounding,
         ).select("series_id", "key", "cnt")
@@ -1007,7 +1023,7 @@ def weasel_grid_fit(
     chi_limit: float = 2.0,
     word_limit: int = 1000,
     n_folds: int = 10,
-    max_iter: int = 50,
+    max_iter: int = 100,
     reg_param: float = 1.0,
     lower_bounding: bool = False,
 ) -> WeaselGridModel:
@@ -1036,11 +1052,12 @@ def weasel_grid_fit(
     max_f = max(word_lengths)
     lab = labels.select("series_id", "label")
 
-    best, bins, lens = _supervised_grid_model(
+    best, bins, lens, seg_map = _supervised_grid_model(
         train_arrays, lab, combos, max_f, alphabet, lower_bounding=lower_bounding
     )
+    best.unpersist()
     key_bags = _weasel_grid_keys(
-        train_arrays, best, bins, lens, combos, list(word_lengths), alphabet,
+        train_arrays, seg_map, bins, lens, combos, list(word_lengths), alphabet,
         lower_bounding=lower_bounding,
     ).cache()
 
@@ -1074,9 +1091,14 @@ def weasel_grid_fit(
     n_train = lab.count()
 
     def _lr():
+        # liblinear parity (L2R_LR, C=1, bias=1 — WEASELClassifier:31-36):
+        # liblinear minimizes C·Σloss + ½‖w‖²; MLlib minimizes
+        # (1/n)Σloss + regParam·½‖w‖² → regParam = 1/(C·n). MLlib's
+        # default feature standardization has no liblinear counterpart.
         return LogisticRegression(
             featuresCol="features", labelCol="label_idx", maxIter=max_iter,
-            regParam=1.0 / (2.0 * reg_param), family="multinomial",
+            regParam=1.0 / (reg_param * n_train), family="multinomial",
+            standardization=False, tol=1e-7,
         )
 
     best_key, best_correct, results = None, -1, {}
@@ -1150,7 +1172,7 @@ def weasel_grid_fit(
     data.unpersist()
     kept.unpersist()
     return WeaselGridModel(
-        nm=nm, f=f, best=best, bins=bins, lens=lens, combos=combos,
+        nm=nm, f=f, seg_map=seg_map, bins=bins, lens=lens, combos=combos,
         dictionary=dictionary, lr_model=lr_model, label_map=label_map,
         n_features=n_features, alphabet=alphabet, lower_bounding=lower_bounding,
     )

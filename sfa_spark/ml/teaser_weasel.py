@@ -153,23 +153,38 @@ def teaser_weasel_fit(
     step = max_len / s_total
     min_w = 3  # max(3, MIN_WINDOW_LENGTH)
 
-    snapshots, offsets, slaves, masters = [], {}, {}, {}
+    todo = []
     for s in range(2, s_total + 1):
         off = int(np.floor(step * s + 0.5))  # Java Math.round
-        if off < min_w:
-            continue
+        if off >= min_w:
+            todo.append((s, off))
+
+    def _fit_snapshot(arg):
+        s, off = arg
         pref = _prefix(train_arrays, off)
         slave = grid.weasel_grid_fit(pref, lab, **kw)
         proba = slave.predict_proba(pref).join(lab, "series_id")
         pdf = proba.select("pred_label", "label", "probs").toPandas()
         correct = pdf[pdf["pred_label"] == pdf["label"]]
         if len(correct) == 0:
-            continue
+            return s, off, slave, None
         feats = oneclass.master_features(np.vstack(correct["probs"].to_numpy()))
-        masters[s] = oneclass.fit_master(feats, nu=nu)
-        slaves[s] = slave
-        offsets[s] = off
-        snapshots.append(s)
+        return s, off, slave, oneclass.fit_master(feats, nu=nu)
+
+    # snapshot fits are independent — run them as concurrent Spark job
+    # groups (threads; the scheduler interleaves the tiny jobs)
+    from concurrent.futures import ThreadPoolExecutor
+
+    snapshots, offsets, slaves, masters = [], {}, {}, {}
+    with ThreadPoolExecutor(max_workers=min(4, len(todo)) or 1) as ex:
+        for s, off, slave, master in ex.map(_fit_snapshot, todo):
+            if master is None:
+                continue
+            masters[s] = master
+            slaves[s] = slave
+            offsets[s] = off
+            snapshots.append(s)
+    snapshots.sort()
 
     model = TeaserWeaselModel(
         snapshots=snapshots,

@@ -94,3 +94,36 @@ def q_shotgun_1nn(spark, sf_dir):
         "series_id", "nn_id",
         (F.round(F.col("dist") + F.lit(1e-9), 4) + F.lit(0.0)).alias("dist"),
     )
+
+
+def q_boss_grid_predict(spark, sf_dir):
+    """Grid-as-data BOSS ensemble (ml/grid.py): the reference's
+    norm × window × f axes as COLUMNS — one distributed plan fits every
+    combination (small grid here; the full default grid runs in
+    tests/test_goldens.py against the reference's published
+    accuracies)."""
+    from sfa_spark.ml import grid
+
+    train_a, labels, test_a = _corpus(spark, sf_dir)
+    train_l = labels.join(train_a.select("series_id"), "series_id")
+    model = grid.boss_ensemble_grid_fit(
+        train_a, train_l, windows=[12, 16], word_lengths=(4, 6)
+    )
+    return model.predict(test_a).select(
+        "series_id", F.col("pred_label").cast("double").alias("pred_label")
+    )
+
+
+def q_shotgun_ensemble_predict(spark, sf_dir):
+    """Shotgun Ensemble (C8b): per-(norm, window) shotgun 1-NN in one
+    grouped pass, factor-filtered members, weighted vote."""
+    from sfa_spark.ml import grid
+
+    train_a, labels, test_a = _corpus(spark, sf_dir)
+    train_l = labels.join(train_a.select("series_id"), "series_id")
+    model = grid.shotgun_grid_fit(
+        train_a, train_l, windows=[8, 12, 16], factor=0.92, ensemble=True
+    )
+    return model.predict(test_a).select(
+        "series_id", F.col("pred_label").cast("double").alias("pred_label")
+    )
