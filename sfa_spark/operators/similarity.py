@@ -132,30 +132,53 @@ def sq_reconstructed_topk(
 ) -> DataFrame:
     """Approximate top-k by squared ED between RECONSTRUCTED vectors
     (bin centers): recon = vmin + (sym + 0.5)·step. All arithmetic on
-    the compressed codes — the float column is never read."""
-    centers = stats.select(
-        "dim",
-        "vmin",
-        F.when(F.col("vmax") - F.col("vmin") < 1e-12, F.lit(0.0))
-        .otherwise((F.col("vmax") - F.col("vmin")) / alphabet)
-        .alias("step"),
+    the compressed codes — the float column is never read.
+
+    The codebook (one (vmin, step) per dimension) is collected and
+    inlined as literal arrays, reconstruction is a per-row transform,
+    and each (q, c) pair is ONE row with a zip_with/aggregate fold —
+    never a per-dimension join (which would meet every corpus row 64×).
+    The broadcast-queries × corpus scan is the same shape as
+    cosine_topk: corpus read once, no corpus shuffle.
+    """
+    rows = sorted(
+        stats.collect(), key=lambda r: r["dim"]
+    )  # codebook: #dims rows — driver-size by construction
+    vmins = [float(r["vmin"]) for r in rows]
+    steps = [
+        0.0
+        if (r["vmax"] - r["vmin"]) < 1e-12
+        else (r["vmax"] - r["vmin"]) / alphabet
+        for r in rows
+    ]
+    vmin_arr = F.array(*[F.lit(v) for v in vmins])
+    step_arr = F.array(*[F.lit(s) for s in steps])
+    recon = F.zip_with(
+        F.zip_with(
+            F.transform("codes", lambda c: c.cast("double")),
+            step_arr,
+            lambda c, s: (c + 0.5) * s,
+        ),
+        vmin_arr,
+        lambda x, v: x + v,
     )
-    long = codes.select(
-        "vec_id", F.posexplode("codes").alias("dim", "sym")
-    ).join(F.broadcast(centers), "dim").select(
-        "vec_id",
-        "dim",
-        (F.col("vmin") + (F.col("sym") + 0.5) * F.col("step")).alias("r"),
+    r = codes.select("vec_id", recon.alias("r"))
+    q = r.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("r").alias("qr")
     )
-    q = long.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("q_id"), "dim", F.col("r").alias("qr")
-    )
-    c = long.select(F.col("vec_id").alias("nn_id"), "dim", F.col("r").alias("cr"))
+    c = r.select(F.col("vec_id").alias("nn_id"), F.col("r").alias("cr"))
     d = (
-        q.join(c, "dim")
+        c.join(F.broadcast(q))
         .where(F.col("q_id") != F.col("nn_id"))
-        .groupBy("q_id", "nn_id")
-        .agg(F.sum((F.col("qr") - F.col("cr")) ** 2).alias("sqdist"))
+        .select(
+            "q_id",
+            "nn_id",
+            F.aggregate(
+                F.zip_with(F.col("qr"), F.col("cr"), lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("sqdist"),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("sqdist").asc(), F.col("nn_id").asc())
     return d.withColumn("rk", F.row_number().over(w).cast("int")).where(
