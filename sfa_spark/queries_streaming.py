@@ -28,13 +28,12 @@ def q_stream_sfa_words(spark, sf_dir):
     src = tempfile.mkdtemp(prefix="sfa_swords_src_")
     shutil.copy(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
     name = f"swords_{uuid.uuid4().hex[:8]}"
-    from sfa_spark.sources.events import ensure_session_compat
+    from sfa_spark.sources.events import ensure_session_compat, normalize_ts
 
     ensure_session_compat(spark)
-    stream = spark.readStream.schema(
-        "event_id bigint, ts bigint, user_id bigint, event_type string, "
-        "value double, props string"
-    ).parquet(src)
+    stream = normalize_ts(
+        spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    )
     q = (
         SW.stream_sfa_words(stream, stats, w=16, l=4, a=4)
         .writeStream.format("memory")

@@ -31,9 +31,32 @@ def ensure_session_compat(spark: SparkSession) -> None:
             pass
 
 
+def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Canonicalize an event-time column to bigint NANOSECONDS.
+
+    The testdata parquet has shipped `ts` two ways: TIMESTAMP(NANOS)
+    (read as bigint ns via nanosAsLong) and TIMESTAMP(MICROS) (read as
+    a proper timestamp). Engine-wide convention is bigint ns — every
+    window/gap query does plain integer arithmetic on it, which is the
+    cheap, codegen-friendly form at scale.
+    """
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    if col in df.columns and isinstance(
+        df.schema[col].dataType, (TimestampType, TimestampNTZType)
+    ):
+        return df.withColumn(
+            col,
+            (F.unix_micros(F.col(col).cast("timestamp")) * F.lit(1000)).cast(
+                "bigint"
+            ),
+        )
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_compat(spark)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return normalize_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 
 def series_from_events(

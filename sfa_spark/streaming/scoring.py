@@ -33,18 +33,16 @@ from pyspark.sql.types import (
 )
 
 
-def events_stream(spark, path: str, schema: str | None = None) -> DataFrame:
-    """File-source stream over an events parquet directory. ts is bigint
-    nanoseconds (driver testdata convention) → converted to a proper
-    timestamp column `event_time` for watermarking."""
-    schema = schema or (
-        "event_id bigint, ts bigint, user_id bigint, event_type string, "
-        "value double, props string"
-    )
-    from sfa_spark.sources.events import ensure_session_compat
+def events_stream(spark, path: str, schema=None) -> DataFrame:
+    """File-source stream over an events parquet directory. The stream
+    schema is inferred from a static metadata read (streams must declare
+    one), then `ts` is canonicalized to bigint nanoseconds and a proper
+    timestamp `event_time` is derived for watermarking."""
+    from sfa_spark.sources.events import ensure_session_compat, normalize_ts
 
     ensure_session_compat(spark)
-    raw = spark.readStream.schema(schema).parquet(path)
+    schema = schema or spark.read.parquet(path).schema
+    raw = normalize_ts(spark.readStream.schema(schema).parquet(path))
     return raw.withColumn(
         "event_time", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
     )

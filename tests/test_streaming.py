@@ -23,9 +23,12 @@ def _run_stream(q_name, stream_df, mode="update", timeout=120):
 
 
 def test_windowed_stats_matches_batch(spark, tmp_path):
+    from sfa_spark.sources.events import normalize_ts
+
     src = str(tmp_path / "events")
     ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     ev.write.parquet(src)
+    ev = normalize_ts(ev)
 
     stream = scoring.events_stream(spark, src)
     _run_stream("wstats", scoring.windowed_stats(stream, window="10 minutes"))
