@@ -168,3 +168,57 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
 def hamming_distance(col_a, col_b, bits: int = 32):
     """Popcount of XOR — bit_count is built-in in both engines."""
     return F.bit_count(col_a.bitwiseXOR(col_b))
+
+
+def embedding_neardup(
+    emb: DataFrame,
+    tau: float = 0.35,
+    n_bits: int = 6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: sign-bucket blocking +
+    exact cosine verify — the dedup-family sibling of MinHash-LSH for
+    the embedding modality.
+
+    Both sides are the FULL corpus, so this is a bucket-equality
+    self-join (shuffle on the bucket key), never an all-pairs cross:
+    at 100 TB, write the corpus partitionBy(bucket) once and the join
+    is co-located; only within-bucket pairs are scored. Near-dups have
+    cosine ≈ 1, so their sign patterns agree on (almost) every bit —
+    blocking recall rises with similarity, exactly the regime dedup
+    cares about. For recall on the tau boundary, union a second
+    rotated hash table (same shape, different bits).
+
+    Output: (doc_a, doc_b, cosine) with doc_a < doc_b, cosine ≥ tau.
+    """
+    from sfa_spark.operators.similarity import dot_expr, sign_bucket, with_norm
+
+    v = with_norm(emb, vec_col).select(
+        F.col(id_col).alias("vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        "norm",
+        sign_bucket(
+            F.transform(F.col(vec_col), lambda x: x.cast("double")), n_bits
+        ).alias("bucket"),
+    )
+    a = v.select(
+        "bucket", F.col("vid").alias("doc_a"), F.col("v").alias("va"),
+        F.col("norm").alias("na"),
+    )
+    b = v.select(
+        "bucket", F.col("vid").alias("doc_b"), F.col("v").alias("vb"),
+        F.col("norm").alias("nb"),
+    )
+    return (
+        a.join(b, "bucket")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (dot_expr(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
+                "cosine"
+            ),
+        )
+        .where(F.col("cosine") >= F.lit(tau))
+    )

@@ -330,3 +330,15 @@ pairs AS (
 SELECT q_id, nn_id, round(cosine + 1e-9, 4) + 0.0 AS cosine,
        CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, nn_id ASC) AS INT) AS rk
 FROM pairs QUALIFY rk <= 3"""
+
+ORACLES["q_embed_neardup"] = f"""WITH {_NORMED},
+{_BUCKETED},
+pairs AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+         (SELECT sum(a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)
+          FROM generate_series(1, 64) t(i)) / (a.nrm * b.nrm) AS cosine
+  FROM bucketed a JOIN bucketed b USING (bucket)
+  WHERE a.vec_id < b.vec_id
+)
+SELECT doc_a, doc_b, round(cosine + 1e-9, 4) + 0.0 AS cosine
+FROM pairs WHERE cosine >= 0.35"""

@@ -98,6 +98,14 @@ def q_simhash(spark, sf_dir):
     return dedup.simhash(_docs(spark, sf_dir))
 
 
+def q_embed_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup: sign-bucket blocking + exact cosine
+    verify over the embeddings corpus — the embedding-modality member
+    of the dedup family (bucket self-join, never all-pairs)."""
+    res = dedup.embedding_neardup(_emb(spark, sf_dir), tau=0.35, n_bits=IVF_BITS)
+    return res.select("doc_a", "doc_b", rnd("cosine", 4).alias("cosine"))
+
+
 def q_corpus_filter(spark, sf_dir):
     """The composed LLM-corpus cleaning pass: exact-dedup keepers ∩
     quality floor ∩ token-count band, with per-doc keep/drop verdict —
