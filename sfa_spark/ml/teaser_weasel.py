@@ -171,19 +171,18 @@ def teaser_weasel_fit(
         feats = oneclass.master_features(np.vstack(correct["probs"].to_numpy()))
         return s, off, slave, oneclass.fit_master(feats, nu=nu)
 
-    # snapshot fits are independent — run them as concurrent Spark job
-    # groups (threads; the scheduler interleaves the tiny jobs)
-    from concurrent.futures import ThreadPoolExecutor
-
+    # snapshot fits run SERIALLY: each weasel_grid_fit already keeps the
+    # cluster busy (10 concurrent fold-LR jobs inside), and stacking
+    # snapshots multiplies the per-task LR aggregation buffers
+    # (numClasses × vocab doubles) past the execution-memory pool.
     snapshots, offsets, slaves, masters = [], {}, {}, {}
-    with ThreadPoolExecutor(max_workers=min(4, len(todo)) or 1) as ex:
-        for s, off, slave, master in ex.map(_fit_snapshot, todo):
-            if master is None:
-                continue
-            masters[s] = master
-            slaves[s] = slave
-            offsets[s] = off
-            snapshots.append(s)
+    for s, off, slave, master in map(_fit_snapshot, todo):
+        if master is None:
+            continue
+        masters[s] = master
+        slaves[s] = slave
+        offsets[s] = off
+        snapshots.append(s)
     snapshots.sort()
 
     model = TeaserWeaselModel(

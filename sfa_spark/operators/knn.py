@@ -89,69 +89,97 @@ def shotgun_1nn(
     corpus_arrays: DataFrame,
     window: int,
     norm_mean: bool = True,
+    n_chunks: int | None = None,
 ) -> DataFrame:
     """Shotgun distance 1-NN (reference ShotgunClassifier.java:161-238):
     the query is cut into DISJOINT windows; each window's best (min) ED
     against ALL sliding windows of the candidate; distances summed;
-    argmin candidate.
+    argmin candidate. Window normalization: σ-divide with σ < 1e-8 → 1,
+    mean-subtract iff norm_mean.
 
-    Set-oriented decomposition (no per-pair Python):
-      q-windows × c-windows pair distances (fold expression)
-      → min over c-window per (q, c, q-window)
-      → sum over q-windows per (q, c) → argmin c.
-    The pair join is the scale hotspot — at 100 TB you'd block it with
-    the LB-prune index (plans/index.py) instead of the full cross.
+    Scale plan: the corpus is hash-CHUNKED; queries are replicated to
+    every chunk (a classification query set is broadcast-sized); each
+    chunk group resolves its local argmin with one Arrow-batched numpy
+    matmul cascade; a final min(struct(dist, c_id)) merges chunks.
+    Work is the same O(|Q|·|C|·n·w) as the reference's nested loop but
+    spread over n_chunks partitions with BLAS constants — no
+    w-amplified crossJoin of exploded window rows (the former plan
+    shuffled |Q|·n/w × |C|·n pair ROWS; this ships each series array
+    once per chunk).
     Output: (series_id, nn_id, dist).
     """
-    def _znorm_arr(col):
-        mean = F.aggregate(col, F.lit(0.0), lambda a, x: a + x) / F.size(col)
-        var = (
-            F.aggregate(col, F.lit(0.0), lambda a, x: a + x * x) / F.size(col)
-            - mean * mean
-        )
-        std = F.sqrt(F.greatest(var, F.lit(0.0)))
-        safe = F.when(std < 1e-8, F.lit(1.0)).otherwise(std)
-        if norm_mean:
-            return F.transform(col, lambda x: (x - mean) / safe)
-        return F.transform(col, lambda x: x / safe)
+    import numpy as np
+    import pandas as pd
 
-    def _windows(arrays, id_alias, vec_alias, disjoint):
-        n = F.size("values")
-        if disjoint:
-            starts = F.sequence(F.lit(0), (n / window).cast("int") - 1)
-            offs = F.explode(starts).alias("wi")
-            sl = F.slice("values", F.col("wi") * window + 1, window)
-        else:
-            starts = F.sequence(F.lit(0), n - window)
-            offs = F.explode(starts).alias("wi")
-            sl = F.slice("values", F.col("wi") + 1, window)
-        return (
-            arrays.where(n >= window)
-            .select(F.col("series_id").alias(id_alias), offs, "values")
-            .select(id_alias, "wi", _znorm_arr(sl).alias(vec_alias))
+    spark = query_arrays.sparkSession
+    P = int(n_chunks or spark.sparkContext.defaultParallelism)
+    w_len, nm = int(window), bool(norm_mean)
+
+    chunks = spark.range(P).select(F.col("id").cast("int").alias("chunk"))
+    q = (
+        query_arrays.where(F.size("values") >= w_len)
+        .select("series_id", "values", F.lit(True).alias("is_q"))
+        .join(F.broadcast(chunks))
+    )
+    c = corpus_arrays.where(F.size("values") >= w_len).select(
+        "series_id",
+        "values",
+        F.lit(False).alias("is_q"),
+        F.pmod(F.hash("series_id"), F.lit(P)).cast("int").alias("chunk"),
+    )
+
+    def _norm(m):
+        mu = m.mean(axis=1, keepdims=True)
+        sd = m.std(axis=1, keepdims=True)
+        inv = 1.0 / np.where(sd < 1e-8, 1.0, sd)
+        return (m - mu) * inv if nm else m * inv
+
+    def _group(kv, pdf):
+        qs = pdf[pdf["is_q"]].sort_values("series_id")
+        cs = pdf[~pdf["is_q"]].sort_values("series_id")
+        if not len(qs) or not len(cs):
+            return pd.DataFrame({"q_id": [], "c_id": [], "dist": []})
+        c_mats = []
+        for cid, vals in zip(cs["series_id"], cs["values"]):
+            x = np.asarray(vals, dtype=np.float64)
+            sw = np.lib.stride_tricks.sliding_window_view(x, w_len)
+            c_mats.append((int(cid), _norm(sw.astype(np.float64))))
+        out_q, out_c, out_d = [], [], []
+        for qid, vals in zip(qs["series_id"], qs["values"]):
+            x = np.asarray(vals, dtype=np.float64)
+            k = len(x) // w_len
+            Q = _norm(x[: k * w_len].reshape(k, w_len).astype(np.float64))
+            q2 = (Q * Q).sum(axis=1)
+            best_d, best_c = np.inf, None
+            for cid, C in c_mats:
+                d = q2[:, None] + (C * C).sum(axis=1)[None, :] - 2.0 * (Q @ C.T)
+                total = float(np.maximum(d, 0.0).min(axis=1).sum())
+                if total < best_d or (total == best_d and cid < best_c):
+                    best_d, best_c = total, cid
+            out_q.append(int(qid))
+            out_c.append(best_c)
+            out_d.append(best_d)
+        return pd.DataFrame(
+            {
+                "q_id": pd.Series(out_q, dtype="int64"),
+                "c_id": pd.Series(out_c, dtype="int64"),
+                "dist": pd.Series(out_d, dtype="float64"),
+            }
         )
 
-    qw = _windows(query_arrays, "q_id", "qv", disjoint=True)
-    cw = _windows(corpus_arrays, "c_id", "cv", disjoint=False).withColumnRenamed(
-        "wi", "ci"
+    local = (
+        q.unionByName(c)
+        .groupBy("chunk")
+        .applyInPandas(_group, schema="q_id bigint, c_id bigint, dist double")
     )
-    pair = qw.crossJoin(cw).select(
-        "q_id",
-        "c_id",
-        "wi",
-        F.aggregate(
-            F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        ).alias("sq"),
-    )
-    best_per_qwin = pair.groupBy("q_id", "c_id", "wi").agg(F.min("sq").alias("minsq"))
-    total = best_per_qwin.groupBy("q_id", "c_id").agg(F.sum("minsq").alias("dist"))
-    w = Window.partitionBy("q_id").orderBy(F.col("dist").asc(), F.col("c_id").asc())
     return (
-        total.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") == 1)
-        .select(F.col("q_id").alias("series_id"), F.col("c_id").alias("nn_id"), "dist")
+        local.groupBy("q_id")
+        .agg(F.min(F.struct(F.col("dist"), F.col("c_id").alias("c_id"))).alias("b"))
+        .select(
+            F.col("q_id").alias("series_id"),
+            F.col("b.c_id").alias("nn_id"),
+            F.col("b.dist").alias("dist"),
+        )
     )
 
 

@@ -41,7 +41,10 @@ def get_spark(
         # epoch_ns() to agree).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local[N] runs driver+executors in ONE JVM — size the heap for
+        # 32 concurrent tasks plus cached grid tables. On a real
+        # cluster executor memory is configured separately.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
