@@ -46,6 +46,14 @@ def get_spark(
         # cluster executor memory is configured separately.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        # the status store retains full plan-description strings per SQL
+        # execution EVEN with the UI off (default 1000 executions); the
+        # grid fits issue dozens of executions with multi-MB AQE plans,
+        # which reads as a multi-GB driver "leak" on long sessions.
+        .config("spark.sql.ui.retainedExecutions", "8")
+        .config("spark.ui.retainedJobs", "100")
+        .config("spark.ui.retainedStages", "200")
+        .config("spark.ui.retainedTasks", "2000")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
