@@ -209,7 +209,9 @@ def anova_f(coef_labeled: DataFrame) -> DataFrame:
 def top_coefficients(f_stats: DataFrame, word_length: int) -> DataFrame:
     """Keep the word_length best coefficient indices by F desc
     (tie → seg asc), as the reference's bestValues array."""
-    order = [F.col("f_stat").desc(), F.col("seg").asc()]
-    top = f_stats.orderBy(*order).limit(word_length)
-    w = Window.partitionBy(F.lit(0)).orderBy(*order)
-    return top.withColumn("rank", F.row_number().over(w))
+    from sfa_spark.operators.topk import ranked_top_k
+
+    ranked = ranked_top_k(
+        f_stats, [("f_stat", True), ("seg", False)], word_length
+    )
+    return ranked.withColumn("rank", F.col("rk").cast("long")).drop("rk")

@@ -334,14 +334,15 @@ def q_top_customers(spark, sf_dir):
         .agg(dec_sum("o_totalprice").alias("revenue"))
     )
     # top-k via orderBy().limit() → TakeOrderedAndProject (parallel
-    # partial top-k); the rank window then runs over k rows only, with
-    # an explicit (constant) partition so no global-sort WindowExec
-    order = [F.col("revenue").desc(), F.col("c_custkey").asc()]
-    top = rev.orderBy(*order).limit(10)
-    w = Window.partitionBy(F.lit(0)).orderBy(*order)
-    return top.withColumn("rk", F.row_number().over(w).cast("int")).select(
-        "c_custkey", "c_name", "revenue", "rk"
-    )
+    # partial top-k); ranks attach via the k×k ordered self-join so no
+    # single-partition WindowExec appears anywhere in the plan
+    from sfa_spark.operators.topk import ranked_top_k
+
+    return ranked_top_k(
+        rev.select("c_custkey", "c_name", "revenue"),
+        [("revenue", True), ("c_custkey", False)],
+        10,
+    ).select("c_custkey", "c_name", "revenue", "rk")
 
 
 def q_daily_revenue(spark, sf_dir):
@@ -353,10 +354,9 @@ def q_daily_revenue(spark, sf_dir):
         dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
         F.count(F.lit(1)).cast("bigint").alias("n_items"),
     )
-    order = [F.col("revenue").desc(), F.col("day").asc()]
-    top = daily.orderBy(*order).limit(10)
-    w = Window.partitionBy(F.lit(0)).orderBy(*order)
-    return top.withColumn("rk", F.row_number().over(w).cast("int"))
+    from sfa_spark.operators.topk import ranked_top_k
+
+    return ranked_top_k(daily, [("revenue", True), ("day", False)], 10)
 
 
 def q_revenue_by_nation(spark, sf_dir):

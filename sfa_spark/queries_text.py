@@ -61,11 +61,14 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_jaccard_topk(spark, sf_dir):
+    from sfa_spark.operators.topk import ranked_top_k
+
     pairs = dedup.jaccard_pairs(_docs(spark, sf_dir), k=3)
-    order = [F.col("jaccard").desc(), F.col("doc_a").asc(), F.col("doc_b").asc()]
-    top = pairs.orderBy(*order).limit(JACCARD_TOPK)
-    w = Window.partitionBy(F.lit(0)).orderBy(*order)
-    return top.withColumn("rk", F.row_number().over(w).cast("int")).select(
+    return ranked_top_k(
+        pairs,
+        [("jaccard", True), ("doc_a", False), ("doc_b", False)],
+        JACCARD_TOPK,
+    ).select(
         "doc_a", "doc_b", "inter", "union_sz",
         rnd("jaccard", 4).alias("jaccard"), "rk",
     )
