@@ -972,32 +972,51 @@ class WeaselGridModel:
     bins: DataFrame  # (nm, w, seg=rank, bins)
     lens: dict
     combos: list
-    dictionary: DataFrame  # (key, idx)
-    lr_model: object
+    weights: DataFrame  # (key bigint, w array<double> per class)
+    intercept: list[float]
     label_map: list[float]
-    n_features: int
     alphabet: int = 4
     lower_bounding: bool = False
 
     def _score(self, test_arrays: DataFrame) -> DataFrame:
-        from sfa_spark.ml.classifiers import _to_vectors, _empty_vec_fill
-
+        """Distributed scoring as a BROADCAST join: bag keys ⋈ the
+        vocab-sized weight table, per-class sums, softmax in SQL. No
+        per-row vector assembly — unseen keys drop out of the join
+        (zero weight), empty bags score intercept-only via the left
+        join."""
         key_bags = _weasel_grid_keys(
             test_arrays, self.seg_map, self.bins, self.lens,
             [(self.nm, w) for (n, w) in self.combos if n == self.nm],
             [self.f], self.alphabet, lower_bounding=self.lower_bounding,
         ).select("series_id", "key", "cnt")
-        feats = _to_vectors(key_bags, self.dictionary, self.n_features)
-        feats = _empty_vec_fill(
-            test_arrays.select("series_id").distinct(), feats, self.n_features
+        k = len(self.label_map)
+        scored = key_bags.join(F.broadcast(self.weights), "key")
+        per = scored.groupBy("series_id").agg(
+            *[
+                F.sum(F.col("cnt") * F.col("w")[c]).alias(f"_s{c}")
+                for c in range(k)
+            ]
         )
-        pred = self.lr_model.transform(feats)
-        spark = test_arrays.sparkSession
-        idx_map = spark.createDataFrame(
-            [(float(i), lab) for i, lab in enumerate(self.label_map)],
-            "prediction double, pred_label double",
+        base = (
+            test_arrays.select("series_id").distinct()
+            .join(per, "series_id", "left")
+            .fillna(0.0)
         )
-        return pred.join(F.broadcast(idx_map), "prediction")
+        z = [F.col(f"_s{c}") + F.lit(float(self.intercept[c])) for c in range(k)]
+        m = F.greatest(*z) if k > 1 else z[0]
+        e = [F.exp(zc - m) for zc in z]
+        denom = e[0]
+        for ec in e[1:]:
+            denom = denom + ec
+        probs = F.array(*[ec / denom for ec in e])
+        # first max wins ties — same as a sequential argmax
+        idx = F.array_position(probs, F.array_max(probs)) - 1
+        labels = F.array(*[F.lit(float(l)) for l in self.label_map])
+        return base.select(
+            "series_id",
+            F.element_at(labels, idx.cast("int") + 1).alias("pred_label"),
+            probs.alias("probs"),
+        )
 
     def predict(self, test_arrays: DataFrame) -> DataFrame:
         return self._score(test_arrays).select("series_id", "pred_label")
@@ -1006,12 +1025,7 @@ class WeaselGridModel:
         """(series_id, pred_label, probs array<double> in label_map
         order) — the slave output TEASER's master consumes (reference
         WEASELClassifier.predictProbabilities, java:175-200)."""
-        from pyspark.ml.functions import vector_to_array
-
-        return self._score(test_arrays).select(
-            "series_id", "pred_label",
-            vector_to_array("probability").alias("probs"),
-        )
+        return self._score(test_arrays)
 
 
 def weasel_grid_fit(
@@ -1036,11 +1050,12 @@ def weasel_grid_fit(
 
     Featurization for EVERY (nm, w, f) runs as one keyed plan; only the
     (4-combo × fold) linear solves loop on the driver — they are the
-    reference's liblinear calls, each over a #train × vocab sparse
-    matrix (MLlib LogisticRegression here).
+    reference's liblinear calls (single-node, WEASELClassifier.java:35),
+    run as driver-local numpy softmax+L-BFGS solves (ml/linear.py). One
+    collect per combo replaces ~10⁵ per-iteration treeAggregate jobs
+    that a distributed LR would schedule for a 30 × vocab matrix.
     """
-    from pyspark.ml.classification import LogisticRegression
-    from sfa_spark.ml.classifiers import _to_vectors
+    from sfa_spark.ml import linear
 
     spark = train_arrays.sparkSession
     max_len = train_arrays.agg(F.max(F.size("values"))).collect()[0][0]
@@ -1079,100 +1094,71 @@ def weasel_grid_fit(
     kept.count()
     key_bags.unpersist()
 
-    # dictionaries + fold splits once; LR per (nm, f) × fold on the driver
+    # fold splits + labels collected ONCE (train-set sized); each combo
+    # collects its bag table once, then every fold solve is local
     folded = folds.stratified_folds(lab, n_folds).select("series_id", "fold")
-    label_map = [
-        r["label"] for r in lab.select("label").distinct().orderBy("label").collect()
-    ]
-    lmap_df = spark.createDataFrame(
-        [(float(l), float(i)) for i, l in enumerate(label_map)],
-        "label double, label_idx double",
-    )
-    n_train = lab.count()
+    fold_of = {r["series_id"]: r["fold"] for r in folded.collect()}
+    label_rows = lab.collect()
+    label_map = sorted({r["label"] for r in label_rows})
+    lab_idx = {l: i for i, l in enumerate(label_map)}
+    y_of = {r["series_id"]: lab_idx[r["label"]] for r in label_rows}
+    sids = sorted(y_of)
+    n_train, k = len(sids), len(label_map)
+    row_of = {sid: i for i, sid in enumerate(sids)}
+    y = np.asarray([y_of[s] for s in sids], dtype=np.int64)
+    fold_arr = np.asarray([fold_of[s] for s in sids], dtype=np.int64)
+    # liblinear parity (L2R_LR, C=1, bias=1 — WEASELClassifier:31-36):
+    # liblinear minimizes C·Σloss + ½‖w‖²; the local objective is
+    # (1/n)Σloss + λ·½‖w‖² → λ = 1/(C·n)
+    lam = 1.0 / (reg_param * n_train)
 
-    def _lr():
-        # liblinear parity (L2R_LR, C=1, bias=1 — WEASELClassifier:31-36):
-        # liblinear minimizes C·Σloss + ½‖w‖²; MLlib minimizes
-        # (1/n)Σloss + regParam·½‖w‖² → regParam = 1/(C·n). MLlib's
-        # default feature standardization has no liblinear counterpart.
-        return LogisticRegression(
-            featuresCol="features", labelCol="label_idx", maxIter=max_iter,
-            regParam=1.0 / (reg_param * n_train), family="multinomial",
-            standardization=False, tol=1e-7,
+    def _combo_matrix(nm, f):
+        pdf = (
+            kept.where((F.col("nm") == nm) & (F.col("f") == f))
+            .select("series_id", "key", "cnt")
+            .toPandas()
         )
+        keys = np.unique(pdf["key"].to_numpy(dtype=np.int64))
+        X = np.zeros((n_train, len(keys)), dtype=np.float64)
+        if len(pdf):
+            ri = pdf["series_id"].map(row_of).to_numpy(dtype=np.int64)
+            ci = np.searchsorted(keys, pdf["key"].to_numpy(dtype=np.int64))
+            X[ri, ci] = pdf["cnt"].to_numpy(dtype=np.float64)
+        return keys, X
 
-    best_key, best_correct, results = None, -1, {}
+    best_key, best_correct = None, -1
     stop = False
     for nm in (True, False):  # reference NORMALIZATION order
         if stop:
             break
         for f in sorted(word_lengths):
-            sub = kept.where((F.col("nm") == nm) & (F.col("f") == f)).select(
-                "series_id", "key", "cnt"
-            )
-            dictionary = (
-                sub.select("key").distinct()
-                .withColumn(
-                    "idx",
-                    F.row_number().over(
-                        Window.partitionBy(F.lit(0)).orderBy("key")
-                    ) - 1,
+            _, X = _combo_matrix(nm, f)
+            correct = 0
+            for s in range(n_folds):
+                te = fold_arr == s
+                tr = ~te
+                if not te.any() or not tr.any():
+                    continue
+                m = linear.fit_softmax(
+                    X[tr], y[tr], k, lam, max_iter=max_iter
                 )
-                .cache()
-            )
-            n_features = dictionary.count() + 1
-            feats = _to_vectors(sub, dictionary, n_features)
-            data = (
-                feats.join(lab, "series_id")
-                .join(F.broadcast(lmap_df), "label")
-                .join(F.broadcast(folded), "series_id")
-                .cache()
-            )
-            data.count()
-
-            def _fold_correct(s):
-                tr = data.where(F.col("fold") != s)
-                te = data.where(F.col("fold") == s)
-                pred = _lr().fit(tr).transform(te)
-                return (
-                    pred.agg(
-                        F.sum(
-                            (F.col("prediction") == F.col("label_idx")).cast("long")
-                        )
-                    ).collect()[0][0]
-                    or 0
-                )
-
-            # fold solves are independent tiny jobs — run them as
-            # concurrent Spark jobs (thread-per-fold; the scheduler
-            # interleaves them across cores)
-            from concurrent.futures import ThreadPoolExecutor
-
-            with ThreadPoolExecutor(max_workers=n_folds) as ex:
-                correct = sum(ex.map(_fold_correct, range(n_folds)))
-            data.unpersist()
-            results[(nm, f)] = (correct, dictionary, n_features)
+                correct += int((m.predict_idx(X[te]) == y[te]).sum())
             if correct > best_correct:
                 best_correct, best_key = correct, (nm, f)
-            else:
-                dictionary.unpersist()
             if correct >= n_train:  # reference early exit on perfect CV
                 stop = True
                 break
 
     nm, f = best_key
-    _, dictionary, n_features = results[best_key]
-    sub = kept.where((F.col("nm") == nm) & (F.col("f") == f)).select(
-        "series_id", "key", "cnt"
+    keys, X = _combo_matrix(nm, f)
+    final = linear.fit_softmax(X, y, k, lam, max_iter=max_iter)
+    weights = spark.createDataFrame(
+        [(int(key), final.W[:, j].tolist()) for j, key in enumerate(keys)],
+        "key bigint, w array<double>",
     )
-    feats = _to_vectors(sub, dictionary, n_features)
-    data = feats.join(lab, "series_id").join(F.broadcast(lmap_df), "label").cache()
-    data.count()
-    lr_model = _lr().fit(data)
-    data.unpersist()
     kept.unpersist()
     return WeaselGridModel(
         nm=nm, f=f, seg_map=seg_map, bins=bins, lens=lens, combos=combos,
-        dictionary=dictionary, lr_model=lr_model, label_map=label_map,
-        n_features=n_features, alphabet=alphabet, lower_bounding=lower_bounding,
+        weights=weights, intercept=final.b.tolist(), label_map=label_map,
+        alphabet=alphabet, lower_bounding=lower_bounding,
     )

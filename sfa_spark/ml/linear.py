@@ -1,0 +1,127 @@
+"""Driver-local multinomial logistic regression (softmax + L2, L-BFGS).
+
+The reference trains WEASEL's linear model with a SINGLE-NODE liblinear
+call over the (tiny) train matrix (WEASELClassifier.java:31-36,214-263)
+— the distributed part of its pipeline is the featurization, not the
+solve. Mirroring that split is also the right Spark architecture: the
+bag-of-keys featurization and the scoring join stay distributed, while
+the #train × vocab solve (30 × 250k for the bundled fixtures) runs on
+the driver in numpy. Using MLlib LogisticRegression here costs ~1
+treeAggregate JOB per L-BFGS iteration (100k scheduler round-trips for
+a 10-fold × 4-combo × 20-snapshot TEASER fit) to move kilobytes.
+
+Objective (MLlib parity, standardization=False, fitIntercept=True):
+    f(W, b) = (1/n) Σ_i CE(softmax(W x_i + b), y_i) + λ · ½‖W‖²
+with the intercept unregularized and λ = 1/(C·n) for liblinear C.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _softmax(z: np.ndarray) -> np.ndarray:
+    z = z - z.max(axis=1, keepdims=True)
+    e = np.exp(z)
+    return e / e.sum(axis=1, keepdims=True)
+
+
+def _fun_grad(theta, X, Y, lam, k, d):
+    """Loss and gradient. theta packs [W (k×d), b (k)]."""
+    n = X.shape[0]
+    W = theta[: k * d].reshape(k, d)
+    b = theta[k * d :]
+    P = _softmax(X @ W.T + b)
+    # cross-entropy; Y is one-hot (n×k)
+    eps = 1e-15
+    f = -np.log(np.maximum((P * Y).sum(axis=1), eps)).mean()
+    f += lam * 0.5 * float((W * W).sum())
+    G = (P - Y) / n  # n×k
+    gW = G.T @ X + lam * W
+    gb = G.sum(axis=0)
+    return f, np.concatenate([gW.ravel(), gb])
+
+
+def _lbfgs(fun_grad, x0, max_iter=100, tol=1e-7, m=10):
+    """Two-loop-recursion L-BFGS with Armijo backtracking — the same
+    family of solver MLlib/breeze uses, sized for driver-local data."""
+    x = x0.copy()
+    f, g = fun_grad(x)
+    s_list, y_list, rho_list = [], [], []
+    for _ in range(max_iter):
+        q = g.copy()
+        alphas = []
+        for s, y, rho in zip(reversed(s_list), reversed(y_list), reversed(rho_list)):
+            a = rho * (s @ q)
+            alphas.append(a)
+            q -= a * y
+        if y_list:
+            ys = y_list[-1] @ s_list[-1]
+            yy = y_list[-1] @ y_list[-1]
+            q *= ys / max(yy, 1e-30)
+        for (s, y, rho), a in zip(zip(s_list, y_list, rho_list), reversed(alphas)):
+            beta = rho * (y @ q)
+            q += (a - beta) * s
+        p = -q
+        gp = g @ p
+        if gp > 0:  # not a descent direction — restart from steepest
+            p = -g
+            gp = -(g @ g)
+        step = 1.0
+        f_new, g_new = fun_grad(x + step * p)
+        while f_new > f + 1e-4 * step * gp and step > 1e-12:
+            step *= 0.5
+            f_new, g_new = fun_grad(x + step * p)
+        if step <= 1e-12:
+            break
+        s_vec = step * p
+        y_vec = g_new - g
+        sy = s_vec @ y_vec
+        if sy > 1e-12:
+            s_list.append(s_vec)
+            y_list.append(y_vec)
+            rho_list.append(1.0 / sy)
+            if len(s_list) > m:
+                s_list.pop(0)
+                y_list.pop(0)
+                rho_list.pop(0)
+        x = x + s_vec
+        if abs(f - f_new) <= tol * max(abs(f), abs(f_new), 1.0):
+            f, g = f_new, g_new
+            break
+        f, g = f_new, g_new
+    return x
+
+
+class LocalSoftmax:
+    """Fitted model: W (k×d), b (k); predict_proba on dense rows."""
+
+    def __init__(self, W: np.ndarray, b: np.ndarray):
+        self.W, self.b = W, b
+
+    def predict_proba(self, X: np.ndarray) -> np.ndarray:
+        return _softmax(np.atleast_2d(X) @ self.W.T + self.b)
+
+    def predict_idx(self, X: np.ndarray) -> np.ndarray:
+        return self.predict_proba(X).argmax(axis=1)
+
+
+def fit_softmax(
+    X: np.ndarray,
+    y_idx: np.ndarray,
+    n_classes: int,
+    lam: float,
+    max_iter: int = 100,
+    tol: float = 1e-7,
+) -> LocalSoftmax:
+    X = np.atleast_2d(np.asarray(X, dtype=np.float64))
+    n, d = X.shape
+    k = int(n_classes)
+    Y = np.zeros((n, k))
+    Y[np.arange(n), np.asarray(y_idx, dtype=np.int64)] = 1.0
+    theta0 = np.zeros(k * d + k)
+    theta = _lbfgs(
+        lambda t: _fun_grad(t, X, Y, lam, k, d), theta0,
+        max_iter=max_iter, tol=tol,
+    )
+    return LocalSoftmax(theta[: k * d].reshape(k, d), theta[k * d :])
