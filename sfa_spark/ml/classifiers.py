@@ -12,7 +12,8 @@ Reference parity:
   * WEASEL — WEASELClassifier (`WEASELClassifier.java:214-309`):
     per window length: supervised SFA (ANOVA+IG) words → unigram+bigram
     keys → union over windows → χ² selection → dictionary → sparse
-    features → logistic regression (liblinear → MLlib LogisticRegression).
+    features → logistic regression (liblinear → driver-local softmax solve,
+    ml/linear.py — the reference solves single-node too).
 
 Spark shape: the parameter grid is a driver-side loop (small, as in the
 reference) but EVERY per-parameter step is a set-oriented Spark job
@@ -25,6 +26,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -225,10 +227,93 @@ def bossvs_fit(
 @dataclass
 class WeaselModel:
     sfa_models: dict[int, sfa.SFAModel]  # window length → supervised SFA
-    dictionary: DataFrame  # (key, idx)
-    lr_model: object  # MLlib LogisticRegressionModel
+    weights: DataFrame  # (key, w array<double> per class)
+    intercept: list[float]
     label_map: list[float]  # index → label
-    n_features: int
+
+
+def _collect_bags(kept: DataFrame, all_sids: list):
+    """Collect a (series_id, key, cnt) bag table into a dense
+    #series × vocab matrix (keys factorized in sorted order). Struct
+    keys (MUSE) land as Row — normalized to tuples for sorting."""
+    import numpy as np
+
+    pdf = kept.select("series_id", "key", "cnt").toPandas()
+
+    def _norm_key(k):
+        if isinstance(k, dict):  # struct keys arrive as dicts (field order)
+            return tuple(k.values())
+        return k if np.isscalar(k) else tuple(k)
+
+    norm = [_norm_key(k) for k in pdf["key"].tolist()]
+    keys = sorted(set(norm))
+    kidx = {kk: j for j, kk in enumerate(keys)}
+    row_of = {sid: i for i, sid in enumerate(all_sids)}
+    X = np.zeros((len(all_sids), len(keys)), dtype=np.float64)
+    for sid, kk, cnt in zip(pdf["series_id"], norm, pdf["cnt"]):
+        X[row_of[sid], kidx[kk]] = float(cnt)
+    return keys, X
+
+
+def _fit_local_softmax(
+    kept: DataFrame,
+    labels: DataFrame,
+    key_schema: str,
+    max_iter: int,
+    reg_param: float,
+):
+    """The reference's liblinear call, as a driver-local numpy solve
+    (WEASELClassifier.java:35 — the solve is single-node there too;
+    featurization and scoring stay distributed). Returns
+    (weights_df, intercept, label_map, keys, X, y, all_sids)."""
+    from sfa_spark.ml import linear
+
+    spark = kept.sparkSession
+    label_rows = labels.select("series_id", "label").collect()
+    label_map = sorted({r["label"] for r in label_rows})
+    lab_idx = {l: i for i, l in enumerate(label_map)}
+    all_sids = sorted({r["series_id"] for r in label_rows})
+    y = np.asarray(
+        [lab_idx[r["label"]] for r in sorted(label_rows, key=lambda r: r["series_id"])],
+        dtype=np.int64,
+    )
+    keys, X = _collect_bags(kept, all_sids)
+    lam = 1.0 / (reg_param * max(len(all_sids), 1))
+    model = linear.fit_softmax(X, y, len(label_map), lam, max_iter=max_iter)
+    weights = spark.createDataFrame(
+        [(kk, model.W[:, j].tolist()) for j, kk in enumerate(keys)],
+        f"key {key_schema}, w array<double>",
+    )
+    return weights, model.b.tolist(), label_map, keys, X, y, all_sids
+
+
+def _score_with_weights(
+    key_bags: DataFrame,
+    all_ids: DataFrame,
+    weights: DataFrame,
+    intercept: list[float],
+    label_map: list[float],
+) -> DataFrame:
+    """Distributed scoring: bag keys ⋈ broadcast weight table →
+    per-class sums → softmax argmax in SQL. Unseen keys drop out of
+    the join; empty bags score intercept-only via the left join."""
+    k = len(label_map)
+    per = (
+        key_bags.join(F.broadcast(weights), "key")
+        .groupBy("series_id")
+        .agg(
+            *[F.sum(F.col("cnt") * F.col("w")[c]).alias(f"_s{c}") for c in range(k)]
+        )
+    )
+    base = all_ids.join(per, "series_id", "left").fillna(0.0)
+    z = [F.col(f"_s{c}") + F.lit(float(intercept[c])) for c in range(k)]
+    arr = F.array(*z)
+    idx = F.array_position(arr, F.array_max(arr)) - 1
+    labels_arr = F.array(*[F.lit(float(l)) for l in label_map])
+    return base.select(
+        "series_id",
+        F.element_at(labels_arr, idx.cast("int") + 1).alias("pred_label"),
+    )
 
 
 def _weasel_features(
@@ -245,45 +330,6 @@ def _weasel_features(
     return bags.bag_of_keys(allk)
 
 
-def _to_vectors(key_bags: DataFrame, dictionary: DataFrame, n_features: int) -> DataFrame:
-    """bags ⋈ dictionary → MLlib SparseVector features per series."""
-    from pyspark.ml.linalg import SparseVector, VectorUDT
-
-    joined = (
-        key_bags.join(F.broadcast(dictionary), "key")
-        .groupBy("series_id")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("idx").alias("i"), F.col("cnt").alias("v")))
-            ).alias("pairs")
-        )
-    )
-
-    @F.udf(returnType=VectorUDT())
-    def to_vec(pairs):
-        return SparseVector(
-            n_features, [p["i"] for p in pairs], [float(p["v"]) for p in pairs]
-        )
-
-    return joined.select("series_id", to_vec("pairs").alias("features"))
-
-
-def _empty_vec_fill(all_ids: DataFrame, feats: DataFrame, n_features: int) -> DataFrame:
-    """Left-join features onto the full id set, filling series with zero
-    surviving keys with an empty SparseVector (they still need a row)."""
-    from pyspark.ml.linalg import SparseVector, VectorUDT
-
-    n_feats = n_features  # close over the int only (picklable)
-
-    @F.udf(returnType=VectorUDT())
-    def empty_vec():
-        return SparseVector(n_feats, [], [])
-
-    return all_ids.join(feats, "series_id", "left").select(
-        "series_id", F.coalesce("features", empty_vec()).alias("features")
-    )
-
-
 def weasel_fit(
     train_arrays: DataFrame,
     labels: DataFrame,
@@ -296,9 +342,8 @@ def weasel_fit(
     reg_param: float = 1.0,
 ) -> WeaselModel:
     """Fit WEASEL: supervised SFA per window → key bags → χ² →
-    dictionary → LogisticRegression (the liblinear L2R_LR analogue)."""
-    from pyspark.ml.classification import LogisticRegression
-
+    driver-local softmax solve (the liblinear L2R_LR analogue —
+    single-node in the reference too, WEASELClassifier.java:35)."""
     sfa_models = {
         w: sfa.fit_supervised(
             train_arrays, labels, window=w, word_length=word_length,
@@ -313,63 +358,22 @@ def weasel_fit(
         limit=chi2_limit, word_limit=word_limit, key_col="key",
     )
     kept = select.filter_bags(key_bags, selected, key_col="key")
-    dictionary = (
-        kept.select("key").distinct()
-        .withColumn(
-            "idx",
-            # vocabulary is χ²-capped (≤ ~2·word_limit rows); constant
-            # partition avoids the no-partition global-sort WindowExec
-            F.row_number().over(Window.partitionBy(F.lit(0)).orderBy("key")) - 1,
-        )
-        .cache()
+    weights, intercept, label_map, *_ = _fit_local_softmax(
+        kept, labels, "bigint", max_iter, reg_param
     )
-    n_features = dictionary.count() + 1
-    feats = _to_vectors(kept, dictionary, n_features)
-    label_map = [r["label"] for r in labels.select("label").distinct().orderBy("label").collect()]
-    lmap = {lab: i for i, lab in enumerate(label_map)}
-    lmap_df = labels.sparkSession.createDataFrame(
-        [(float(lab), float(i)) for lab, i in lmap.items()],
-        "label double, label_idx double",
-    )
-    # cache: LR iterates treeAggregate jobs — without this the whole
-    # featurization lineage (MFT -> keys -> chi2 -> vectors) re-executes
-    # EVERY iteration (observed 11s/iter at sf0.01)
-    train = feats.join(labels, "series_id").join(F.broadcast(lmap_df), "label").cache()
-    n_train = train.count()
-    # liblinear parity: C=1 maps to regParam = 1/(C·n); MLlib's default
-    # feature standardization has no liblinear counterpart
-    lr = LogisticRegression(
-        featuresCol="features", labelCol="label_idx",
-        maxIter=max_iter, regParam=1.0 / (reg_param * n_train),
-        family="multinomial", standardization=False,
-    )
-    lr_model = lr.fit(train)
-    train.unpersist()
-    return WeaselModel(sfa_models, dictionary, lr_model, label_map, n_features)
+    key_bags.unpersist()
+    return WeaselModel(sfa_models, weights, intercept, label_map)
 
 
 def weasel_predict(model: WeaselModel, test_arrays: DataFrame) -> DataFrame:
     key_bags = _weasel_features(model.sfa_models, test_arrays)
-    feats = _to_vectors(key_bags, model.dictionary, model.n_features)
-    # series with zero surviving keys still need a row (empty vector)
-    all_ids = test_arrays.select("series_id")
-    from pyspark.ml.linalg import SparseVector, VectorUDT
-
-    n_feats = model.n_features  # close over the int only (picklable)
-
-    @F.udf(returnType=VectorUDT())
-    def empty_vec():
-        return SparseVector(n_feats, [], [])
-
-    feats = all_ids.join(feats, "series_id", "left").select(
-        "series_id", F.coalesce("features", empty_vec()).alias("features")
+    return _score_with_weights(
+        key_bags,
+        test_arrays.select("series_id").distinct(),
+        model.weights,
+        model.intercept,
+        model.label_map,
     )
-    pred = model.lr_model.transform(feats)
-    idx_map = feats.sparkSession.createDataFrame(
-        [(float(i), lab) for i, lab in enumerate(model.label_map)],
-        "prediction double, pred_label double",
-    )
-    return pred.join(F.broadcast(idx_map), "prediction").select("series_id", "pred_label")
 
 
 # ---------------------------------------------------------------- MUSE
@@ -377,10 +381,9 @@ def weasel_predict(model: WeaselModel, test_arrays: DataFrame) -> DataFrame:
 @dataclass
 class MuseModel:
     sfa_models: dict[tuple[int, int], sfa.SFAModel]  # (dim, window) → SFA
-    dictionary: DataFrame
-    lr_model: object
+    weights: DataFrame  # (key struct, w array<double> per class)
+    intercept: list[float]
     label_map: list[float]
-    n_features: int
 
 
 def _muse_keys(words: DataFrame, dim: int, window: int, bigrams: bool) -> DataFrame:
@@ -428,11 +431,9 @@ def muse_fit(
 ) -> MuseModel:
     """MUSE (multivariate WEASEL, reference MUSEClassifier.java:163-268):
     per (dimension × window) unsupervised SFA words → struct keys →
-    χ² → dictionary → LogisticRegression.
+    χ² → driver-local softmax solve.
 
     mv_arrays: (series_id, dim, values array<double>)."""
-    from pyspark.ml.classification import LogisticRegression
-
     dims = [r["dim"] for r in mv_arrays.select("dim").distinct().orderBy("dim").collect()]
     sfa_models: dict[tuple[int, int], sfa.SFAModel] = {}
     parts = []
@@ -455,33 +456,12 @@ def muse_fit(
         word_limit=10000, key_col="key",
     )
     kept = select.filter_bags(key_bags, selected, key_col="key")
-    dictionary = (
-        kept.select("key").distinct()
-        .withColumn(
-            "idx",
-            # vocabulary is χ²-capped (≤ ~2·word_limit rows); constant
-            # partition avoids the no-partition global-sort WindowExec
-            F.row_number().over(Window.partitionBy(F.lit(0)).orderBy("key")) - 1,
-        )
-        .cache()
+    weights, intercept, label_map, *_ = _fit_local_softmax(
+        kept, labels, "struct<w:int,d:int,word:bigint,word2:bigint>",
+        max_iter, reg_param,
     )
-    n_features = dictionary.count() + 1
-    feats = _to_vectors(kept, dictionary, n_features)
-    label_map = [r["label"] for r in labels.select("label").distinct().orderBy("label").collect()]
-    lmap_df = labels.sparkSession.createDataFrame(
-        [(float(lab), float(i)) for i, lab in enumerate(label_map)],
-        "label double, label_idx double",
-    )
-    train = feats.join(labels, "series_id").join(F.broadcast(lmap_df), "label").cache()
-    n_train = train.count()  # materialize before iterative LR (see weasel_fit note)
-    lr = LogisticRegression(
-        featuresCol="features", labelCol="label_idx",
-        maxIter=max_iter, regParam=1.0 / (reg_param * n_train),
-        family="multinomial", standardization=False,
-    )
-    model = lr.fit(train)
-    train.unpersist()
-    return MuseModel(sfa_models, dictionary, model, label_map, n_features)
+    key_bags.unpersist()
+    return MuseModel(sfa_models, weights, intercept, label_map)
 
 
 def muse_predict(model: MuseModel, mv_arrays: DataFrame, bigrams: bool = True) -> DataFrame:
@@ -494,25 +474,13 @@ def muse_predict(model: MuseModel, mv_arrays: DataFrame, bigrams: bool = True) -
     for p in parts[1:]:
         allk = allk.unionByName(p)
     key_bags = bags.bag_of_keys(allk)
-    feats = _to_vectors(key_bags, model.dictionary, model.n_features)
-    all_ids = mv_arrays.select("series_id").distinct()
-    from pyspark.ml.linalg import SparseVector, VectorUDT
-
-    n_feats = model.n_features
-
-    @F.udf(returnType=VectorUDT())
-    def empty_vec():
-        return SparseVector(n_feats, [], [])
-
-    feats = all_ids.join(feats, "series_id", "left").select(
-        "series_id", F.coalesce("features", empty_vec()).alias("features")
+    return _score_with_weights(
+        key_bags,
+        mv_arrays.select("series_id").distinct(),
+        model.weights,
+        model.intercept,
+        model.label_map,
     )
-    pred = model.lr_model.transform(feats)
-    idx_map = feats.sparkSession.createDataFrame(
-        [(float(i), lab) for i, lab in enumerate(model.label_map)],
-        "prediction double, pred_label double",
-    )
-    return pred.join(F.broadcast(idx_map), "prediction").select("series_id", "pred_label")
 
 
 def weasel_fit_grid(
@@ -530,45 +498,46 @@ def weasel_fit_grid(
     early exit on a perfect CV score; refit the winner on all data.
     (Reference grids norm ∈ {T,F} too; norm_mean passes through **kw.)
     """
-    from pyspark.ml.classification import LogisticRegression
+    from sfa_spark.ml import linear
 
-    folded = folds.stratified_folds(labels, n_folds).cache()
+    fold_of = {
+        r["series_id"]: r["fold"]
+        for r in folds.stratified_folds(labels, n_folds).collect()
+    }
     best_f, best_acc = word_lengths[0], -1.0
     for f in word_lengths:
         model = weasel_fit(
             train_arrays, labels, windows, word_length=f, alphabet=alphabet, **kw
         )
-        # CV accuracy on the fitted featurization (bags fixed, LR per fold)
+        # CV accuracy on the fitted featurization: bags collected once,
+        # every fold solve is driver-local (liblinear architecture)
         key_bags = _weasel_features(model.sfa_models, train_arrays)
-        kept = select.filter_bags(key_bags, model.dictionary, key_col="key")
-        feats = _to_vectors(kept, model.dictionary, model.n_features)
-        lmap_df = labels.sparkSession.createDataFrame(
-            [(float(lab), float(i)) for i, lab in enumerate(model.label_map)],
-            "label double, label_idx double",
+        kept = key_bags.join(
+            F.broadcast(model.weights.select("key")), "key", "left_semi"
         )
-        data = (
-            feats.join(labels, "series_id")
-            .join(F.broadcast(lmap_df), "label")
-            .join(folded.select("series_id", "fold"), "series_id")
-            .cache()
+        label_rows = labels.select("series_id", "label").collect()
+        lab_idx = {l: i for i, l in enumerate(model.label_map)}
+        all_sids = sorted({r["series_id"] for r in label_rows})
+        y = np.asarray(
+            [
+                lab_idx[r["label"]]
+                for r in sorted(label_rows, key=lambda r: r["series_id"])
+            ],
+            dtype=np.int64,
         )
-        data.count()
+        _, X = _collect_bags(kept, all_sids)
+        fold_arr = np.asarray([fold_of[s] for s in all_sids], dtype=np.int64)
         correct = total = 0
         for i in range(n_folds):
-            tr = data.where(F.col("fold") != i)
-            te = data.where(F.col("fold") == i)
-            lr = LogisticRegression(
-                featuresCol="features", labelCol="label_idx", maxIter=15,
-                regParam=0.5, family="multinomial",
+            te = fold_arr == i
+            tr = ~te
+            if not te.any() or not tr.any():
+                continue
+            m = linear.fit_softmax(
+                X[tr], y[tr], len(model.label_map), 0.5, max_iter=15
             )
-            pred = lr.fit(tr).transform(te)
-            r = pred.agg(
-                F.sum((F.col("prediction") == F.col("label_idx")).cast("long")),
-                F.count(F.lit(1)),
-            ).collect()[0]
-            correct += r[0] or 0
-            total += r[1]
-        data.unpersist()
+            correct += int((m.predict_idx(X[te]) == y[te]).sum())
+            total += int(te.sum())
         acc = correct / total if total else 0.0
         if acc > best_acc:
             best_acc, best_f = acc, f
