@@ -152,11 +152,14 @@ def test_chi2_sf_matches_known_values():
 def test_chi2_pvalue_selection(spark):
     from sfa_spark.operators import select
 
-    # word 1 perfectly separates classes; word 2 is uniform
+    # words 1/2 perfectly separate the classes (10-of-20 samples each
+    # → presence χ² = 10, p ≈ 0.0016); word 3 is uniform (χ² = 0).
+    # Presence-count semantics (reference trainChiSquared): cnt
+    # magnitude is irrelevant, sample membership is what counts.
     bag = spark.createDataFrame(
-        [(i, 1, 30, 0) for i in range(3)]
-        + [(10 + i, 2, 30, 1) for i in range(3)]
-        + [(i, 3, 10, i % 2) for i in range(6)],
+        [(i, 1, 30, 0) for i in range(10)]
+        + [(10 + i, 2, 30, 1) for i in range(10)]
+        + [(i, 3, 10, 0 if i < 10 else 1) for i in range(20)],
         "series_id long, word long, cnt long, label long",
     )
     sel = select.chi_squared_pvalues(bag, p_limit=0.01)
