@@ -128,3 +128,76 @@ def fingerprint(docs: DataFrame, n_min: int = 4) -> DataFrame:
         topn.groupBy("doc_id")
         .agg(F.md5(F.concat_ws("", F.array_sort(F.collect_list("h")))).alias("fingerprint"))
     )
+
+
+def ngram_counts(docs: DataFrame, n: int = 2) -> DataFrame:
+    """Corpus-wide word n-gram counts: (gram, cnt). The n-gram build is
+    a per-doc array transform (no join), the count one hash aggregate —
+    map-side combinable, the canonical corpus-statistics pass."""
+    d = with_tokens(docs)
+    idx = F.when(
+        F.size("toks") >= n, F.sequence(F.lit(0), F.size("toks") - n)
+    ).otherwise(F.array())
+    grams = d.select(
+        "doc_id",
+        F.explode(idx).alias("i"),
+        "toks",
+    ).select(
+        F.concat_ws(
+            " ", *[F.element_at("toks", F.col("i") + j + 1) for j in range(n)]
+        ).alias("gram")
+    )
+    return grams.groupBy("gram").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+
+
+def bm25_search(
+    docs: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int = 10,
+) -> DataFrame:
+    """BM25 keyword retrieval over the corpus (Lucene idf form:
+    ln(1 + (N − df + 0.5)/(df + 0.5))).
+
+    Scale shape: the term→postings table is filtered by the BROADCAST
+    query-term list before anything heavy (an inverted-index probe, not
+    a corpus scan per query); N/avgdl/df stay in-plan as broadcast
+    aggregates; the final top-k is TakeOrderedAndProject + the k×k rank
+    join. Output: (doc_id, score, rk).
+    """
+    spark = docs.sparkSession
+    d = with_tokens(docs)
+    tf = (
+        d.select("doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    qdf = F.broadcast(
+        spark.createDataFrame([(t,) for t in query_terms], "term string")
+    )
+    hits = tf.join(qdf, "term")
+    corpus = F.broadcast(
+        d.select(
+            F.count(F.lit(1)).cast("double").alias("n_docs"),
+            F.avg(F.size("toks")).alias("avgdl"),
+        )
+    )
+    dfreq = F.broadcast(
+        hits.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    scored = (
+        hits.join(dfreq, "term")
+        .crossJoin(corpus)
+        .withColumn("part", idf * F.col("tf") * (k1 + 1.0) / denom)
+        .groupBy("doc_id")
+        .agg(F.sum("part").alias("score"))
+    )
+    from sfa_spark.operators.topk import ranked_top_k
+
+    return ranked_top_k(scored, [("score", True), ("doc_id", False)], topk)

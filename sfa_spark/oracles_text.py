@@ -342,3 +342,47 @@ pairs AS (
 )
 SELECT doc_a, doc_b, round(cosine + 1e-9, 4) + 0.0 AS cosine
 FROM pairs WHERE cosine >= 0.35"""
+
+ORACLES["q_bm25_search"] = f"""WITH t AS (
+  SELECT doc_id, {_TOKS} AS tk FROM documents
+),
+tf AS (
+  SELECT doc_id, len(tk) AS dl, u.term, CAST(count(*) AS DOUBLE) AS tf
+  FROM t, unnest(tk) AS u(term)
+  GROUP BY 1, 2, 3
+),
+hits AS (
+  SELECT * FROM tf WHERE term IN ('query', 'filter', 'join')
+),
+corpus AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(len(tk)) AS avgdl FROM t
+),
+dfreq AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM hits GROUP BY 1
+),
+scored AS (
+  SELECT h.doc_id,
+         sum(ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * h.tf * 2.2 / (h.tf + 1.2 * (0.25 + 0.75 * h.dl / c.avgdl))
+         ) AS score
+  FROM hits h JOIN dfreq d USING (term) CROSS JOIN corpus c
+  GROUP BY 1
+)
+SELECT doc_id, round(score + 1e-9, 4) + 0.0 AS score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rk
+FROM scored
+ORDER BY score DESC, doc_id ASC LIMIT 10"""
+
+ORACLES["q_ngram_topk"] = f"""WITH t AS (
+  SELECT doc_id, {_TOKS} AS tk FROM documents
+),
+grams AS (
+  SELECT tk[j] || ' ' || tk[j+1] AS gram
+  FROM (SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS j FROM t)
+),
+counts AS (
+  SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM grams GROUP BY 1
+)
+SELECT gram, cnt,
+       CAST(row_number() OVER (ORDER BY cnt DESC, gram ASC) AS INT) AS rk
+FROM counts ORDER BY cnt DESC, gram ASC LIMIT 20"""

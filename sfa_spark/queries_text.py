@@ -177,3 +177,23 @@ def q_cosine_multiprobe(spark, sf_dir):
         n_bits=IVF_BITS, n_probes=4,
     )
     return res.select("q_id", "nn_id", rnd("cosine", 4).alias("cosine"), "rk")
+
+
+BM25_TERMS = ["query", "filter", "join"]
+
+
+def q_bm25_search(spark, sf_dir):
+    """BM25 keyword retrieval (Lucene idf form) — the corpus-search
+    member of the text family: broadcast query-term probe of the
+    inverted postings, in-plan N/avgdl/df, ranked top-10."""
+    res = text.bm25_search(_docs(spark, sf_dir), BM25_TERMS, topk=10)
+    return res.select("doc_id", rnd("score", 4).alias("score"), "rk")
+
+
+def q_ngram_topk(spark, sf_dir):
+    """Corpus-wide bigram counts, top 20 — the n-gram corpus-statistics
+    pass (one array transform + one map-side-combinable aggregate)."""
+    from sfa_spark.operators.topk import ranked_top_k
+
+    counts = text.ngram_counts(_docs(spark, sf_dir), n=2)
+    return ranked_top_k(counts, [("cnt", True), ("gram", False)], 20)
