@@ -5,7 +5,6 @@ embedding similarity search. Mirrored in sfa_spark/oracles_text.py.
 
 from __future__ import annotations
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from sfa_spark.operators import dedup, similarity, text
