@@ -222,3 +222,78 @@ def embedding_neardup(
         )
         .where(F.col("cosine") >= F.lit(tau))
     )
+
+
+def dedup_groups(
+    pairs: DataFrame,
+    docs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Near-dup PAIRS → canonical GROUPS: connected components with
+    group_id = min doc id in the component — the step that turns an
+    LSH/verify pair list into a keep/drop decision per document.
+
+    Iterative min-label propagation over the undirected edge set; each
+    round is one join+groupBy, and `localCheckpoint` cuts the lineage so
+    round N's plan doesn't replay rounds 1..N−1. Near-dup components are
+    shallow (duplicate clusters, not arbitrary graphs), so rounds ≈
+    component diameter ≈ 2-4; for adversarial graphs the alternating
+    large-star/small-star variant (Kiveris et al., "Connected Components
+    in MapReduce") bounds rounds at O(log n) with the same per-round
+    plan shape.
+
+    Output: (doc_id, group_id[, is_canonical]) — every doc in `docs`
+    (if given) appears; docs in no pair form singleton groups."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias(id_col))
+        .distinct()
+        .withColumn("group_id", F.col(id_col))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # min label among self and neighbors
+        nbr = (
+            edges.join(
+                labels.withColumnRenamed(id_col, "dst").withColumnRenamed(
+                    "group_id", "nbr_label"
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias(id_col))
+            .agg(F.min("nbr_label").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(nbr, id_col, "left")
+            .select(
+                id_col,
+                F.least(
+                    F.col("group_id"), F.coalesce("nbr_min", F.col("group_id"))
+                ).alias("group_id"),
+                (F.coalesce("nbr_min", F.col("group_id")) < F.col("group_id")).alias(
+                    "_chg"
+                ),
+            )
+        ).localCheckpoint(eager=True)
+        changed = updated.where("_chg").limit(1).count()
+        labels = updated.drop("_chg")
+        if changed == 0:
+            break
+    edges.unpersist()
+    if docs is not None:
+        labels = (
+            docs.select(id_col)
+            .join(labels, id_col, "left")
+            .select(id_col, F.coalesce("group_id", F.col(id_col)).alias("group_id"))
+        )
+    return labels.withColumn(
+        "is_canonical", F.col("group_id") == F.col(id_col)
+    )

@@ -312,3 +312,144 @@ def cosine_topk_bucketed(
         scored.withColumn("rk", F.row_number().over(w).cast("int"))
         .where(F.col("rk") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Learned coarse quantizer: k-means IVF (Faiss-style IVFFlat re-expressed
+# as DataFrame ops). Train on a bounded deterministic sample (driver
+# numpy Lloyd — the sample is bounded no matter the corpus size, same
+# shape as fit_equi_depth_bins' driver-side summaries), assign each
+# corpus vector to its nearest centroid, write partitionBy(centroid_id),
+# probe the n nearest centroids per query with exact re-rank inside.
+# Candidates ∝ n_probes/C of the corpus; the probe join prunes
+# partitions when the corpus is written partitioned by centroid.
+
+
+def kmeans_fit(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_limit: int = 65536,
+    iters: int = 10,
+) -> DataFrame:
+    """Lloyd k-means on a deterministic bounded sample; returns a small
+    DataFrame (centroid_id int, cvec array<double>).
+
+    Sample = top `sample_limit` rows by xxhash64(id) — uniform and
+    deterministic at ANY corpus size (plans as TakeOrderedAndProject,
+    no full shuffle). Init = the n_centroids sampled vectors with the
+    smallest ids (so `iters=0` yields data-derived centroids an
+    external oracle can reproduce). Empty clusters keep their previous
+    centroid. Driver cost is O(sample × C × d) numpy — bounded."""
+    import numpy as np
+
+    spark = corpus.sparkSession
+    rows = (
+        corpus.select(
+            F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+        )
+        .orderBy(F.xxhash64(F.col("id")), F.col("id"))
+        .limit(sample_limit)
+        .collect()
+    )
+    rows.sort(key=lambda r: r["id"])
+    x = np.array([r["v"] for r in rows], dtype=np.float64)
+    cent = x[:n_centroids].copy()
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(n_centroids):
+            m = assign == j
+            if m.any():
+                cent[j] = x[m].mean(axis=0)
+    return spark.createDataFrame(
+        [(int(j), [float(v) for v in cent[j]]) for j in range(n_centroids)],
+        "centroid_id int, cvec array<double>",
+    )
+
+
+def _sqdist_expr(a, b):
+    """Σ (a[i]−b[i])² as a deterministic left-to-right JVM fold."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_probes: int = 1,
+) -> DataFrame:
+    """Attach the n_probes nearest centroid ids to each vector.
+
+    Output: (id_col, vec_col…, centroid_id, crk) with crk = 1..n_probes
+    (crk 1 is the home centroid — the IVF list assignment). The
+    centroid table is broadcast (C rows); the per-row argmin is a keyed
+    window over C candidates, never a global sort."""
+    d = df.crossJoin(F.broadcast(centroids)).withColumn(
+        "_cdist", _sqdist_expr(_as_double(F.col(vec_col)), F.col("cvec"))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_cdist").asc(), F.col("centroid_id").asc()
+    )
+    return (
+        d.withColumn("crk", F.row_number().over(w).cast("int"))
+        .where(F.col("crk") <= n_probes)
+        .drop("cvec", "_cdist")
+    )
+
+
+def cosine_topk_kmeans(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    k: int,
+    n_probes: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-Flat ANN: corpus vectors live in their home centroid's list;
+    each query probes its n_probes nearest centroids with an exact
+    cosine re-rank over the union. Output (q_id, nn_id, cosine, rk).
+
+    At 100 TB: centroids broadcast, corpus assigned once (and ideally
+    written partitionBy(centroid_id) — see test for pruning evidence),
+    queries broadcast into the probed lists only."""
+    c = ivf_assign(
+        with_norm(corpus, vec_col), centroids, vec_col, id_col, n_probes=1
+    ).select(
+        F.col(id_col).alias("nn_id"),
+        _as_double(F.col(vec_col)).alias("cv"),
+        F.col("norm").alias("cn"),
+        "centroid_id",
+    )
+    q = ivf_assign(
+        with_norm(queries, vec_col), centroids, vec_col, id_col, n_probes=n_probes
+    ).select(
+        F.col(id_col).alias("q_id"),
+        _as_double(F.col(vec_col)).alias("qv"),
+        F.col("norm").alias("qn"),
+        "centroid_id",
+    )
+    pairs = c.join(F.broadcast(q), "centroid_id").where(
+        F.col("q_id") != F.col("nn_id")
+    )
+    # each (q, nn) pair occurs at most once: a corpus vector lives in
+    # exactly ONE home list, so no dedup pass is needed before ranking
+    scored = pairs.select(
+        "q_id",
+        "nn_id",
+        (dot_expr(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("nn_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= k)
+    )

@@ -386,3 +386,100 @@ counts AS (
 SELECT gram, cnt,
        CAST(row_number() OVER (ORDER BY cnt DESC, gram ASC) AS INT) AS rk
 FROM counts ORDER BY cnt DESC, gram ASC LIMIT 20"""
+
+
+# IVF-Flat with data-derived centroids (q_cosine_kmeans trains iters=0 →
+# centroids are the vectors with vec_id < 8; assignment = argmin sqdist
+# with centroid_id tiebreak, queries probe their 2 nearest lists)
+ORACLES["q_cosine_kmeans"] = f"""WITH {_NORMED},
+cents AS (
+  SELECT CAST(vec_id AS INT) AS centroid_id, embedding AS cvec
+  FROM embeddings WHERE vec_id < 8
+),
+a AS (
+  SELECT n.vec_id, n.embedding, n.nrm, c.centroid_id,
+         (SELECT sum((n.embedding[i]::DOUBLE - c.cvec[i]::DOUBLE)
+                     * (n.embedding[i]::DOUBLE - c.cvec[i]::DOUBLE))
+          FROM generate_series(1, 64) t(i)) AS d
+  FROM normed n CROSS JOIN cents c
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY d ASC, centroid_id ASC) AS crk
+  FROM a
+),
+home AS (SELECT vec_id, embedding, nrm, centroid_id FROM ranked WHERE crk = 1),
+probes AS (
+  SELECT vec_id, embedding, nrm, centroid_id
+  FROM ranked WHERE crk <= 2 AND vec_id < 10
+),
+pairs AS (
+  SELECT q.vec_id AS q_id, h.vec_id AS nn_id,
+         (SELECT sum(q.embedding[i]::DOUBLE * h.embedding[i]::DOUBLE)
+          FROM generate_series(1, 64) t(i)) / (q.nrm * h.nrm) AS cosine
+  FROM probes q JOIN home h USING (centroid_id)
+  WHERE q.vec_id <> h.vec_id
+)
+SELECT q_id, nn_id, round(cosine + 1e-9, 4) + 0.0 AS cosine,
+       CAST(row_number() OVER (
+           PARTITION BY q_id ORDER BY cosine DESC, nn_id ASC) AS INT) AS rk
+FROM pairs QUALIFY rk <= 3"""
+
+# near-dup pairs → connected-component groups (min-id canonical):
+# LSH candidates verified at jaccard >= 0.5, then transitive closure
+ORACLES["q_dedup_groups"] = f"""WITH RECURSIVE {_SIGS},
+banded AS (
+  SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+         md5(string_agg(minhash, ',' ORDER BY seed)) AS band_key
+  FROM sigs GROUP BY doc_id, 2
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b USING (band, band_key)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM shingles a JOIN shingles b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+ver AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c
+  JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+  JOIN sizes sa ON sa.doc_id = c.doc_a
+  JOIN sizes sb ON sb.doc_id = c.doc_b
+  WHERE i.inter * 1.0 / (sa.sz + sb.sz - i.inter) >= 0.5
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM ver
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM ver
+),
+reach(node, root) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+),
+grp AS (SELECT node AS doc_id, min(root) AS group_id FROM reach GROUP BY node)
+SELECT d.doc_id,
+       coalesce(g.group_id, d.doc_id) AS group_id,
+       coalesce(g.group_id, d.doc_id) = d.doc_id AS is_canonical
+FROM documents d LEFT JOIN grp g USING (doc_id)"""
+
+
+# deterministic md5-gated sampling (operators/sample.py): unit hash =
+# first 8 hex chars of md5('s:' || key) / 2^32
+_HUNIT = "(('0x' || substr(md5('s:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0)"
+
+ORACLES["q_hash_sample"] = f"""SELECT doc_id, lang FROM documents
+WHERE {_HUNIT} < 0.2"""
+
+ORACLES["q_stratified_sample"] = f"""SELECT doc_id, lang FROM documents
+WHERE {_HUNIT} < (CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.25 ELSE 0.1 END)"""
+
+ORACLES["q_hash_top_n"] = f"""SELECT doc_id, lang FROM documents
+ORDER BY {_HUNIT} ASC, doc_id ASC LIMIT 100"""

@@ -196,3 +196,74 @@ def q_ngram_topk(spark, sf_dir):
 
     counts = text.ngram_counts(_docs(spark, sf_dir), n=2)
     return ranked_top_k(counts, [("cnt", True), ("gram", False)], 20)
+
+
+KMEANS_C = 8
+KMEANS_PROBES = 2
+
+
+def q_cosine_kmeans(spark, sf_dir):
+    """IVF-Flat ANN with a learned coarse quantizer (kmeans_fit →
+    ivf_assign → probe-2-lists exact re-rank). For oracle
+    reproducibility this query trains with iters=0, making the
+    centroids the 8 smallest-id corpus vectors (data-derived, SQL-
+    reproducible); the Lloyd-trained path and its recall are covered by
+    tests/test_llm_ops.py."""
+    emb = _emb(spark, sf_dir)
+    cents = similarity.kmeans_fit(emb, n_centroids=KMEANS_C, iters=0)
+    res = similarity.cosine_topk_kmeans(
+        emb.where(F.col("vec_id") < COS_QUERIES), emb, cents,
+        k=IVF_K, n_probes=KMEANS_PROBES,
+    )
+    return res.select("q_id", "nn_id", rnd("cosine", 4).alias("cosine"), "rk")
+
+
+def q_dedup_groups(spark, sf_dir):
+    """Pairs → canonical GROUPS: MinHash-LSH candidates, exact-Jaccard
+    verify (τ ≥ 0.5), connected components by iterative min-label
+    propagation — the keep/drop decision per document that a 100 TB
+    dedup pass actually emits. Singletons keep their own id."""
+    docs = _docs(spark, sf_dir)
+    sig = dedup.minhash_signatures(docs, n_seeds=8, k=3)
+    cand = dedup.lsh_candidate_pairs(sig, band_size=2)
+    exact = dedup.jaccard_pairs(docs, k=3)
+    verified = cand.join(exact, ["doc_a", "doc_b"]).where(F.col("jaccard") >= 0.5)
+    return dedup.dedup_groups(verified, docs)
+
+
+SAMPLE_FRACTIONS = {"en": 0.5, "zh": 0.25}
+SAMPLE_DEFAULT = 0.1
+
+
+def q_hash_sample(spark, sf_dir):
+    """Deterministic hash-gated 20% sample — reproducible across runs,
+    engines, and partitionings (md5 gate, not RNG)."""
+    from sfa_spark.operators import sample
+
+    return sample.hash_sample(
+        _docs(spark, sf_dir).select("doc_id", "lang"), "doc_id", 0.2
+    )
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Per-language keep rates (downsample dominant strata, floor the
+    tail) — the rebalancing pass of a corpus mixture."""
+    from sfa_spark.operators import sample
+
+    return sample.stratified_sample(
+        _docs(spark, sf_dir).select("doc_id", "lang"),
+        "doc_id",
+        "lang",
+        SAMPLE_FRACTIONS,
+        default_fraction=SAMPLE_DEFAULT,
+    )
+
+
+def q_hash_top_n(spark, sf_dir):
+    """Exactly-100 deterministic sample (smallest key hashes; plans as
+    TakeOrderedAndProject — parallel partial top-n, no full sort)."""
+    from sfa_spark.operators import sample
+
+    return sample.hash_top_n(
+        _docs(spark, sf_dir).select("doc_id", "lang"), "doc_id", 100
+    )

@@ -43,23 +43,71 @@ def wide_to_long(
     )
 
 
-def derivatives(mv_long: DataFrame, n_dims: int) -> DataFrame:
+def derivatives(mv_long: DataFrame, n_dims: int, pad_last: bool = False) -> DataFrame:
     """Append per-dim |first difference| channels as dims n_dims..2n−1.
-    The derivative series has length n−1 (reference drops the last)."""
+
+    pad_last=False (default): derivative series has length n−1 (the
+    difference channel's natural support).
+    pad_last=True: exact reference parity — `getDerivatives`
+    (`TimeSeriesLoader.java:227-241`) allocates `new double[n]` and
+    fills indices 0..n−2, so the derivative channel keeps length n with
+    a trailing 0.0. Use this for fixture-parity classification runs."""
     w = Window.partitionBy("series_id", "dim").orderBy("pos")
     nxt = F.lead("value").over(w)
-    deriv = (
-        mv_long.withColumn("nxt", nxt)
-        .where(F.col("nxt").isNotNull())
-        .select(
+    if pad_last:
+        deriv = mv_long.withColumn("nxt", nxt).select(
             "series_id",
             (F.col("dim") + n_dims).alias("dim"),
             "pos",
-            F.abs(F.col("nxt") - F.col("value")).alias("value"),
-            (F.col("n") - 1).alias("n"),
+            F.when(
+                F.col("nxt").isNull(), F.lit(0.0)
+            ).otherwise(F.abs(F.col("nxt") - F.col("value"))).alias("value"),
+            "n",
         )
-    )
+    else:
+        deriv = (
+            mv_long.withColumn("nxt", nxt)
+            .where(F.col("nxt").isNotNull())
+            .select(
+                "series_id",
+                (F.col("dim") + n_dims).alias("dim"),
+                "pos",
+                F.abs(F.col("nxt") - F.col("value")).alias("value"),
+                (F.col("n") - 1).alias("n"),
+            )
+        )
     return mv_long.unionByName(deriv)
+
+
+def read_multivariate_file(
+    spark, path: str, use_derivatives: bool = False
+) -> tuple[DataFrame, DataFrame]:
+    """Read the reference's space-separated multivariate format
+    (`TimeSeriesLoader.loadMultivariateDatset`,
+    `TimeSeriesLoader.java:169-223`): each line is
+    `id timestamp label dim1 .. dimk`; the timestamp orders positions
+    within a series and the label is taken per-series (constant across
+    a series's lines). Distributed CSV scan → canonical long layout.
+
+    Returns (mv_long(series_id, dim, pos, value, n),
+             labels(series_id, label))."""
+    raw = spark.read.option("sep", " ").csv(path)
+    cols = raw.columns
+    dim_cols = [f"d{i}" for i in range(len(cols) - 3)]
+    df = raw.select(
+        F.col(cols[0]).cast("bigint").alias("series_id"),
+        F.col(cols[1]).cast("bigint").alias("ts"),
+        F.col(cols[2]).cast("double").alias("label"),
+        *[
+            F.col(c).cast("double").alias(a)
+            for c, a in zip(cols[3:], dim_cols)
+        ],
+    )
+    mv = wide_to_long(df, "series_id", "ts", dim_cols)
+    labels = df.groupBy("series_id").agg(F.min("label").alias("label"))
+    if use_derivatives:
+        mv = derivatives(mv, len(dim_cols), pad_last=True)
+    return mv, labels
 
 
 def dim_arrays(mv_long: DataFrame) -> DataFrame:

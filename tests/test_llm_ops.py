@@ -189,3 +189,157 @@ def test_bucket_partitioned_write_prunes(spark, tmp_path):
     plan = probed._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan and "bucket" in plan, plan
     assert probed.count() == corpus.where(F.col("bucket").isin([1, 2, 3])).count()
+
+
+def test_kmeans_ivf_recall_and_monotonicity(spark):
+    """Lloyd-trained IVF: recall@3 with 4/8 lists probed beats 1-list
+    probing (probe sets nest, so per-query candidates are supersets —
+    recall is monotone by construction) and clears 0.85 on a clustered
+    corpus."""
+    rng = np.random.default_rng(23)
+    centers = rng.normal(0, 1, (8, 16))
+    vecs = np.vstack([c + rng.normal(0, 0.25, (30, 16)) for c in centers])
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    ).cache()
+    cents = similarity.kmeans_fit(emb, n_centroids=8, iters=5).cache()
+    q = emb.where("vec_id < 25")
+    truth = {
+        (r["q_id"], r["nn_id"])
+        for r in similarity.cosine_topk(q, emb, k=3).collect()
+    }
+    def recall(n_probes):
+        got = {
+            (r["q_id"], r["nn_id"])
+            for r in similarity.cosine_topk_kmeans(
+                q, emb, cents, k=3, n_probes=n_probes
+            ).collect()
+        }
+        return len(truth & got) / len(truth)
+    r4, r1 = recall(4), recall(1)
+    assert r4 >= 0.85, f"kmeans-IVF recall@3 with 4 probes: {r4}"
+    assert r4 >= r1, (r4, r1)
+
+
+def test_kmeans_training_reduces_assignment_cost(spark):
+    """Lloyd iterations must not worsen the quantizer: total sqdist of
+    home assignments after 5 iters ≤ the iters=0 (init = first-C
+    vectors) assignment cost."""
+    rng = np.random.default_rng(31)
+    vecs = rng.normal(0, 1, (300, 8))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    ).cache()
+
+    def cost(iters):
+        cents = similarity.kmeans_fit(emb, n_centroids=8, iters=iters)
+        assigned = similarity.ivf_assign(emb, cents, n_probes=1)
+        joined = assigned.join(cents, "centroid_id")
+        return joined.select(
+            F.sum(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("embedding"), F.col("cvec"), lambda x, y: (x - y) * (x - y)
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+            ).alias("c")
+        ).collect()[0]["c"]
+
+    assert cost(5) <= cost(0) + 1e-9
+
+
+def test_ivf_partitioned_write_prunes(spark, tmp_path):
+    """IVF 100 TB layout: corpus written partitionBy(centroid_id);
+    probing a list subset must plan with PartitionFilters."""
+    rng = np.random.default_rng(41)
+    vecs = rng.normal(0, 1, (200, 8))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = similarity.kmeans_fit(emb, n_centroids=4, iters=3)
+    path = str(tmp_path / "ivf_corpus")
+    similarity.ivf_assign(emb, cents, n_probes=1).drop("crk").write.partitionBy(
+        "centroid_id"
+    ).mode("overwrite").parquet(path)
+    corpus = spark.read.parquet(path)
+    probed = corpus.where(F.col("centroid_id").isin([0, 2]))
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "centroid_id" in plan, plan
+    assert probed.count() > 0
+
+
+def test_dedup_groups_components(spark):
+    """Connected components over near-dup pairs: {1,2,3} collapse to 1,
+    {5,6} to 5, untouched docs stay singleton-canonical."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "doc_a long, doc_b long"
+    )
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    res = {
+        r["doc_id"]: (r["group_id"], r["is_canonical"])
+        for r in dedup.dedup_groups(pairs, docs).collect()
+    }
+    assert res[1] == (1, True) and res[2] == (1, False) and res[3] == (1, False)
+    assert res[5] == (5, True) and res[6] == (5, False)
+    assert res[0] == (0, True) and res[7] == (7, True)
+
+
+def test_dedup_groups_chain_converges(spark):
+    """A 12-node path (worst case for min-propagation depth) still
+    collapses to one group within the iteration cap."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "doc_a long, doc_b long"
+    )
+    res = dedup.dedup_groups(pairs)
+    assert {r["group_id"] for r in res.collect()} == {0}
+
+
+def test_hash_sample_deterministic_and_nested(spark):
+    from sfa_spark.operators import sample
+
+    docs = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    s10 = {r["doc_id"] for r in sample.hash_sample(docs, "doc_id", 0.1).collect()}
+    s10b = {
+        r["doc_id"]
+        for r in sample.hash_sample(docs.repartition(7), "doc_id", 0.1).collect()
+    }
+    s30 = {r["doc_id"] for r in sample.hash_sample(docs, "doc_id", 0.3).collect()}
+    assert s10 == s10b  # layout-independent
+    assert s10 <= s30  # nested: larger fraction is a superset
+    assert 0.05 < len(s10) / 2000 < 0.15  # near the nominal rate
+    other = {
+        r["doc_id"]
+        for r in sample.hash_sample(docs, "doc_id", 0.1, salt="t").collect()
+    }
+    assert other != s10  # independent samples under different salts
+
+
+def test_stratified_sample_rates(spark):
+    from sfa_spark.operators import sample
+
+    docs = spark.range(0, 3000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "a").otherwise("b").alias("s"),
+    )
+    res = sample.stratified_sample(
+        docs, "doc_id", "s", {"a": 0.5}, default_fraction=0.05
+    )
+    counts = {r["s"]: r["cnt"] for r in res.groupBy("s").agg(F.count("*").alias("cnt")).collect()}
+    assert 0.4 < counts["a"] / 1000 < 0.6
+    assert counts.get("b", 0) / 2000 < 0.12
+
+
+def test_hash_top_n_exact_and_stable(spark):
+    from sfa_spark.operators import sample
+
+    docs = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    a = [r["doc_id"] for r in sample.hash_top_n(docs, "doc_id", 50).collect()]
+    b = [r["doc_id"] for r in sample.hash_top_n(docs.repartition(11), "doc_id", 50).collect()]
+    assert len(a) == 50 and sorted(a) == sorted(b)
+    plan = sample.hash_top_n(docs, "doc_id", 50)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
