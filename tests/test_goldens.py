@@ -121,7 +121,11 @@ def test_weasel_golden(spark, dataset, golden):
 
 @pytest.mark.parametrize(
     "dataset,golden,g_earl",
-    [("CBF", 0.982, 0.64), ("Coffee", 1.000, 0.47)],
+    [
+        ("CBF", 0.982, 0.64),
+        ("Coffee", 1.000, 0.47),
+        ("variable_length", 0.929, 0.39),
+    ],
 )
 def test_teaser_golden(spark, dataset, golden, g_earl):
     """TEASER with WEASEL slaves + one-class-SVM master on the bundled
@@ -162,3 +166,73 @@ def test_shotgun_ensemble_golden(spark, dataset, golden):
     )
     acc = _accuracy(model.predict(te.select("series_id", "values")), te)
     assert abs(acc - golden) <= DELTA, f"{dataset}: acc {acc} vs golden {golden}"
+
+
+# ---------------------------------------------------------------------------
+# Multivariate fixture runs. The reference ships NO asserted goldens for
+# MUSE/MTEASER (MTEASERClassifierTest.java only prints scores), so these
+# are accuracy FLOORS on the bundled fixtures — they catch systematic
+# regressions (wrong keys, broken χ², loader drift) without claiming a
+# published number.
+
+MVDATA = "/root/reference/src/main/resources/datasets/multivariate"
+
+
+def _load_mv(spark, name, use_derivatives=True):
+    from sfa_spark.sources.multivariate import read_multivariate_file
+
+    tr, tr_lab = read_multivariate_file(
+        spark, f"{MVDATA}/{name}/{name}_TRAIN3", use_derivatives=use_derivatives
+    )
+    te, te_lab = read_multivariate_file(
+        spark, f"{MVDATA}/{name}/{name}_TEST3", use_derivatives=use_derivatives
+    )
+    return tr, tr_lab.cache(), te, te_lab.cache()
+
+
+@pytest.mark.parametrize(
+    "dataset,windows,floor,test_cap",
+    [
+        # PenDigits: 8-point series, 2 dims (+2 derivative dims).
+        # MUSE paper (Schäfer & Leser, CIKM'17) reports ~0.91 full-grid;
+        # this bounded grid floors at 0.85 on the first 1000 test series.
+        ("PenDigits", [4, 6, 8], 0.85, 1000),
+        # ECG: 2 dims, variable length (39..152). Floor 0.70.
+        ("ECG", [8, 16, 32], 0.70, None),
+    ],
+)
+def test_muse_fixture_floor(spark, dataset, windows, floor, test_cap):
+    from sfa_spark.ml.classifiers import muse_fit, muse_predict
+    from sfa_spark.sources.multivariate import dim_arrays
+
+    tr, tr_lab, te, te_lab = _load_mv(spark, dataset)
+    tr_a = dim_arrays(tr).cache()
+    te_a = dim_arrays(te)
+    if test_cap is not None:
+        keep = te_lab.orderBy("series_id").limit(test_cap).select("series_id")
+        te_a = te_a.join(keep, "series_id")
+        te_lab = te_lab.join(keep, "series_id")
+    te_a = te_a.cache()
+    model = muse_fit(tr_a, tr_lab, windows=windows)
+    acc = _accuracy(muse_predict(model, te_a), te_lab)
+    assert acc >= floor, f"MUSE {dataset}: acc {acc} < floor {floor}"
+
+
+def test_mteaser_fixture_floor(spark):
+    """MTEASER on the bundled ECG fixture: early AND accurate floors."""
+    from sfa_spark.ml.teaser import mteaser_fit, mteaser_predict
+    from sfa_spark.sources.multivariate import dim_arrays
+
+    tr, tr_lab, te, te_lab = _load_mv(spark, "ECG")
+    tr_a = dim_arrays(tr).cache()
+    te_a = dim_arrays(te).cache()
+    model = mteaser_fit(tr_a, tr_lab, n_snapshots=4, window=8, word_length=4)
+    dec = mteaser_predict(model, te_a).cache()
+    joined = dec.join(te_lab, "series_id", "right")
+    r = joined.agg(
+        F.avg((F.col("pred_label") == F.col("label")).cast("double")),
+        F.avg("earliness"),
+    ).collect()[0]
+    acc, earl = r[0] or 0.0, r[1] or 1.0
+    assert acc >= 0.6, f"MTEASER ECG acc {acc}"
+    assert earl <= 0.95, f"MTEASER ECG earliness {earl} (never early)"
