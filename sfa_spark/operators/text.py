@@ -31,9 +31,11 @@ def with_tokens(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.withColumn("toks", tokens_col(text_col))
 
 
-def token_stats(docs: DataFrame) -> DataFrame:
+def token_stats(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     """Per-doc token count, char count, avg token length, punctuation /
-    digit / stopword ratios — the quality-scoring feature set."""
+    digit / stopword ratios — the quality-scoring feature set. `keep`
+    passes extra input columns through (e.g. the text itself for a
+    streaming gate that must emit the document, not just its score)."""
     d = with_tokens(docs)
     n_tok = F.size("toks")
     n_char = F.length("text")
@@ -42,6 +44,7 @@ def token_stats(docs: DataFrame) -> DataFrame:
     stop = F.size(F.filter("toks", lambda t: t.isin(EN_STOPWORDS)))
     return d.select(
         "doc_id",
+        *keep,
         n_tok.cast("bigint").alias("n_tokens"),
         n_char.cast("bigint").alias("n_chars2"),
         (n_char.cast("double") / n_tok).alias("avg_tok_len"),

@@ -483,3 +483,28 @@ WHERE {_HUNIT} < (CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.25 ELSE 0.1 END)
 
 ORACLES["q_hash_top_n"] = f"""SELECT doc_id, lang FROM documents
 ORDER BY {_HUNIT} ASC, doc_id ASC LIMIT 100"""
+
+
+# streaming quality gate (stateless projection) == batch quality filter;
+# the gate compares the UNROUNDED quality to 0.5, rounding only at output
+ORACLES["q_stream_ingest_gate"] = f"""WITH t AS (
+  SELECT doc_id, lang, text, {_TOKS} AS tk FROM documents
+),
+s AS (
+  SELECT doc_id, lang,
+         CAST(len(tk) AS BIGINT) AS n_tokens,
+         length(text) * 1.0 / len(tk) AS avg_tok_len,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / length(text) AS digit_ratio,
+         len(list_filter(tk, x -> x IN ('the','a','and','of','to'))) * 1.0 / len(tk) AS stopword_ratio
+  FROM t
+),
+q AS (
+  SELECT doc_id, lang, n_tokens,
+         greatest(0.0,
+           1.0 - least(1.0, abs(avg_tok_len - 5.0) / 10.0) * 0.4
+               - least(1.0, digit_ratio * 5.0) * 0.3
+               - CASE WHEN stopword_ratio <= 0.0 THEN 0.3 ELSE 0.0 END) AS quality
+  FROM s
+)
+SELECT doc_id, lang, n_tokens, round(quality + 1e-9, 4) + 0.0 AS quality
+FROM q WHERE quality >= 0.7"""

@@ -68,3 +68,27 @@ def q_stream_window_stats(spark, sf_dir):
         rnd("mean", 4).alias("mean"),
         rnd("std", 4).alias("std"),
     )
+
+
+def q_stream_ingest_gate(spark, sf_dir):
+    """Corpus ingest through the STREAMING quality gate (stateless
+    in-stream projection) — output must equal the batch quality filter,
+    so it shares a plain-SQL oracle."""
+    from sfa_spark.streaming import ingest
+
+    src = tempfile.mkdtemp(prefix="sfa_ingest_src_")
+    shutil.copy(f"{sf_dir}/documents.parquet", f"{src}/documents.parquet")
+    name = f"singest_{uuid.uuid4().hex[:8]}"
+    stream = ingest.docs_stream(spark, src)
+    q = (
+        ingest.stream_quality_gate(stream, min_quality=0.7)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        "doc_id", "lang", "n_tokens", rnd("quality", 4).alias("quality")
+    )

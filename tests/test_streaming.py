@@ -163,3 +163,55 @@ def test_class_tf_stream_accumulates_across_batches(spark, tmp_path):
         for r in spark.sql("select * from ctf").collect()
     }
     assert got == {(0.0, 10): 7, (1.0, 10): 3, (0.0, 11): 1}
+
+
+def test_stream_quality_gate_matches_batch(spark, tmp_path):
+    """The streaming quality gate is a stateless projection — its
+    output set must equal the batch filter exactly."""
+    from sfa_spark.operators import text
+    from sfa_spark.streaming import ingest
+
+    src = str(tmp_path / "docs")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").write.parquet(src)
+    stream = ingest.docs_stream(spark, src)
+    q = _run_stream("singest_gate", ingest.stream_quality_gate(stream, 0.5), mode="append")
+    got = {
+        (r["doc_id"], r["lang"], r["n_tokens"], round(r["quality"], 9))
+        for r in spark.table("singest_gate").collect()
+    }
+    batch = text.quality_score(
+        text.token_stats(spark.read.parquet(src), keep=("lang",))
+    ).where("quality >= 0.5")
+    want = {
+        (r["doc_id"], r["lang"], r["n_tokens"], round(r["quality"], 9))
+        for r in batch.select("doc_id", "lang", "n_tokens", "quality").collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_stream_dedup_exact_first_seen(spark, tmp_path):
+    """Streaming dropDuplicates on the content hash: one survivor per
+    distinct text across micro-batches (dups in a LATER file are
+    suppressed by state from the earlier one)."""
+    from sfa_spark.streaming import ingest
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    b1 = [(0, "alpha beta gamma"), (1, "delta epsilon"), (2, "alpha beta gamma")]
+    b2 = [(3, "delta epsilon"), (4, "unique text here")]
+    spark.createDataFrame(b1, "doc_id long, text string").coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    spark.createDataFrame(b2, "doc_id long, text string").coalesce(1).write.parquet(
+        str(src / "b2")
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = _run_stream("sdedup", ingest.stream_dedup_exact(stream), mode="append")
+    rows = spark.table("sdedup").collect()
+    texts = sorted(r["text"] for r in rows)
+    assert texts == ["alpha beta gamma", "delta epsilon", "unique text here"]
+    assert len({r["content_hash"] for r in rows}) == 3
