@@ -204,3 +204,51 @@ def bm25_search(
     from sfa_spark.operators.topk import ranked_top_k
 
     return ranked_top_k(scored, [("score", True), ("doc_id", False)], topk)
+
+
+# BPE-ish tokenization: the GPT-2 pre-tokenizer splits on letter runs,
+# digit runs, punctuation runs (each optionally space-prefixed) and
+# whitespace. This pattern is that split minus the lookahead construct
+# (so it runs identically under Java regex AND RE2-style engines — the
+# oracle must reproduce it), which makes the count a good estimator of
+# subword-token budget without shipping a merges table.
+BPE_ISH_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def token_estimate(docs: DataFrame) -> DataFrame:
+    """Whitespace vs BPE-ish token counts + chars-per-token — the
+    pre-training budget estimator (row-local, no shuffle)."""
+    ws = F.size(tokens_col())
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH_PATTERN), 0))
+    return docs.select(
+        "doc_id",
+        ws.cast("bigint").alias("ws_tokens"),
+        bpe.cast("bigint").alias("bpe_ish_tokens"),
+        (F.length("text").cast("double") / bpe).alias("chars_per_token"),
+    )
+
+
+_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_URL = r"https?://[^\s]+"
+_BOILERPLATE = ["all rights reserved", "click here", "terms of service", "lorem ipsum"]
+
+
+def pii_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc counts of emails / URLs and boilerplate-marker hits —
+    the redaction/filter feature set (row-local expressions; the
+    boilerplate list unrolls into codegen'd `contains` tests)."""
+    lower = F.lower(F.col("text"))
+    bp = sum(
+        (F.when(F.contains(lower, F.lit(m)), 1).otherwise(0) for m in _BOILERPLATE),
+        F.lit(0),
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_EMAIL), 0))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_URL), 0))
+        .cast("bigint")
+        .alias("n_urls"),
+        bp.cast("int").alias("boilerplate_hits"),
+    )

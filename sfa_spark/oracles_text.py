@@ -508,3 +508,25 @@ q AS (
 )
 SELECT doc_id, lang, n_tokens, round(quality + 1e-9, 4) + 0.0 AS quality
 FROM q WHERE quality >= 0.7"""
+
+
+# BPE-ish token estimate (mirrors text.BPE_ISH_PATTERN — RE2-safe)
+ORACLES["q_token_estimate"] = f"""WITH t AS (
+  SELECT doc_id, text, {_TOKS} AS tk,
+         regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+') AS bpe
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(tk) AS BIGINT) AS ws_tokens,
+       CAST(len(bpe) AS BIGINT) AS bpe_ish_tokens,
+       round(length(text) * 1.0 / len(bpe) + 1e-9, 4) + 0.0 AS chars_per_token
+FROM t"""
+
+ORACLES["q_pii_stats"] = """SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(text, 'https?://[^\\s]+')) AS BIGINT) AS n_urls,
+  CAST((CASE WHEN contains(lower(text), 'all rights reserved') THEN 1 ELSE 0 END)
+     + (CASE WHEN contains(lower(text), 'click here') THEN 1 ELSE 0 END)
+     + (CASE WHEN contains(lower(text), 'terms of service') THEN 1 ELSE 0 END)
+     + (CASE WHEN contains(lower(text), 'lorem ipsum') THEN 1 ELSE 0 END) AS INT) AS boilerplate_hits
+FROM documents"""

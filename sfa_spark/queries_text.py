@@ -267,3 +267,20 @@ def q_hash_top_n(spark, sf_dir):
     return sample.hash_top_n(
         _docs(spark, sf_dir).select("doc_id", "lang"), "doc_id", 100
     )
+
+
+def q_token_estimate(spark, sf_dir):
+    """Whitespace vs BPE-ish token counts — the token-budget estimator
+    (GPT-2-style pre-tokenizer split, lookahead-free so the oracle
+    reproduces it under RE2)."""
+    res = text.token_estimate(_docs(spark, sf_dir))
+    return res.select(
+        "doc_id", "ws_tokens", "bpe_ish_tokens",
+        rnd("chars_per_token", 4).alias("chars_per_token"),
+    )
+
+
+def q_pii_stats(spark, sf_dir):
+    """Email/URL/boilerplate counts per doc — the redaction + filter
+    feature pass."""
+    return text.pii_stats(_docs(spark, sf_dir))

@@ -343,3 +343,29 @@ def test_hash_top_n_exact_and_stable(spark):
     assert len(a) == 50 and sorted(a) == sorted(b)
     plan = sample.hash_top_n(docs, "doc_id", 50)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_token_estimate_bpe_ish(spark):
+    d = spark.createDataFrame(
+        [(0, "Hello world, 42 times!")], "doc_id long, text string"
+    )
+    r = text.token_estimate(d).collect()[0]
+    # " ?letters" x2, " ,", " ?digits", " times", "!" → 6 BPE-ish pieces
+    assert r["ws_tokens"] == 4
+    assert r["bpe_ish_tokens"] == 6
+    assert r["chars_per_token"] == pytest.approx(22 / 6)
+
+
+def test_pii_stats_counts(spark):
+    d = spark.createDataFrame(
+        [
+            (0, "mail me at a.b@example.com or c@d.org, see https://x.io/page now"),
+            (1, "Lorem ipsum dolor. All Rights Reserved. click HERE"),
+            (2, "clean text with nothing to redact"),
+        ],
+        "doc_id long, text string",
+    )
+    r = {x["doc_id"]: x for x in text.pii_stats(d).collect()}
+    assert r[0]["n_emails"] == 2 and r[0]["n_urls"] == 1 and r[0]["boilerplate_hits"] == 0
+    assert r[1]["boilerplate_hits"] == 3 and r[1]["n_emails"] == 0
+    assert r[2]["n_emails"] == r[2]["n_urls"] == r[2]["boilerplate_hits"] == 0
