@@ -1,0 +1,265 @@
+"""Corpus-preparation operators for LLM training-data pipelines:
+repetition statistics, Gopher-style rule filtering, train/test
+decontamination, and sequence packing.
+
+These compose the text/dedup/sample primitives into the passes a real
+pretraining pipeline runs over 100 TB:
+
+  * repetition_stats / gopher_filter — the Rae et al. (Gopher, 2021)
+    repetition + outlier rules, re-expressed as per-doc aggregates
+    (token- and n-gram-based here: the synthetic corpus is single-line,
+    so line-based rules would be degenerate). Pure SQL: one token pass
+    + one bigram pass, both map-side combinable, joined per doc.
+  * decontaminate — benchmark n-gram overlap flagging (the GPT-3
+    appendix-C shape): an inverted shingle join, corpus-side grouped
+    per doc. Never materializes the cross product; the benchmark side
+    is distinct-shingled and the join is shingle-keyed, so at 100 TB
+    the shuffle volume is bounded by matching shingles only.
+  * sequence_pack — concat-and-chunk packing of documents into fixed
+    token-budget training sequences. The global concatenation order is
+    sharded (hash shards), so the cumulative sum is a window partitioned
+    by shard — parallel across shards, no single-partition window. Each
+    shard is an independent stream of sequences (standard practice:
+    packing is per-shard/per-file, not global).
+
+All outputs are engine-reproducible (md5 sharding, deterministic
+orders) and every operator has a DuckDB oracle in oracles_text.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sfa_spark.operators.text import with_tokens, shingles
+
+
+def _bigrams(docs: DataFrame) -> DataFrame:
+    """(doc_id, bigram) with repetition — one row per occurrence."""
+    d = with_tokens(docs)
+    idx = F.when(
+        F.size("toks") >= 2, F.sequence(F.lit(0), F.size("toks") - 2)
+    ).otherwise(F.array())
+    return d.select("doc_id", F.explode(idx).alias("i"), "toks").select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.element_at("toks", F.col("i") + 1),
+            F.element_at("toks", F.col("i") + 2),
+        ).alias("bigram"),
+    )
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc repetition features (Gopher §A1.1 flavor, token-based):
+
+      * dup_token_frac   — 1 − distinct/total tokens (vocabulary
+        collapse: boilerplate and keyword-stuffed docs score high)
+      * top_bigram_frac  — fraction of tokens covered by the single
+        most frequent bigram (count × 2 / n_tokens)
+      * dup_bigram_frac  — fraction of bigram occurrences whose bigram
+        occurs more than once
+
+    Two hash aggregates (token-keyed, bigram-keyed) reduced per doc and
+    joined — both passes are map-side combinable and doc-partitioned,
+    so the shuffle is vocabulary-sized per doc, never corpus-crossing.
+    """
+    tok = with_tokens(docs).select(
+        "doc_id", F.explode("toks").alias("tok")
+    )
+    per_tok = tok.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tok_stats = per_tok.groupBy("doc_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+    )
+    per_bi = _bigrams(docs).groupBy("doc_id", "bigram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    bi_stats = per_bi.groupBy("doc_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_bigrams"),
+        F.max("cnt").cast("bigint").alias("top_bigram_cnt"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("dup_bigram_occ"),
+    )
+    return (
+        tok_stats.join(bi_stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct",
+            (1.0 - F.col("n_distinct") / F.col("n_tokens")).alias(
+                "dup_token_frac"
+            ),
+            F.coalesce(
+                F.col("top_bigram_cnt") * 2.0 / F.col("n_tokens"), F.lit(0.0)
+            ).alias("top_bigram_frac"),
+            F.coalesce(
+                F.col("dup_bigram_occ") / F.col("n_bigrams"), F.lit(0.0)
+            ).alias("dup_bigram_frac"),
+        )
+    )
+
+
+# Gopher-rule default bounds (token-based variants of Rae et al. §A1.1)
+GOPHER_BOUNDS = dict(
+    min_tokens=10,
+    max_tokens=100_000,
+    min_mean_tok_len=2.0,
+    max_mean_tok_len=12.0,
+    min_stopword_hits=1,
+    max_dup_token_frac=0.9,
+    max_top_bigram_frac=0.4,
+)
+
+
+def gopher_filter(docs: DataFrame, **bounds) -> DataFrame:
+    """Per-doc rule verdicts + the composite keep decision.
+
+    Output: (doc_id, ok_len, ok_tok_len, ok_stopwords, ok_repetition,
+    kept) — each rule exposed so a pipeline can report WHICH rule
+    dropped a document (the audit a real filter job must emit).
+    One wide per-doc join of the two stat passes; row-local verdicts.
+    """
+    from sfa_spark.operators.text import token_stats
+
+    b = {**GOPHER_BOUNDS, **bounds}
+    ts = token_stats(docs)
+    rep = repetition_stats(docs)
+    j = ts.join(rep.drop("n_tokens"), "doc_id")
+    ok_len = F.col("n_tokens").between(b["min_tokens"], b["max_tokens"])
+    ok_tok_len = F.col("avg_tok_len").between(
+        b["min_mean_tok_len"], b["max_mean_tok_len"]
+    )
+    ok_stop = (F.col("stopword_ratio") * F.col("n_tokens")) >= F.lit(
+        float(b["min_stopword_hits"]) - 0.5
+    )
+    ok_rep = (F.col("dup_token_frac") <= b["max_dup_token_frac"]) & (
+        F.col("top_bigram_frac") <= b["max_top_bigram_frac"]
+    )
+    return j.select(
+        "doc_id",
+        ok_len.cast("int").cast("bigint").alias("ok_len"),
+        ok_tok_len.cast("int").cast("bigint").alias("ok_tok_len"),
+        ok_stop.cast("int").cast("bigint").alias("ok_stopwords"),
+        ok_rep.cast("int").cast("bigint").alias("ok_repetition"),
+        (ok_len & ok_tok_len & ok_stop & ok_rep)
+        .cast("int")
+        .cast("bigint")
+        .alias("kept"),
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    k: int = 3,
+    tau: float = 0.5,
+) -> DataFrame:
+    """Flag corpus documents whose word k-gram shingles overlap a
+    benchmark (eval) set — train/test decontamination (GPT-3 App. C /
+    PaLM style, shingle-based).
+
+    Output: (doc_id, n_shingles, n_contaminated, contam_frac, flagged).
+
+    Scale shape: benchmark shingles are DISTINCT'd (set semantics)
+    then joined on the shingle key — an inverted-index probe. The
+    shuffle carries only shingles that actually match; no doc×doc
+    pairing ever exists. With a small benchmark the join side
+    broadcasts; Catalyst/AQE decides from stats.
+    """
+    cs = shingles(corpus, k=k)
+    bs = shingles(benchmark, k=k).select("shingle").distinct()
+    sizes = cs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles")
+    )
+    hits = (
+        cs.join(bs, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_contaminated"))
+    )
+    out = (
+        sizes.join(hits, "doc_id", "left")
+        .withColumn(
+            "n_contaminated", F.coalesce("n_contaminated", F.lit(0)).cast("bigint")
+        )
+        .withColumn(
+            "contam_frac", F.col("n_contaminated") / F.col("n_shingles")
+        )
+    )
+    return out.select(
+        "doc_id",
+        "n_shingles",
+        "n_contaminated",
+        "contam_frac",
+        (F.col("contam_frac") >= tau).cast("int").cast("bigint").alias("flagged"),
+    )
+
+
+def sequence_pack(
+    docs: DataFrame,
+    ctx_len: int = 128,
+    n_shards: int = 4,
+    salt: str = "pack",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are concatenated in
+    a deterministic order and cut into ctx_len-token training
+    sequences; each doc reports which sequences it lands in.
+
+    Output per doc: (doc_id, shard, n_tokens, start_tok, seq_first,
+    seq_last) where start_tok is the doc's token offset within its
+    shard's stream and seq_* = floor(offset / ctx_len) of its first /
+    last token.
+
+    Scale shape: a single global concatenation order would force a
+    one-partition window. Instead docs are hash-sharded (md5 — engine-
+    reproducible) and packed per shard: the running sum is a window
+    PARTITIONED by shard, ordered by doc_id — parallel across shards.
+    Each shard is an independent sequence stream (how real pipelines
+    pack: per output file), so n_shards is the parallelism axis — at
+    100 TB set it to the output file count (10⁴–10⁵).
+    """
+    d = with_tokens(docs).select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":", F.lit(salt), F.col("doc_id").cast("string")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(n_shards),
+        ).alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return d.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        .cast("bigint")
+        .alias("start_tok"),
+    ).select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        "start_tok",
+        F.floor(F.col("start_tok") / ctx_len).cast("bigint").alias("seq_first"),
+        F.floor((F.col("start_tok") + F.col("n_tokens") - 1) / ctx_len)
+        .cast("bigint")
+        .alias("seq_last"),
+    )

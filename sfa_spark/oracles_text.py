@@ -530,3 +530,115 @@ ORACLES["q_pii_stats"] = """SELECT doc_id,
      + (CASE WHEN contains(lower(text), 'terms of service') THEN 1 ELSE 0 END)
      + (CASE WHEN contains(lower(text), 'lorem ipsum') THEN 1 ELSE 0 END) AS INT) AS boilerplate_hits
 FROM documents"""
+
+
+# ---- corpus-preparation passes (operators/corpus.py) ----
+
+ORACLES["q_repetition_stats"] = f"""WITH t AS (
+  SELECT doc_id, {_TOKS} AS tk FROM documents
+),
+tok AS (SELECT doc_id, unnest(tk) AS tok FROM t),
+per_tok AS (SELECT doc_id, tok, count(*) AS cnt FROM tok GROUP BY 1, 2),
+ts AS (
+  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_distinct
+  FROM per_tok GROUP BY 1
+),
+bi AS (
+  SELECT doc_id, tk[j] || ' ' || tk[j+1] AS bigram
+  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS j FROM t)
+),
+per_bi AS (SELECT doc_id, bigram, count(*) AS cnt FROM bi GROUP BY 1, 2),
+bs AS (
+  SELECT doc_id, sum(cnt) AS n_bigrams, max(cnt) AS top_cnt,
+         sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_occ
+  FROM per_bi GROUP BY 1
+)
+SELECT ts.doc_id, n_tokens, n_distinct,
+       round(1.0 - n_distinct * 1.0 / n_tokens + 1e-9, 4) + 0.0 AS dup_token_frac,
+       round(coalesce(top_cnt * 2.0 / n_tokens, 0.0) + 1e-9, 4) + 0.0 AS top_bigram_frac,
+       round(coalesce(dup_occ * 1.0 / n_bigrams, 0.0) + 1e-9, 4) + 0.0 AS dup_bigram_frac
+FROM ts LEFT JOIN bs USING (doc_id)"""
+
+# gopher_filter: token_stats ⋈ repetition_stats, rule verdicts
+# (bounds mirror corpus.GOPHER_BOUNDS)
+ORACLES["q_gopher_filter"] = f"""WITH t AS (
+  SELECT doc_id, text, {_TOKS} AS tk FROM documents
+),
+ts AS (
+  SELECT doc_id,
+         CAST(len(tk) AS BIGINT) AS n_tokens,
+         length(text) * 1.0 / len(tk) AS avg_tok_len,
+         len(list_filter(tk, x -> x IN ('the','a','and','of','to'))) * 1.0 / len(tk) AS stopword_ratio
+  FROM t
+),
+tok AS (SELECT doc_id, unnest(tk) AS tok FROM t),
+per_tok AS (SELECT doc_id, tok, count(*) AS cnt FROM tok GROUP BY 1, 2),
+rs AS (
+  SELECT doc_id, sum(cnt) AS n_tok, count(*) AS n_distinct
+  FROM per_tok GROUP BY 1
+),
+bi AS (
+  SELECT doc_id, tk[j] || ' ' || tk[j+1] AS bigram
+  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS j FROM t)
+),
+per_bi AS (SELECT doc_id, bigram, count(*) AS cnt FROM bi GROUP BY 1, 2),
+bs AS (SELECT doc_id, max(cnt) AS top_cnt FROM per_bi GROUP BY 1),
+j AS (
+  SELECT ts.doc_id, ts.n_tokens, ts.avg_tok_len, ts.stopword_ratio,
+         1.0 - rs.n_distinct * 1.0 / rs.n_tok AS dup_token_frac,
+         coalesce(bs.top_cnt * 2.0 / rs.n_tok, 0.0) AS top_bigram_frac
+  FROM ts JOIN rs USING (doc_id) LEFT JOIN bs USING (doc_id)
+)
+SELECT doc_id,
+  CAST(CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 1 ELSE 0 END AS BIGINT) AS ok_len,
+  CAST(CASE WHEN avg_tok_len BETWEEN 2.0 AND 12.0 THEN 1 ELSE 0 END AS BIGINT) AS ok_tok_len,
+  CAST(CASE WHEN stopword_ratio * n_tokens >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS ok_stopwords,
+  CAST(CASE WHEN dup_token_frac <= 0.9 AND top_bigram_frac <= 0.4 THEN 1 ELSE 0 END AS BIGINT) AS ok_repetition,
+  CAST(CASE WHEN n_tokens BETWEEN 10 AND 100000
+         AND avg_tok_len BETWEEN 2.0 AND 12.0
+         AND stopword_ratio * n_tokens >= 0.5
+         AND dup_token_frac <= 0.9 AND top_bigram_frac <= 0.4
+       THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM j"""
+
+# decontamination: corpus = doc_id % 20 != 0, benchmark = % 20 == 0;
+# distinct 3-gram shingles, inverted join, per-doc overlap fraction
+ORACLES["q_decontaminate"] = f"""WITH toks AS (
+  SELECT doc_id, {_TOKS} AS tk FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         tk[j] || ' ' || tk[j+1] || ' ' || tk[j+2] AS shingle
+  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) AS j FROM toks)
+),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0),
+corp AS (SELECT * FROM sh WHERE doc_id % 20 <> 0),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM corp GROUP BY 1),
+hits AS (
+  SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+  FROM corp c JOIN bench b USING (shingle) GROUP BY 1
+)
+SELECT s.doc_id, s.n_shingles,
+       CAST(coalesce(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       round(coalesce(h.n_contaminated, 0) * 1.0 / s.n_shingles + 1e-9, 4) + 0.0 AS contam_frac,
+       CAST(CASE WHEN coalesce(h.n_contaminated, 0) * 1.0 / s.n_shingles >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS flagged
+FROM sizes s LEFT JOIN hits h USING (doc_id)"""
+
+# sequence packing: md5 hash shards ('pack:' salt), per-shard cumsum
+ORACLES["q_sequence_pack"] = f"""WITH t AS (
+  SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+         (('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 4) AS shard
+  FROM documents
+),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+  FROM t
+)
+SELECT doc_id, shard, n_tokens, start_tok,
+       CAST(floor(start_tok / 64.0) AS BIGINT) AS seq_first,
+       CAST(floor((start_tok + n_tokens - 1) / 64.0) AS BIGINT) AS seq_last
+FROM c"""

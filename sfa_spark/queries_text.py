@@ -284,3 +284,60 @@ def q_pii_stats(spark, sf_dir):
     """Email/URL/boilerplate counts per doc — the redaction + filter
     feature pass."""
     return text.pii_stats(_docs(spark, sf_dir))
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition features (dup-token / top-bigram /
+    dup-bigram fractions) — two map-side-combinable aggregates joined
+    per doc."""
+    from sfa_spark.operators import corpus
+
+    res = corpus.repetition_stats(_docs(spark, sf_dir))
+    return res.select(
+        "doc_id", "n_tokens", "n_distinct",
+        rnd("dup_token_frac", 4).alias("dup_token_frac"),
+        rnd("top_bigram_frac", 4).alias("top_bigram_frac"),
+        rnd("dup_bigram_frac", 4).alias("dup_bigram_frac"),
+    )
+
+
+def q_gopher_filter(spark, sf_dir):
+    """Composite Gopher-rule verdict with per-rule audit columns — the
+    keep/drop decision a 100 TB filter job emits."""
+    from sfa_spark.operators import corpus
+
+    return corpus.gopher_filter(_docs(spark, sf_dir))
+
+
+DECON_TAU = 0.5
+
+
+def q_decontaminate(spark, sf_dir):
+    """Train/test decontamination: flag corpus docs whose 3-gram
+    shingles overlap the held-out benchmark slice (doc_id % 20 == 0) —
+    an inverted shingle join, never doc×doc."""
+    from sfa_spark.operators import corpus
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    train = docs.where(F.col("doc_id") % 20 != 0)
+    res = corpus.decontaminate(train, bench, k=3, tau=DECON_TAU)
+    return res.select(
+        "doc_id", "n_shingles", "n_contaminated",
+        rnd("contam_frac", 4).alias("contam_frac"), "flagged",
+    )
+
+
+PACK_CTX = 64
+PACK_SHARDS = 4
+
+
+def q_sequence_pack(spark, sf_dir):
+    """Concat-and-chunk packing into 64-token training sequences over
+    4 hash shards — the window cumsum is partitioned by shard (parallel;
+    at 100 TB, n_shards = output file count)."""
+    from sfa_spark.operators import corpus
+
+    return corpus.sequence_pack(
+        _docs(spark, sf_dir), ctx_len=PACK_CTX, n_shards=PACK_SHARDS
+    )

@@ -369,3 +369,80 @@ def test_pii_stats_counts(spark):
     assert r[0]["n_emails"] == 2 and r[0]["n_urls"] == 1 and r[0]["boilerplate_hits"] == 0
     assert r[1]["boilerplate_hits"] == 3 and r[1]["n_emails"] == 0
     assert r[2]["n_emails"] == r[2]["n_urls"] == r[2]["boilerplate_hits"] == 0
+
+
+# ---------------------------------------------------------------- corpus prep
+
+
+def test_repetition_stats_flags_repeated_doc(spark):
+    from sfa_spark.operators import corpus
+
+    rows = [
+        (0, "spam spam spam spam spam spam"),
+        (1, "one two three four five six"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    res = {r["doc_id"]: r for r in corpus.repetition_stats(d).collect()}
+    # doc 0: 6 tokens 1 distinct; top bigram "spam spam" x5 covers 10/6
+    assert res[0]["n_tokens"] == 6 and res[0]["n_distinct"] == 1
+    assert abs(res[0]["dup_token_frac"] - 5 / 6) < 1e-9
+    assert res[0]["dup_bigram_frac"] == 1.0
+    # doc 1: all distinct, no repeated bigram
+    assert res[1]["dup_token_frac"] == 0.0
+    assert res[1]["dup_bigram_frac"] == 0.0
+    assert abs(res[1]["top_bigram_frac"] - 2 / 6) < 1e-9
+
+
+def test_gopher_filter_rules(spark):
+    from sfa_spark.operators import corpus
+
+    rows = [
+        (0, "the market data pipeline processes a stream of events and writes results to the table"),
+        (1, "spam spam spam spam spam spam spam spam spam spam"),   # repetition
+        (2, "tiny"),                                                # too short
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    res = {r["doc_id"]: r for r in corpus.gopher_filter(d).collect()}
+    assert res[0]["kept"] == 1
+    assert res[1]["kept"] == 0 and res[1]["ok_repetition"] == 0
+    assert res[2]["kept"] == 0 and res[2]["ok_len"] == 0
+
+
+def test_decontaminate_flags_benchmark_overlap(spark):
+    from sfa_spark.operators import corpus
+
+    bench = spark.createDataFrame(
+        [(100, "what is the capital of france paris")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (0, "what is the capital of france paris obviously"),  # contaminated
+            (1, "a completely unrelated sentence about databases"),
+        ],
+        "doc_id long, text string",
+    )
+    res = {r["doc_id"]: r for r in corpus.decontaminate(train, bench, tau=0.5).collect()}
+    assert res[0]["flagged"] == 1 and res[0]["n_contaminated"] >= 5
+    assert res[1]["flagged"] == 0 and res[1]["n_contaminated"] == 0
+
+
+def test_sequence_pack_invariants(spark):
+    from sfa_spark.operators import corpus
+
+    rows = [(i, " ".join(["w"] * (5 + i))) for i in range(20)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    res = corpus.sequence_pack(d, ctx_len=16, n_shards=3).collect()
+    by_shard = {}
+    for r in res:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert len(res) == 20 and len(by_shard) >= 2
+    for shard, docs_in in by_shard.items():
+        docs_in.sort(key=lambda r: r["doc_id"])
+        # contiguous concatenation: each start = previous start + n_tokens
+        off = 0
+        for r in docs_in:
+            assert r["start_tok"] == off
+            assert r["seq_first"] == off // 16
+            assert r["seq_last"] == (off + r["n_tokens"] - 1) // 16
+            off += r["n_tokens"]
