@@ -99,13 +99,10 @@ def minhash_signatures(docs: DataFrame, n_seeds: int = 8, k: int = 3) -> DataFra
     )
 
 
-def lsh_candidate_pairs(
-    signatures: DataFrame, band_size: int = 2
-) -> DataFrame:
-    """Band the signature (band = seed div band_size, key = md5 of the
-    band's concatenated minhashes) and emit pairs sharing ≥1 band.
-    Output: (doc_a, doc_b, n_bands)."""
-    banded = (
+def band_keys(signatures: DataFrame, band_size: int = 2) -> DataFrame:
+    """(doc_id, band, band_key): band = seed div band_size, key = md5 of
+    the band's minhashes concatenated in seed order."""
+    return (
         signatures.withColumn("band", (F.col("seed") / band_size).cast("int"))
         .groupBy("doc_id", "band")
         .agg(
@@ -120,6 +117,14 @@ def lsh_candidate_pairs(
             ).alias("band_key")
         )
     )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, band_size: int = 2
+) -> DataFrame:
+    """Band the signature and emit pairs sharing ≥1 band.
+    Output: (doc_a, doc_b, n_bands)."""
+    banded = band_keys(signatures, band_size)
     a = banded.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
     b = banded.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
     return (

@@ -642,3 +642,16 @@ SELECT doc_id, shard, n_tokens, start_tok,
        CAST(floor(start_tok / 64.0) AS BIGINT) AS seq_first,
        CAST(floor((start_tok + n_tokens - 1) / 64.0) AS BIGINT) AS seq_last
 FROM c"""
+
+
+# streaming near-dup vs static reference (even doc_ids): stream-static
+# band-key join == this batch band self-join restricted to even refs
+ORACLES["q_stream_near_dup"] = f"""WITH {_SIGS},
+banded AS (
+  SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+         md5(string_agg(minhash, ',' ORDER BY seed)) AS band_key
+  FROM sigs GROUP BY doc_id, 2
+)
+SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS ref_doc_id
+FROM banded a JOIN banded b USING (band, band_key)
+WHERE b.doc_id % 2 = 0 AND a.doc_id <> b.doc_id"""

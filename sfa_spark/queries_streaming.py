@@ -92,3 +92,34 @@ def q_stream_ingest_gate(spark, sf_dir):
     return spark.table(name).select(
         "doc_id", "lang", "n_tokens", rnd("quality", 4).alias("quality")
     )
+
+
+def q_stream_near_dup(spark, sf_dir):
+    """Streaming near-dup against a static reference corpus (doc_id
+    even): arriving docs are MinHash-banded ROW-LOCALLY (stateless) and
+    probed against the reference band table by band-key equality — the
+    stream-static half of 100 TB incremental dedup. Self-pairs excluded;
+    output (doc_id, ref_doc_id) hits."""
+    from sfa_spark.operators import dedup
+    from sfa_spark.sources.events import load_table
+    from sfa_spark.streaming import ingest
+
+    docs = load_table(spark, sf_dir, "documents")
+    ref = docs.where(F.col("doc_id") % 2 == 0)
+    static_bands = dedup.band_keys(
+        dedup.minhash_signatures(ref, n_seeds=8, k=3), band_size=2
+    )
+    src = tempfile.mkdtemp(prefix="sfa_neardup_src_")
+    shutil.copy(f"{sf_dir}/documents.parquet", f"{src}/documents.parquet")
+    name = f"sneardup_{uuid.uuid4().hex[:8]}"
+    stream = ingest.docs_stream(spark, src)
+    q = (
+        ingest.stream_near_dup(stream, static_bands, n_seeds=8, k=3, band_size=2)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select("doc_id", "ref_doc_id")

@@ -59,3 +59,90 @@ def stream_ingest(doc_stream: DataFrame, min_quality: float = 0.5) -> DataFrame:
     """The standard ingest chain: exact-dedup → quality gate. Output:
     (doc_id, lang, n_tokens, quality) of first-seen, above-bar docs."""
     return stream_quality_gate(stream_dedup_exact(doc_stream), min_quality)
+
+
+def row_minhash_bands(
+    docs: DataFrame, n_seeds: int = 8, k: int = 3, band_size: int = 2
+) -> DataFrame:
+    """ROW-LOCAL MinHash band keys — bit-identical to the batch path
+    (dedup.minhash_signatures → dedup.band_keys) but computed with
+    array expressions on each row instead of explode → groupBy.
+
+    Min over a multiset equals min over its distinct set, so skipping
+    the batch path's shingle DISTINCT changes nothing. Being stateless,
+    this runs inside a streaming query in append mode with no state
+    store — the signature step of streaming near-dedup. (It is also the
+    preferable BATCH plan at 100 TB when only band keys are needed: no
+    shingle×seed explode, no aggregation exchange.)
+
+    Output: (doc_id, band, band_key) — one row per band via posexplode.
+    """
+    from sfa_spark.operators.text import with_tokens
+
+    d = with_tokens(docs)
+    sh = F.when(
+        F.size("toks") >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size("toks") - k),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(F.col("toks"), i + j + 1) for j in range(k)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    d = d.withColumn("sh", sh)
+    def _minhash(seed: int):
+        # NB: bind seed via closure, not a lambda default — PySpark
+        # reads lambda arity, and a 2-arg lambda becomes the (value,
+        # index) transform form, shadowing the default with the index.
+        return F.array_min(
+            F.transform(
+                F.col("sh"),
+                lambda s: F.md5(F.concat_ws("|", F.lit(str(seed)), s)),
+            )
+        )
+
+    minhashes = [_minhash(seed) for seed in range(n_seeds)]
+    bands = F.array(
+        *[
+            F.md5(F.concat_ws(",", *minhashes[b * band_size : (b + 1) * band_size]))
+            for b in range(n_seeds // band_size)
+        ]
+    )
+    # a shingle-less doc (< k tokens) has NO bands in the batch path —
+    # without this filter it would emit md5('') keys and false-join
+    # every other shingle-less doc
+    return d.where(F.size("sh") > 0).select(
+        "doc_id", F.posexplode(bands).alias("band", "band_key")
+    )
+
+
+def stream_near_dup(
+    doc_stream: DataFrame,
+    static_bands: DataFrame,
+    n_seeds: int = 8,
+    k: int = 3,
+    band_size: int = 2,
+) -> DataFrame:
+    """Streaming near-dup detection against a STATIC reference corpus:
+    arriving documents are MinHash-banded row-locally (stateless) and
+    probed against the reference's precomputed band table by (band,
+    band_key) equality — a stream-static join, valid in append mode.
+    dropDuplicates collapses multi-band hits to one row per pair (one
+    state row per emitted pair — pair-count-sized, not corpus-sized).
+
+    `static_bands` is dedup.band_keys(dedup.minhash_signatures(ref)) —
+    at 100 TB it is written out partitioned/bucketed by band_key so the
+    probe join co-locates.
+
+    Output: (doc_id, ref_doc_id).
+    """
+    sb = row_minhash_bands(doc_stream, n_seeds=n_seeds, k=k, band_size=band_size)
+    ref = static_bands.select(
+        F.col("doc_id").alias("ref_doc_id"), "band", "band_key"
+    )
+    return (
+        sb.join(ref, ["band", "band_key"])
+        .where(F.col("doc_id") != F.col("ref_doc_id"))
+        .select("doc_id", "ref_doc_id")
+        .dropDuplicates(["doc_id", "ref_doc_id"])
+    )

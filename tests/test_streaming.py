@@ -215,3 +215,76 @@ def test_stream_dedup_exact_first_seen(spark, tmp_path):
     texts = sorted(r["text"] for r in rows)
     assert texts == ["alpha beta gamma", "delta epsilon", "unique text here"]
     assert len({r["content_hash"] for r in rows}) == 3
+
+
+def test_row_minhash_bands_equal_batch(spark):
+    """The row-local (streaming-safe) MinHash band keys must be
+    bit-identical to the batch explode→groupBy path."""
+    from sfa_spark.operators import dedup
+    from sfa_spark.streaming import ingest
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),
+        (2, "completely different text about spark engines here"),
+        (3, "ab"),  # < k tokens → no shingles → no bands
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {
+        (r["doc_id"], r["band"]): r["band_key"]
+        for r in ingest.row_minhash_bands(d, 8, 3, 2).collect()
+    }
+    b = {
+        (r["doc_id"], r["band"]): r["band_key"]
+        for r in dedup.band_keys(dedup.minhash_signatures(d, 8, 3), 2).collect()
+    }
+    assert a == b and len(a) == 12  # 3 docs x 4 bands; doc 3 bandless
+
+
+def test_stream_near_dup_matches_batch(spark, tmp_path):
+    """stream_near_dup (stream-static band join) == the batch band join
+    on the same corpus."""
+    import shutil
+
+    from pyspark.sql import functions as F
+    from sfa_spark.operators import dedup
+    from sfa_spark.sources.events import load_table
+    from sfa_spark.streaming import ingest
+
+    sf = "/root/testdata/sf0.001"
+    src = tmp_path / "docs"
+    src.mkdir()
+    shutil.copy(f"{sf}/documents.parquet", src / "documents.parquet")
+    docs = load_table(spark, sf, "documents")
+    ref = docs.where(F.col("doc_id") % 2 == 0)
+    static_bands = dedup.band_keys(dedup.minhash_signatures(ref, 8, 3), 2)
+
+    stream = ingest.docs_stream(spark, str(src))
+    q = (
+        ingest.stream_near_dup(stream, static_bands)
+        .writeStream.format("memory")
+        .queryName("t_neardup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["doc_id"], r["ref_doc_id"])
+        for r in spark.table("t_neardup").collect()
+    }
+    all_bands = dedup.band_keys(dedup.minhash_signatures(docs, 8, 3), 2)
+    want = {
+        (r["doc_id"], r["ref_doc_id"])
+        for r in all_bands.join(
+            static_bands.select(
+                F.col("doc_id").alias("ref_doc_id"), "band", "band_key"
+            ),
+            ["band", "band_key"],
+        )
+        .where(F.col("doc_id") != F.col("ref_doc_id"))
+        .select("doc_id", "ref_doc_id")
+        .distinct()
+        .collect()
+    }
+    assert got == want and len(got) > 0
