@@ -655,3 +655,40 @@ banded AS (
 SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS ref_doc_id
 FROM banded a JOIN banded b USING (band, band_key)
 WHERE b.doc_id % 2 = 0 AND a.doc_id <> b.doc_id"""
+
+
+# PQ ADC ANN with data-derived codebook (q_pq_ann trains iters=0 →
+# subspace-s code c = dims [s*16+1, s*16+16] of the vec_id=c vector;
+# encode = per-(vec, sub) argmin with code tiebreak; ADC pair distance
+# = sum over subs of sqdist(query subvector, codeword of the corpus
+# vector's code))
+ORACLES["q_pq_ann"] = """WITH cb AS (
+  SELECT s.s AS sub, CAST(e.vec_id AS INT) AS code, e.embedding
+  FROM embeddings e, generate_series(0, 3) s(s)
+  WHERE e.vec_id < 16
+),
+enc AS (
+  SELECT v.vec_id, c.sub, c.code,
+         (SELECT sum((v.embedding[c.sub * 16 + i]::DOUBLE - c.embedding[c.sub * 16 + i]::DOUBLE)
+                     * (v.embedding[c.sub * 16 + i]::DOUBLE - c.embedding[c.sub * 16 + i]::DOUBLE))
+          FROM generate_series(1, 16) t(i)) AS d
+  FROM embeddings v CROSS JOIN cb c
+),
+codes AS (
+  SELECT vec_id, sub, code FROM enc
+  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d ASC, code ASC) = 1
+),
+adc AS (
+  SELECT q.vec_id AS q_id, x.vec_id AS nn_id,
+         sum((SELECT sum((q.embedding[x.sub * 16 + i]::DOUBLE - cbv.embedding[x.sub * 16 + i]::DOUBLE)
+                         * (q.embedding[x.sub * 16 + i]::DOUBLE - cbv.embedding[x.sub * 16 + i]::DOUBLE))
+              FROM generate_series(1, 16) t(i))) AS adc_dist
+  FROM embeddings q
+  CROSS JOIN codes x
+  JOIN cb cbv ON cbv.sub = x.sub AND cbv.code = x.code
+  WHERE q.vec_id < 10 AND q.vec_id <> x.vec_id
+  GROUP BY 1, 2
+)
+SELECT q_id, nn_id, round(adc_dist + 1e-9, 4) + 0.0 AS adc_dist,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc_dist ASC, nn_id ASC) AS INT) AS rk
+FROM adc QUALIFY rk <= 3"""

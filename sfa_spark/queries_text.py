@@ -286,6 +286,28 @@ def q_pii_stats(spark, sf_dir):
     return text.pii_stats(_docs(spark, sf_dir))
 
 
+PQ_M = 4
+PQ_KSUB = 16
+
+
+def q_pq_ann(spark, sf_dir):
+    """Product-quantization ANN (ADC): 4 subspaces × 16 codes, per-pair
+    distance = m LUT lookups over the encoded corpus — the float column
+    is never read at scan time. iters=0 makes codebook code c the
+    subvectors of vec_id c (data-derived, SQL-reproducible — same oracle
+    trick as q_cosine_kmeans); the trained path + shortlist re-rank are
+    covered by tests/test_llm_ops.py."""
+    emb = _emb(spark, sf_dir)
+    cb = similarity.pq_fit(emb, m=PQ_M, ksub=PQ_KSUB, iters=0)
+    enc = similarity.pq_encode(emb, cb)
+    res = similarity.pq_adc_topk(
+        emb.where(F.col("vec_id") < COS_QUERIES), enc, cb, k=IVF_K
+    )
+    return res.select(
+        "q_id", "nn_id", rnd("adc_dist", 4).alias("adc_dist"), "rk"
+    )
+
+
 def q_repetition_stats(spark, sf_dir):
     """Gopher-style repetition features (dup-token / top-bigram /
     dup-bigram fractions) — two map-side-combinable aggregates joined
