@@ -692,3 +692,24 @@ adc AS (
 SELECT q_id, nn_id, round(adc_dist + 1e-9, 4) + 0.0 AS adc_dist,
        CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc_dist ASC, nn_id ASC) AS INT) AS rk
 FROM adc QUALIFY rk <= 3"""
+
+
+# cluster assignment with data-derived centroids (iters=0 → vec_id < 8)
+ORACLES["q_embed_clusters"] = """WITH cents AS (
+  SELECT CAST(vec_id AS INT) AS centroid_id, embedding AS cvec
+  FROM embeddings WHERE vec_id < 8
+),
+a AS (
+  SELECT e.vec_id, c.centroid_id,
+         (SELECT sum((e.embedding[i]::DOUBLE - c.cvec[i]::DOUBLE)
+                     * (e.embedding[i]::DOUBLE - c.cvec[i]::DOUBLE))
+          FROM generate_series(1, 64) t(i)) AS d
+  FROM embeddings e CROSS JOIN cents c
+),
+home AS (
+  SELECT vec_id, centroid_id FROM a
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, centroid_id ASC) = 1
+)
+SELECT vec_id, centroid_id,
+       CAST(count(*) OVER (PARTITION BY centroid_id) AS BIGINT) AS cluster_size
+FROM home"""

@@ -286,6 +286,25 @@ def q_pii_stats(spark, sf_dir):
     return text.pii_stats(_docs(spark, sf_dir))
 
 
+def q_embed_clusters(spark, sf_dir):
+    """Corpus clustering for mixture analysis / cluster-balanced
+    curation: every embedding assigned to its nearest centroid
+    (broadcast centroid table, row-local argmin) + per-cluster sizes
+    via a window count. iters=0 → centroids are the 8 smallest-id
+    vectors (oracle-reproducible); trained Lloyd is covered in tests."""
+    emb = _emb(spark, sf_dir)
+    cents = similarity.kmeans_fit(emb, n_centroids=KMEANS_C, iters=0)
+    assigned = similarity.ivf_assign(emb, cents, n_probes=1).select(
+        "vec_id", "centroid_id"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("centroid_id")
+    return assigned.withColumn(
+        "cluster_size", F.count(F.lit(1)).over(w).cast("bigint")
+    )
+
+
 PQ_M = 4
 PQ_KSUB = 16
 
