@@ -651,3 +651,135 @@ def pq_topk_rerank(
     return exact.withColumn("rk", F.row_number().over(w).cast("int")).where(
         F.col("rk") <= k
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ (IVFADC): PQ over RESIDUALS v − centroid(v) inside k-means
+# lists. Residuals concentrate near zero, so the same codebook bits buy
+# more precision than plain PQ; the coarse quantizer prunes the scan to
+# n_probes lists and the ADC scan inside a list reads codes only.
+
+
+def residuals(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, centroid_id, resid array<double>): each vector minus its
+    home centroid. Broadcast centroid join + row-local zip_with."""
+    assigned = ivf_assign(df, centroids, vec_col, id_col, n_probes=1)
+    return (
+        assigned.join(F.broadcast(centroids), "centroid_id")
+        .select(
+            F.col(id_col),
+            "centroid_id",
+            F.zip_with(
+                _as_double(F.col(vec_col)), F.col("cvec"), lambda x, c: x - c
+            ).alias("resid"),
+        )
+    )
+
+
+def ivfpq_fit(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    m: int = 4,
+    ksub: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iters: int = 10,
+    sample_limit: int = 65536,
+) -> DataFrame:
+    """PQ codebook trained on residuals (the IVFADC convention —
+    one shared codebook across lists). Returns (sub, code, svec)."""
+    res = residuals(corpus, centroids, vec_col, id_col).select(
+        F.col(id_col), F.col("resid")
+    )
+    return pq_fit(
+        res, m=m, ksub=ksub, vec_col="resid", id_col=id_col,
+        iters=iters, sample_limit=sample_limit,
+    )
+
+
+def ivfpq_encode(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    codebook: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, centroid_id, pq_codes): home list + residual PQ codes —
+    the complete compressed index entry (one int + m small ints per
+    vector). Row-local after the broadcast centroid join; written
+    partitionBy(centroid_id) this IS the on-disk IVF-PQ index."""
+    res = residuals(corpus, centroids, vec_col, id_col)
+    enc = pq_encode(res, codebook, vec_col="resid", id_col=id_col)
+    return res.select(id_col, "centroid_id").join(enc, id_col)
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    encoded: DataFrame,
+    centroids: DataFrame,
+    codebook: DataFrame,
+    k: int,
+    n_probes: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC search over the IVF-PQ index: each query probes its n_probes
+    nearest lists; within a probed list the query's residual (q − that
+    list's centroid) builds the LUT, and every candidate distance is m
+    lookups. Output: (q_id, nn_id, adc_dist, rk).
+
+    The per-(query, probed-list) LUT is a row-local array expression on
+    the broadcast query side — list-specific, as IVFADC requires (the
+    residual depends on which centroid the query is probing)."""
+    cb, m, dsub = _codebook_literals(codebook)
+    q_assigned = ivf_assign(queries, centroids, vec_col, id_col, n_probes=n_probes)
+    qres = (
+        q_assigned.join(F.broadcast(centroids), "centroid_id")
+        .select(
+            F.col(id_col).alias("q_id"),
+            "centroid_id",
+            F.zip_with(
+                _as_double(F.col(vec_col)), F.col("cvec"), lambda x, c: x - c
+            ).alias("qr"),
+        )
+    )
+    lut = F.array(
+        *[
+            F.transform(
+                cb[s],
+                (lambda _s: (lambda c: _sqdist_expr(
+                    F.slice(F.col("qr"), _s * dsub + 1, dsub), c
+                )))(s),
+            )
+            for s in range(m)
+        ]
+    )
+    q = qres.select("q_id", "centroid_id", lut.alias("lut"))
+    pairs = (
+        encoded.select(
+            F.col(id_col).alias("nn_id"), "centroid_id", "pq_codes"
+        )
+        .join(F.broadcast(q), "centroid_id")
+        .where(F.col("q_id") != F.col("nn_id"))
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("lut"),
+            F.transform("pq_codes", lambda c: c.cast("int")),
+            lambda l, c: F.element_at(l, c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = pairs.select("q_id", "nn_id", dist.alias("adc_dist"))
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("adc_dist").asc(), F.col("nn_id").asc()
+    )
+    return scored.withColumn("rk", F.row_number().over(w).cast("int")).where(
+        F.col("rk") <= k
+    )

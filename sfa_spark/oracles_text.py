@@ -713,3 +713,68 @@ home AS (
 SELECT vec_id, centroid_id,
        CAST(count(*) OVER (PARTITION BY centroid_id) AS BIGINT) AS cluster_size
 FROM home"""
+
+
+# IVF-PQ ADC with data-derived coarse (vec_id < 8) + residual codebook
+# (vec_id < 16): home = argmin sqdist; resid = v − home centroid;
+# codeword (s, c) = resid slice of vec_id c; queries probe 2 lists with
+# list-specific residual LUTs
+ORACLES["q_ivfpq_ann"] = """WITH cents AS (
+  SELECT CAST(vec_id AS INT) AS centroid_id, embedding AS cvec
+  FROM embeddings WHERE vec_id < 8
+),
+a AS (
+  SELECT e.vec_id, c.centroid_id,
+         (SELECT sum((e.embedding[i]::DOUBLE - c.cvec[i]::DOUBLE)
+                     * (e.embedding[i]::DOUBLE - c.cvec[i]::DOUBLE))
+          FROM generate_series(1, 64) t(i)) AS d
+  FROM embeddings e CROSS JOIN cents c
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY d ASC, centroid_id ASC) AS crk
+  FROM a
+),
+resv AS (
+  SELECT e.vec_id, r.centroid_id AS home_c,
+         list_transform(generate_series(1, 64),
+                        i -> e.embedding[i]::DOUBLE - c.cvec[i]::DOUBLE) AS resid
+  FROM embeddings e
+  JOIN ranked r ON r.vec_id = e.vec_id AND r.crk = 1
+  JOIN cents c ON c.centroid_id = r.centroid_id
+),
+cbr AS (
+  SELECT s.s AS sub, CAST(r.vec_id AS INT) AS code, r.resid
+  FROM resv r, generate_series(0, 3) s(s) WHERE r.vec_id < 16
+),
+encd AS (
+  SELECT v.vec_id, b.sub, b.code,
+         (SELECT sum((v.resid[b.sub * 16 + i] - b.resid[b.sub * 16 + i])
+                     * (v.resid[b.sub * 16 + i] - b.resid[b.sub * 16 + i]))
+          FROM generate_series(1, 16) t(i)) AS d
+  FROM resv v CROSS JOIN cbr b
+),
+codes AS (
+  SELECT vec_id, sub, code FROM encd
+  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d ASC, code ASC) = 1
+),
+probes AS (
+  SELECT vec_id AS q_id, centroid_id FROM ranked WHERE crk <= 2 AND vec_id < 10
+),
+adc AS (
+  SELECT p.q_id, v.vec_id AS nn_id,
+         sum((SELECT sum(((q.embedding[x.sub * 16 + i]::DOUBLE - pc.cvec[x.sub * 16 + i]::DOUBLE) - cbv.resid[x.sub * 16 + i])
+                         * ((q.embedding[x.sub * 16 + i]::DOUBLE - pc.cvec[x.sub * 16 + i]::DOUBLE) - cbv.resid[x.sub * 16 + i]))
+              FROM generate_series(1, 16) t(i))) AS adc_dist
+  FROM probes p
+  JOIN cents pc ON pc.centroid_id = p.centroid_id
+  JOIN embeddings q ON q.vec_id = p.q_id
+  JOIN resv v ON v.home_c = p.centroid_id
+  JOIN codes x ON x.vec_id = v.vec_id
+  JOIN cbr cbv ON cbv.sub = x.sub AND cbv.code = x.code
+  WHERE v.vec_id <> p.q_id
+  GROUP BY 1, 2
+)
+SELECT q_id, nn_id, round(adc_dist + 1e-9, 4) + 0.0 AS adc_dist,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc_dist ASC, nn_id ASC) AS INT) AS rk
+FROM adc QUALIFY rk <= 3"""

@@ -327,6 +327,25 @@ def q_pq_ann(spark, sf_dir):
     )
 
 
+def q_ivfpq_ann(spark, sf_dir):
+    """IVF-PQ (IVFADC): k-means lists + PQ over residuals; queries
+    probe 2 lists, per-(query, list) residual LUTs, ADC = m lookups per
+    candidate. iters=0 at both stages → centroids are the 8 smallest-id
+    vectors and codewords the residual subvectors of the 16 smallest-id
+    vectors (oracle-reproducible); trained recall in tests."""
+    emb = _emb(spark, sf_dir)
+    cents = similarity.kmeans_fit(emb, n_centroids=KMEANS_C, iters=0)
+    cb = similarity.ivfpq_fit(emb, cents, m=PQ_M, ksub=PQ_KSUB, iters=0)
+    enc = similarity.ivfpq_encode(emb, cents, cb)
+    res = similarity.ivfpq_topk(
+        emb.where(F.col("vec_id") < COS_QUERIES), enc, cents, cb,
+        k=IVF_K, n_probes=KMEANS_PROBES,
+    )
+    return res.select(
+        "q_id", "nn_id", rnd("adc_dist", 4).alias("adc_dist"), "rk"
+    )
+
+
 def q_repetition_stats(spark, sf_dir):
     """Gopher-style repetition features (dup-token / top-bigram /
     dup-bigram fractions) — two map-side-combinable aggregates joined

@@ -522,3 +522,62 @@ def test_pq_codes_compress(spark, emb_small):
     for r in enc:
         assert len(r["pq_codes"]) == 4
         assert all(0 <= c < 8 for c in r["pq_codes"])
+
+
+def test_ivfpq_adc_matches_numpy(spark, emb_small):
+    from sfa_spark.operators import similarity as S
+    from pyspark.sql import functions as F
+
+    cents = S.kmeans_fit(emb_small, n_centroids=4, iters=3)
+    cb = S.ivfpq_fit(emb_small, cents, m=4, ksub=8, iters=3)
+    enc = S.ivfpq_encode(emb_small, cents, cb)
+    res = S.ivfpq_topk(
+        emb_small.where(F.col("vec_id") < 5), enc, cents, cb, k=4, n_probes=2
+    )
+    X = {r["vec_id"]: np.array(r["embedding"]) for r in emb_small.collect()}
+    C = np.array(
+        [r["cvec"] for r in sorted(cents.collect(), key=lambda r: r["centroid_id"])]
+    )
+    CB = np.zeros((4, 8, 4))
+    for r in cb.collect():
+        CB[r["sub"], r["code"]] = r["svec"]
+
+    def home(v):
+        d = ((C - v) ** 2).sum(1)
+        return int(np.lexsort((np.arange(len(C)), d))[0])
+
+    codes = {}
+    for i, v in X.items():
+        h = home(v)
+        r = v - C[h]
+        codes[i] = (h, [int(np.argmin(((CB[s] - r[s * 4 : (s + 1) * 4]) ** 2).sum(1))) for s in range(4)])
+    for r in res.collect():
+        h_c, cds = codes[r["nn_id"]]
+        qr = X[r["q_id"]] - C[h_c]
+        want = sum(((qr[s * 4 : (s + 1) * 4] - CB[s][cds[s]]) ** 2).sum() for s in range(4))
+        assert abs(r["adc_dist"] - want) < 1e-9
+
+
+def test_ivfpq_recall_on_clustered(spark, emb_small):
+    """On clustered data with trained quantizers, IVF-PQ at 2/4 probes
+    recovers most true neighbors (neighbors co-locate in lists)."""
+    from sfa_spark.operators import similarity as S
+    from pyspark.sql import functions as F
+
+    cents = S.kmeans_fit(emb_small, n_centroids=4, iters=5)
+    cb = S.ivfpq_fit(emb_small, cents, m=4, ksub=8, iters=5)
+    enc = S.ivfpq_encode(emb_small, cents, cb)
+    res = S.ivfpq_topk(
+        emb_small.where(F.col("vec_id") < 8), enc, cents, cb, k=10, n_probes=2
+    )
+    X = {r["vec_id"]: np.array(r["embedding"]) for r in emb_small.collect()}
+
+    def exact(q, k=3):
+        ds = sorted((float(((X[q] - X[c]) ** 2).sum()), c) for c in X if c != q)
+        return {c for _, c in ds[:k]}
+
+    by_q = {}
+    for r in res.collect():
+        by_q.setdefault(r["q_id"], set()).add(r["nn_id"])
+    hits = sum(len(exact(q) & nns) for q, nns in by_q.items())
+    assert hits / (3 * len(by_q)) >= 0.6
