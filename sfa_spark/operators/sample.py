@@ -60,6 +60,36 @@ def stratified_sample(
     return df.where(_hash_unit(key_col, salt) < thr)
 
 
+def domain_cap(
+    df: DataFrame,
+    key_col: str,
+    domain_col: str,
+    max_per_domain: int,
+    salt: str = "cap",
+) -> DataFrame:
+    """Keep at most max_per_domain rows per domain — the anti-monoculture
+    cap of web-corpus pipelines (no single site dominates the mixture).
+    Selection is the max_per_domain smallest key hashes WITHIN each
+    domain: deterministic, layout-independent, and a superset-stable
+    choice as the cap grows.
+
+    The rank is a window partitioned by domain — parallel across the
+    domain key space. (A pathological single hot domain makes one
+    partition large; since only the cap's worth of smallest hashes
+    survive, the two-phase escape is a per-partition partial top-k
+    before the window — same TakeOrdered shape as hash_top_n.)"""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(domain_col).orderBy(
+        _hash_unit(key_col, salt).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= max_per_domain)
+        .drop("_rk")
+    )
+
+
 def hash_top_n(df: DataFrame, key_col: str, n: int, salt: str = "s") -> DataFrame:
     """Exactly-n deterministic sample: the n rows with the smallest
     key hashes. Plans as TakeOrderedAndProject (parallel partial

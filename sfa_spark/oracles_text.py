@@ -778,3 +778,11 @@ adc AS (
 SELECT q_id, nn_id, round(adc_dist + 1e-9, 4) + 0.0 AS adc_dist,
        CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc_dist ASC, nn_id ASC) AS INT) AS rk
 FROM adc QUALIFY rk <= 3"""
+
+
+# per-domain cap: 5 smallest 'cap:'-salted hashes per source
+ORACLES["q_domain_cap"] = """SELECT doc_id, source FROM documents
+QUALIFY row_number() OVER (
+  PARTITION BY source
+  ORDER BY (('0x' || substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0) ASC,
+           doc_id ASC) <= 5"""

@@ -269,6 +269,17 @@ def q_hash_top_n(spark, sf_dir):
     )
 
 
+def q_domain_cap(spark, sf_dir):
+    """At most 5 docs per source domain (deterministic smallest-hash
+    winners) — the anti-monoculture cap of a web-corpus mixture."""
+    from sfa_spark.operators import sample
+
+    return sample.domain_cap(
+        _docs(spark, sf_dir).select("doc_id", "source"),
+        "doc_id", "source", 5,
+    )
+
+
 def q_token_estimate(spark, sf_dir):
     """Whitespace vs BPE-ish token counts — the token-budget estimator
     (GPT-2-style pre-tokenizer split, lookahead-free so the oracle

@@ -581,3 +581,22 @@ def test_ivfpq_recall_on_clustered(spark, emb_small):
         by_q.setdefault(r["q_id"], set()).add(r["nn_id"])
     hits = sum(len(exact(q) & nns) for q, nns in by_q.items())
     assert hits / (3 * len(by_q)) >= 0.6
+
+
+def test_domain_cap_deterministic_and_bounded(spark):
+    from sfa_spark.operators import sample
+
+    rows = [(i, f"dom{i % 3}") for i in range(60)]
+    d = spark.createDataFrame(rows, "doc_id long, source string")
+    r1 = sample.domain_cap(d, "doc_id", "source", 4).collect()
+    r2 = sample.domain_cap(d.repartition(7), "doc_id", "source", 4).collect()
+    assert sorted((r["doc_id"], r["source"]) for r in r1) == sorted(
+        (r["doc_id"], r["source"]) for r in r2
+    )
+    from collections import Counter
+
+    cnt = Counter(r["source"] for r in r1)
+    assert all(v == 4 for v in cnt.values()) and len(cnt) == 3
+    # superset-stable: cap 4 winners are all inside cap 8 winners
+    r8 = {r["doc_id"] for r in sample.domain_cap(d, "doc_id", "source", 8).collect()}
+    assert {r["doc_id"] for r in r1} <= r8
