@@ -354,6 +354,14 @@ def kmeans_fit(
         .collect()
     )
     rows.sort(key=lambda r: r["id"])
+    if iters == 0:
+        # the iters=0 oracle contract ("centroids = the C smallest-id
+        # vectors") only holds when the sample saw the WHOLE table
+        assert len(rows) < sample_limit, (
+            f"kmeans_fit(iters=0) needs the full table inside "
+            f"sample_limit={sample_limit}; got {len(rows)} rows — raise "
+            f"sample_limit or use iters>0 (non-oracle path)"
+        )
     x = np.array([r["v"] for r in rows], dtype=np.float64)
     cent = x[:n_centroids].copy()
     for _ in range(iters):
@@ -388,19 +396,42 @@ def ivf_assign(
     """Attach the n_probes nearest centroid ids to each vector.
 
     Output: (id_col, vec_col…, centroid_id, crk) with crk = 1..n_probes
-    (crk 1 is the home centroid — the IVF list assignment). The
-    centroid table is broadcast (C rows); the per-row argmin is a keyed
-    window over C candidates, never a global sort."""
-    d = df.crossJoin(F.broadcast(centroids)).withColumn(
-        "_cdist", _sqdist_expr(_as_double(F.col(vec_col)), F.col("cvec"))
+    (crk 1 is the home centroid — the IVF list assignment).
+
+    ROW-LOCAL: the centroid table is driver-sized by construction
+    (kmeans_fit returns C rows), so it inlines as literal arrays — the
+    same trick pq_encode uses for its codebook — and the per-row argmin
+    is a codegen'd `array_min` over `(dist, centroid_id)` structs. No
+    join, no shuffle, one corpus scan: at 10⁹ vectors × C=4096 the
+    former crossJoin+window form exchanged ~4×10¹² rows for what this
+    computes in place. Ties break to the smallest centroid_id (struct
+    ordering = (dist asc, centroid_id asc)), identical to the previous
+    window `row_number` semantics, so results are bit-for-bit unchanged.
+    """
+    rows = sorted(centroids.collect(), key=lambda r: r["centroid_id"])
+    v = _as_double(F.col(vec_col))
+    darr = F.array(
+        *[
+            F.struct(
+                _sqdist_expr(
+                    v, F.array(*[F.lit(float(x)) for x in r["cvec"]])
+                ).alias("d"),
+                F.lit(int(r["centroid_id"])).cast("int").alias("centroid_id"),
+            )
+            for r in rows
+        ]
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("_cdist").asc(), F.col("centroid_id").asc()
-    )
+    if n_probes == 1:
+        return df.withColumn(
+            "centroid_id", F.array_min(darr)["centroid_id"]
+        ).withColumn("crk", F.lit(1).cast("int"))
+    probes = F.slice(F.array_sort(darr), 1, n_probes)
     return (
-        d.withColumn("crk", F.row_number().over(w).cast("int"))
-        .where(F.col("crk") <= n_probes)
-        .drop("cvec", "_cdist")
+        df.withColumn("_probes", probes)
+        .select("*", F.posexplode("_probes"))
+        .withColumn("centroid_id", F.col("col")["centroid_id"])
+        .withColumn("crk", (F.col("pos") + 1).cast("int"))
+        .drop("_probes", "pos", "col")
     )
 
 
@@ -494,6 +525,13 @@ def pq_fit(
         .collect()
     )
     rows.sort(key=lambda r: r["id"])
+    if iters == 0:
+        # same oracle contract as kmeans_fit: code c of each subspace =
+        # the c-th smallest-id vector's subvector requires full coverage
+        assert len(rows) < sample_limit, (
+            f"pq_fit(iters=0) needs the full table inside "
+            f"sample_limit={sample_limit}; got {len(rows)} rows"
+        )
     x = np.array([r["v"] for r in rows], dtype=np.float64)
     d = x.shape[1]
     assert d % m == 0, f"dim {d} not divisible by m={m}"
@@ -545,12 +583,15 @@ def pq_encode(
     codebook: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, pq_codes array<int>): per subspace, the code of the nearest
-    codeword (ties → smallest code, matching the oracle's (dist, code)
-    ordering). The codebook inlines as literal arrays, so encoding is a
-    ROW-LOCAL codegen'd expression — one corpus scan, no join, no
-    shuffle; exactly how a 100 TB encode pass should plan."""
+    """(id, *keep_cols, pq_codes array<int>): per subspace, the code of
+    the nearest codeword (ties → smallest code, matching the oracle's
+    (dist, code) ordering). The codebook inlines as literal arrays, so
+    encoding is a ROW-LOCAL codegen'd expression — one corpus scan, no
+    join, no shuffle; exactly how a 100 TB encode pass should plan.
+    `keep_cols` pass through untouched so callers (ivfpq_encode) can
+    carry e.g. centroid_id without a re-join."""
     cb, m, dsub = _codebook_literals(codebook)
     v = _as_double(F.col(vec_col))
     codes = []
@@ -561,7 +602,9 @@ def pq_encode(
             (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
         )
     return df.select(
-        F.col(id_col).alias(id_col), F.array(*codes).alias("pq_codes")
+        F.col(id_col).alias(id_col),
+        *[F.col(c) for c in keep_cols],
+        F.array(*codes).alias("pq_codes"),
     )
 
 
@@ -623,6 +666,7 @@ def pq_topk_rerank(
     shortlist: int = 25,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    encoded: DataFrame | None = None,
 ) -> DataFrame:
     """The production PQ shape: ADC over codes builds a per-query
     shortlist (compressed-domain scan — ~3% of the float bytes), then
@@ -632,8 +676,12 @@ def pq_topk_rerank(
     shortlist rows) broadcasts into the float-corpus join, so the full
     float column is touched for candidate ids alone — at 100 TB that is
     the difference between scanning 100 TB and scanning ~3 TB of codes
-    plus point-reads of candidates."""
-    enc = pq_encode(corpus, codebook, vec_col, id_col)
+    plus point-reads of candidates. Pass `encoded` (a persisted
+    pq_encode output — the on-disk code index) to skip re-encoding the
+    corpus on every search call."""
+    enc = encoded if encoded is not None else pq_encode(
+        corpus, codebook, vec_col, id_col
+    )
     short = pq_adc_topk(queries, enc, codebook, k=shortlist, vec_col=vec_col, id_col=id_col)
     cand = short.select("q_id", "nn_id")
     c = corpus.select(
@@ -711,11 +759,14 @@ def ivfpq_encode(
 ) -> DataFrame:
     """(id, centroid_id, pq_codes): home list + residual PQ codes —
     the complete compressed index entry (one int + m small ints per
-    vector). Row-local after the broadcast centroid join; written
+    vector). Residuals are computed ONCE and centroid_id rides through
+    pq_encode as a pass-through column — fully row-local after the
+    broadcast centroid join, no corpus-wide re-join; written
     partitionBy(centroid_id) this IS the on-disk IVF-PQ index."""
     res = residuals(corpus, centroids, vec_col, id_col)
-    enc = pq_encode(res, codebook, vec_col="resid", id_col=id_col)
-    return res.select(id_col, "centroid_id").join(enc, id_col)
+    return pq_encode(
+        res, codebook, vec_col="resid", id_col=id_col, keep_cols=("centroid_id",)
+    )
 
 
 def ivfpq_topk(

@@ -263,7 +263,11 @@ def q_anova_f(spark, sf_dir):
 
 def q_tfidf_fit(spark, sf_dir):
     bag = bag_df(spark, sf_dir).persist().withColumn("label", _label())
-    m = tfidf.fit_tfidf(bag)
+    # n_classes via one cheap job over the cached bag — keeps the
+    # countDistinct branch out of the broadcast-side fit chain (the
+    # r2 bench regression: the in-plan scalar re-ran the bag chain)
+    n_classes = bag.select(F.countDistinct("label")).collect()[0][0]
+    m = tfidf.fit_tfidf(bag, n_classes=n_classes)
     return m.select("label", "word", rnd("weight", 4).alias("weight"))
 
 
@@ -279,7 +283,10 @@ def _split_bags(spark, sf_dir):
 
 def q_tfidf_predict(spark, sf_dir):
     train, test = _split_bags(spark, sf_dir)
-    model = tfidf.fit_tfidf(train.withColumn("label", _label()))
+    train_l = train.withColumn("label", _label())
+    # explicit n_classes (cheap job on the cached bag) — see q_tfidf_fit
+    n_classes = train_l.select(F.countDistinct("label")).collect()[0][0]
+    model = tfidf.fit_tfidf(train_l, n_classes=n_classes)
     pred = tfidf.score_tfidf(test, model)
     return pred.select("series_id", F.col("pred_label").cast("bigint").alias("pred_label"))
 

@@ -273,6 +273,36 @@ def test_ivf_partitioned_write_prunes(spark, tmp_path):
     assert probed.count() > 0
 
 
+def test_ivf_assign_is_row_local(spark):
+    """The IVF list assignment must plan with NO Exchange and NO Join:
+    the centroid table inlines as literal arrays and the argmin is a
+    codegen'd array_min — the r2 crossJoin+window form exchanged
+    corpus×C rows for the same answer. Also checks the multi-probe
+    ordering against numpy (dist asc, centroid_id asc ties)."""
+    rng = np.random.default_rng(43)
+    vecs = rng.normal(0, 1, (100, 8))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = similarity.kmeans_fit(emb, n_centroids=4, iters=2)
+    for probes in (1, 3):
+        assigned = similarity.ivf_assign(emb, cents, n_probes=probes)
+        plan = assigned._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "Join" not in plan, plan
+    C = np.array(
+        [r["cvec"] for r in sorted(cents.collect(), key=lambda r: r["centroid_id"])]
+    )
+    got = {}
+    for r in similarity.ivf_assign(emb, cents, n_probes=3).collect():
+        got.setdefault(r["vec_id"], []).append((r["crk"], r["centroid_id"]))
+    for i, v in enumerate(vecs):
+        d = ((C - v) ** 2).sum(axis=1)
+        order = np.lexsort((np.arange(len(C)), d))[:3]
+        assert [c for _, c in sorted(got[i])] == [int(j) for j in order], i
+
+
 def test_dedup_groups_components(spark):
     """Connected components over near-dup pairs: {1,2,3} collapse to 1,
     {5,6} to 5, untouched docs stay singleton-canonical."""

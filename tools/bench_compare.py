@@ -16,19 +16,22 @@ def load(path_or_stdin):
         txt = sys.stdin.read()
     else:
         txt = open(path_or_stdin).read()
-    # bench driver files wrap the line in {"n":..,"out": "..."} sometimes;
-    # accept either a raw line or a file whose last JSON object has "queries"
-    for line in reversed([l for l in txt.splitlines() if l.strip()]):
+    # bench driver files wrap the line in {"n":..,"parsed": {...}} (and
+    # may be pretty-printed across lines); accept a raw one-line JSON, a
+    # whole-file JSON document, or any line whose object nests "queries"
+    candidates = [txt] + list(reversed([l for l in txt.splitlines() if l.strip()]))
+    for chunk in candidates:
         try:
-            obj = json.loads(line)
+            obj = json.loads(chunk)
         except json.JSONDecodeError:
+            continue
+        if not isinstance(obj, dict):
             continue
         if "queries" in obj:
             return obj
-        if isinstance(obj, dict):
-            for v in obj.values():
-                if isinstance(v, dict) and "queries" in v:
-                    return v
+        for v in obj.values():
+            if isinstance(v, dict) and "queries" in v:
+                return v
     raise SystemExit(f"no bench JSON found in {path_or_stdin}")
 
 
@@ -41,17 +44,19 @@ def main() -> None:
     for name in sorted(set(bq) | set(fq)):
         b, f = bq.get(name), fq.get(name)
         if b is None or f is None:
-            print(f"{name:24s} {b or '-':>8} {f or '-':>8}    new/gone")
+            bs = "-" if b is None else f"{b:.3f}"
+            fs = "-" if f is None else f"{f:.3f}"
+            print(f"{name:24s} {bs:>8} {fs:>8}    new/gone")
             continue
         r = f / b if b else float("inf")
         flag = "  <-- slower" if r > 1.3 else ""
         if r > 1.3:
             worse.append(name)
         print(f"{name:24s} {b:8.3f} {f:8.3f} {r:6.2f}x{flag}")
-    print(
-        f"{'TOTAL':24s} {base['value']:8.3f} {fresh['value']:8.3f} "
-        f"{fresh['value'] / base['value']:6.2f}x"
+    total_ratio = (
+        f"{fresh['value'] / base['value']:6.2f}x" if base.get("value") else "   inf"
     )
+    print(f"{'TOTAL':24s} {base['value']:8.3f} {fresh['value']:8.3f} {total_ratio}")
     if worse:
         print("regressions (>1.3x):", ", ".join(worse))
 
