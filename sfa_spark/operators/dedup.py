@@ -264,6 +264,7 @@ def dedup_groups(
         .withColumn("group_id", F.col(id_col))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iter):
         # min label among self and neighbors
         nbr = (
@@ -291,8 +292,18 @@ def dedup_groups(
         changed = updated.where("_chg").limit(1).count()
         labels = updated.drop("_chg")
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        # a silent stop here would emit SPLIT groups (same component,
+        # different labels) with no error — fail loudly instead
+        raise RuntimeError(
+            f"dedup_groups did not converge within max_iter={max_iter} "
+            "rounds: a component's diameter exceeds the budget. Raise "
+            "max_iter, or switch to the alternating large-star/small-star "
+            "variant (O(log n) rounds) for adversarial graph shapes."
+        )
     if docs is not None:
         labels = (
             docs.select(id_col)

@@ -66,6 +66,7 @@ def domain_cap(
     domain_col: str,
     max_per_domain: int,
     salt: str = "cap",
+    n_buckets: int = 32,
 ) -> DataFrame:
     """Keep at most max_per_domain rows per domain — the anti-monoculture
     cap of web-corpus pipelines (no single site dominates the mixture).
@@ -73,20 +74,40 @@ def domain_cap(
     domain: deterministic, layout-independent, and a superset-stable
     choice as the cap grows.
 
-    The rank is a window partitioned by domain — parallel across the
-    domain key space. (A pathological single hot domain makes one
-    partition large; since only the cap's worth of smallest hashes
-    survive, the two-phase escape is a per-partition partial top-k
-    before the window — same TakeOrdered shape as hash_top_n.)"""
+    TWO-PHASE against hot domains: phase 1 ranks within (domain,
+    key-hash bucket) — a salted window whose partitions are bounded to
+    ~|domain|/n_buckets rows — and keeps each bucket's cap's worth of
+    smallest hashes; phase 2 ranks the survivors (≤ n_buckets × cap
+    rows per domain, bounded regardless of skew) within the domain.
+    Every global winner is a winner of its own bucket, so the result is
+    identical to the single-window form — a pathological single-domain
+    corpus no longer funnels through one window partition. n_buckets=1
+    degenerates to the single-phase plan (one shuffle) for known-
+    balanced domain keys."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy(domain_col).orderBy(
-        _hash_unit(key_col, salt).asc(), F.col(key_col).asc()
+    h = _hash_unit(key_col, salt)
+    out_cols = df.columns
+    staged = df.withColumn("_h", h)
+    if n_buckets > 1:
+        staged = staged.withColumn(
+            "_bkt", F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(n_buckets))
+        )
+        w1 = Window.partitionBy(domain_col, "_bkt").orderBy(
+            F.col("_h").asc(), F.col(key_col).asc()
+        )
+        staged = (
+            staged.withColumn("_rk", F.row_number().over(w1))
+            .where(F.col("_rk") <= max_per_domain)
+            .drop("_bkt", "_rk")
+        )
+    w2 = Window.partitionBy(domain_col).orderBy(
+        F.col("_h").asc(), F.col(key_col).asc()
     )
     return (
-        df.withColumn("_rk", F.row_number().over(w))
+        staged.withColumn("_rk", F.row_number().over(w2))
         .where(F.col("_rk") <= max_per_domain)
-        .drop("_rk")
+        .select(*out_cols)
     )
 
 

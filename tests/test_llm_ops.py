@@ -329,6 +329,22 @@ def test_dedup_groups_chain_converges(spark):
     assert {r["group_id"] for r in res.collect()} == {0}
 
 
+def test_dedup_groups_raises_on_nonconvergence(spark):
+    """An adversarial chain deeper than the iteration budget must FAIL
+    LOUDLY, never silently emit split groups (r2 verdict: the silent
+    stop at max_iter was the robustness gap)."""
+    import pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.dedup_groups(pairs, max_iter=4)
+    # same graph inside the budget: one component, label 0
+    res = dedup.dedup_groups(pairs, max_iter=12)
+    assert {r["group_id"] for r in res.collect()} == {0}
+
+
 def test_hash_sample_deterministic_and_nested(spark):
     from sfa_spark.operators import sample
 
@@ -630,3 +646,30 @@ def test_domain_cap_deterministic_and_bounded(spark):
     # superset-stable: cap 4 winners are all inside cap 8 winners
     r8 = {r["doc_id"] for r in sample.domain_cap(d, "doc_id", "source", 8).collect()}
     assert {r["doc_id"] for r in r1} <= r8
+
+
+def test_domain_cap_two_phase_bounds_hot_domain(spark):
+    """One pathological domain holding ~all rows: the two-phase plan
+    must (a) rank first within (domain, hash-bucket) — the first
+    exchange keyed on BOTH columns, bounding any one window partition
+    to ~|domain|/n_buckets rows — and (b) return exactly the rows the
+    single-phase (n_buckets=1) plan picks."""
+    from sfa_spark.operators import sample
+
+    rows = [(i, "hot" if i % 50 else f"cold{i}") for i in range(5000)]
+    d = spark.createDataFrame(rows, "doc_id long, source string")
+    two = sample.domain_cap(d, "doc_id", "source", 7, n_buckets=16)
+    one = sample.domain_cap(d, "doc_id", "source", 7, n_buckets=1)
+    got_two = sorted((r["doc_id"], r["source"]) for r in two.collect())
+    got_one = sorted((r["doc_id"], r["source"]) for r in one.collect())
+    assert got_two == got_one
+    from collections import Counter
+
+    assert max(Counter(s for _, s in got_two).values()) == 7
+    plan = two._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert any("_bkt" in p and "source" in p for p in parts), plan
+    # phase-2 window sees survivors only: plan has two ranking windows
+    assert plan.count("row_number()") >= 2, plan
