@@ -39,6 +39,24 @@ def entry(spark: SparkSession) -> DataFrame:
     return Q.q_bag_topk(spark, "/root/testdata/sf0.001")
 
 
+# Coverage rotation: the driver's correctness gate records the FIRST
+# 50 registered queries each round. Round 2 recorded the first 50 in
+# module order, leaving these 26 (newest ANN/corpus-prep/spectral/ML/
+# streaming operators) verified only by the local tools/check_oracle.py
+# replay — list them first so CORRECTNESS_r03 records them externally;
+# the demoted ones keep their green r2 rows.
+ROTATE_FIRST = [
+    "q_embed_clusters", "q_pq_ann", "q_ivfpq_ann", "q_repetition_stats",
+    "q_gopher_filter", "q_decontaminate", "q_sequence_pack", "q_dft_coefs",
+    "q_mft_sliding", "q_pla_segments", "q_dwt_coefs", "q_apca_segments",
+    "q_sfa_words_dft", "q_index_knn", "q_index_range",
+    "q_boss_ensemble_predict", "q_weasel_predict", "q_bossvs_predict",
+    "q_muse_predict", "q_shotgun_1nn", "q_boss_grid_predict",
+    "q_shotgun_ensemble_predict", "q_stream_sfa_words",
+    "q_stream_window_stats", "q_stream_ingest_gate", "q_stream_near_dup",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     regs: dict[str, Callable] = {}
     for modname in QUERY_MODULES:
@@ -53,7 +71,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 if name.startswith("q_") and callable(fn)
             }
         )
-    return regs
+    ordered: dict[str, Callable] = {
+        name: regs[name] for name in ROTATE_FIRST if name in regs
+    }
+    ordered.update(regs)
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:
