@@ -233,10 +233,13 @@ class WeaselModel:
 
 
 def _collect_bags(kept: DataFrame, all_sids: list):
-    """Collect a (series_id, key, cnt) bag table into a dense
-    #series × vocab matrix (keys factorized in sorted order). Struct
+    """Collect a (series_id, key, cnt) bag table into a #series × vocab
+    matrix (keys factorized in sorted order) — dense below the driver
+    budget, CooRows (COO index arrays, memory ∝ nnz) above it. Struct
     keys (MUSE) land as Row — normalized to tuples for sorting."""
     import numpy as np
+
+    from sfa_spark.ml import linear
 
     pdf = kept.select("series_id", "key", "cnt").toPandas()
 
@@ -249,9 +252,13 @@ def _collect_bags(kept: DataFrame, all_sids: list):
     keys = sorted(set(norm))
     kidx = {kk: j for j, kk in enumerate(keys)}
     row_of = {sid: i for i, sid in enumerate(all_sids)}
+    ri = np.asarray([row_of[sid] for sid in pdf["series_id"]], dtype=np.int64)
+    ci = np.asarray([kidx[kk] for kk in norm], dtype=np.int64)
+    v = pdf["cnt"].to_numpy(dtype=np.float64)
+    if len(all_sids) * max(len(keys), 1) * 8 > linear.DENSE_BUDGET_BYTES:
+        return keys, linear.CooRows(ri, ci, v, (len(all_sids), len(keys)))
     X = np.zeros((len(all_sids), len(keys)), dtype=np.float64)
-    for sid, kk, cnt in zip(pdf["series_id"], norm, pdf["cnt"]):
-        X[row_of[sid], kidx[kk]] = float(cnt)
+    X[ri, ci] = v
     return keys, X
 
 

@@ -1119,11 +1119,17 @@ def weasel_grid_fit(
             .toPandas()
         )
         keys = np.unique(pdf["key"].to_numpy(dtype=np.int64))
+        ri = pdf["series_id"].map(row_of).to_numpy(dtype=np.int64)
+        ci = np.searchsorted(keys, pdf["key"].to_numpy(dtype=np.int64))
+        v = pdf["cnt"].to_numpy(dtype=np.float64)
+        # size-gated: dense BLAS for fixture-scale combos (bit-stable
+        # goldens), COO index arrays once #train × vocab would exceed
+        # the driver budget — memory ∝ nnz (r2 verdict's dense ceiling)
+        if n_train * max(len(keys), 1) * 8 > linear.DENSE_BUDGET_BYTES:
+            return keys, linear.CooRows(ri, ci, v, (n_train, len(keys)))
         X = np.zeros((n_train, len(keys)), dtype=np.float64)
         if len(pdf):
-            ri = pdf["series_id"].map(row_of).to_numpy(dtype=np.int64)
-            ci = np.searchsorted(keys, pdf["key"].to_numpy(dtype=np.int64))
-            X[ri, ci] = pdf["cnt"].to_numpy(dtype=np.float64)
+            X[ri, ci] = v
         return keys, X
 
     best_key, best_correct = None, -1

@@ -19,6 +19,71 @@ from __future__ import annotations
 
 import numpy as np
 
+# Above this estimated dense-matrix size the featurized bags stay
+# sparse through the L-BFGS matvecs (the χ² cap bounds vocab, but
+# #train × vocab can still exceed driver memory at 10⁶ labeled series
+# — the r2 verdict's driver-dense-matrix ceiling). Below it, dense
+# BLAS is faster and keeps the small-fixture goldens bit-stable.
+DENSE_BUDGET_BYTES = 256 << 20
+
+
+class CooRows:
+    """Row-major sparse matrix as COO index arrays — no scipy, just
+    numpy bincount matvecs: exactly the two products the softmax
+    objective needs (X·Wᵀ and Gᵀ·X). Bag featurizations are naturally
+    this shape ((series, key, cnt) rows), so keeping them sparse makes
+    driver memory ∝ nnz, not #train × vocab."""
+
+    def __init__(self, rows, cols, vals, shape):
+        self.rows = np.asarray(rows, dtype=np.int64)
+        self.cols = np.asarray(cols, dtype=np.int64)
+        self.vals = np.asarray(vals, dtype=np.float64)
+        self.shape = (int(shape[0]), int(shape[1]))
+
+    @property
+    def nnz(self) -> int:
+        return len(self.vals)
+
+    def dot_wt(self, W: np.ndarray) -> np.ndarray:
+        """X @ W.T → (n, k)."""
+        n, _ = self.shape
+        k = W.shape[0]
+        Z = np.empty((n, k), dtype=np.float64)
+        for j in range(k):
+            Z[:, j] = np.bincount(
+                self.rows, weights=self.vals * W[j, self.cols], minlength=n
+            )
+        return Z
+
+    def gt_dot(self, G: np.ndarray) -> np.ndarray:
+        """G.T @ X → (k, d)."""
+        _, d = self.shape
+        k = G.shape[1]
+        out = np.empty((k, d), dtype=np.float64)
+        for j in range(k):
+            out[j] = np.bincount(
+                self.cols, weights=self.vals * G[self.rows, j], minlength=d
+            )
+        return out
+
+    def __getitem__(self, mask):
+        """Boolean row selection (the CV fold splits)."""
+        mask = np.asarray(mask)
+        assert mask.dtype == bool and len(mask) == self.shape[0]
+        new_row = np.cumsum(mask) - 1
+        keep = mask[self.rows]
+        return CooRows(
+            new_row[self.rows[keep]],
+            self.cols[keep],
+            self.vals[keep],
+            (int(mask.sum()), self.shape[1]),
+        )
+
+    def toarray(self) -> np.ndarray:
+        X = np.zeros(self.shape, dtype=np.float64)
+        X[self.rows, self.cols] = self.vals
+        return X
+
 
 def _softmax(z: np.ndarray) -> np.ndarray:
     z = z - z.max(axis=1, keepdims=True)
@@ -26,18 +91,23 @@ def _softmax(z: np.ndarray) -> np.ndarray:
     return e / e.sum(axis=1, keepdims=True)
 
 
+def _x_dot_wt(X, W):
+    return X.dot_wt(W) if isinstance(X, CooRows) else X @ W.T
+
+
 def _fun_grad(theta, X, Y, lam, k, d):
-    """Loss and gradient. theta packs [W (k×d), b (k)]."""
+    """Loss and gradient. theta packs [W (k×d), b (k)]. X may be a
+    dense ndarray or CooRows — only the two matvecs differ."""
     n = X.shape[0]
     W = theta[: k * d].reshape(k, d)
     b = theta[k * d :]
-    P = _softmax(X @ W.T + b)
+    P = _softmax(_x_dot_wt(X, W) + b)
     # cross-entropy; Y is one-hot (n×k)
     eps = 1e-15
     f = -np.log(np.maximum((P * Y).sum(axis=1), eps)).mean()
     f += lam * 0.5 * float((W * W).sum())
     G = (P - Y) / n  # n×k
-    gW = G.T @ X + lam * W
+    gW = (X.gt_dot(G) if isinstance(X, CooRows) else G.T @ X) + lam * W
     gb = G.sum(axis=0)
     return f, np.concatenate([gW.ravel(), gb])
 
@@ -94,27 +164,30 @@ def _lbfgs(fun_grad, x0, max_iter=100, tol=1e-7, m=10):
 
 
 class LocalSoftmax:
-    """Fitted model: W (k×d), b (k); predict_proba on dense rows."""
+    """Fitted model: W (k×d), b (k); predict_proba on dense or CooRows."""
 
     def __init__(self, W: np.ndarray, b: np.ndarray):
         self.W, self.b = W, b
 
-    def predict_proba(self, X: np.ndarray) -> np.ndarray:
+    def predict_proba(self, X) -> np.ndarray:
+        if isinstance(X, CooRows):
+            return _softmax(X.dot_wt(self.W) + self.b)
         return _softmax(np.atleast_2d(X) @ self.W.T + self.b)
 
-    def predict_idx(self, X: np.ndarray) -> np.ndarray:
+    def predict_idx(self, X) -> np.ndarray:
         return self.predict_proba(X).argmax(axis=1)
 
 
 def fit_softmax(
-    X: np.ndarray,
+    X,
     y_idx: np.ndarray,
     n_classes: int,
     lam: float,
     max_iter: int = 100,
     tol: float = 1e-7,
 ) -> LocalSoftmax:
-    X = np.atleast_2d(np.asarray(X, dtype=np.float64))
+    if not isinstance(X, CooRows):
+        X = np.atleast_2d(np.asarray(X, dtype=np.float64))
     n, d = X.shape
     k = int(n_classes)
     Y = np.zeros((n, k))

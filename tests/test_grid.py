@@ -97,6 +97,33 @@ def test_weasel_grid(synth):
     assert _acc(m.predict(te.select("series_id", "values")), te) >= 0.8
 
 
+def test_weasel_grid_sparse_path_matches_dense(synth, monkeypatch):
+    """Force the CooRows featurization (budget=0) and check the fitted
+    grid picks the same combo and predicts the same labels as the dense
+    path — the size gate must be a memory decision, not a model one."""
+    from sfa_spark.ml import linear
+
+    tr, te = synth
+    kwargs = dict(max_windows=32, n_folds=3, max_iter=20)
+    m_dense = grid.weasel_grid_fit(
+        tr.select("series_id", "values"), tr.select("series_id", "label"), **kwargs
+    )
+    monkeypatch.setattr(linear, "DENSE_BUDGET_BYTES", 0)
+    m_sparse = grid.weasel_grid_fit(
+        tr.select("series_id", "values"), tr.select("series_id", "label"), **kwargs
+    )
+    assert (m_sparse.nm, m_sparse.f) == (m_dense.nm, m_dense.f)
+    pd_ = {
+        r["series_id"]: r["pred_label"]
+        for r in m_dense.predict(te.select("series_id", "values")).collect()
+    }
+    ps = {
+        r["series_id"]: r["pred_label"]
+        for r in m_sparse.predict(te.select("series_id", "values")).collect()
+    }
+    assert pd_ == ps
+
+
 def test_teaser_weasel_early_and_accurate(synth):
     from sfa_spark.ml import teaser_weasel as tw
 

@@ -46,6 +46,57 @@ def test_softmax_matches_reference_gradient():
         assert abs((f1 - f0) / eps - g[i]) < 1e-4
 
 
+def _random_coo(rng, n, d, nnz):
+    idx = rng.choice(n * d, size=nnz, replace=False)
+    ri, ci = idx // d, idx % d
+    v = rng.randn(nnz)
+    return linear.CooRows(ri, ci, v, (n, d))
+
+
+def test_coo_matvecs_match_dense():
+    rng = np.random.RandomState(11)
+    Xs = _random_coo(rng, 50, 20, 300)
+    Xd = Xs.toarray()
+    W = rng.randn(3, 20)
+    G = rng.randn(50, 3)
+    assert np.allclose(Xs.dot_wt(W), Xd @ W.T)
+    assert np.allclose(Xs.gt_dot(G), G.T @ Xd)
+    mask = rng.rand(50) > 0.4
+    assert np.allclose(Xs[mask].toarray(), Xd[mask])
+
+
+def test_fit_softmax_sparse_matches_dense():
+    """The CooRows path must reproduce the dense solve (same objective,
+    same matvec results up to float summation order)."""
+    rng = np.random.RandomState(5)
+    Xs = _random_coo(rng, 90, 30, 600)
+    Xd = Xs.toarray()
+    y = rng.randint(0, 3, 90)
+    md = linear.fit_softmax(Xd, y, 3, lam=0.01)
+    ms = linear.fit_softmax(Xs, y, 3, lam=0.01)
+    assert (md.predict_idx(Xd) == ms.predict_idx(Xs)).all()
+    assert np.allclose(md.W, ms.W, atol=1e-5)
+    assert np.allclose(md.b, ms.b, atol=1e-5)
+
+
+def test_fit_softmax_sparse_at_scale():
+    """10⁵ series × 3000 vocab (dense would be 2.4 GB — over the
+    driver budget) fits through the sparse path: memory ∝ nnz."""
+    rng = np.random.RandomState(1)
+    n, d, nnz = 100_000, 3000, 400_000
+    assert n * d * 8 > linear.DENSE_BUDGET_BYTES
+    ri = rng.randint(0, n, nnz)
+    ci = rng.randint(0, d, nnz)
+    y = rng.randint(0, 4, n)
+    # label-correlated signal so the fit does something
+    v = rng.rand(nnz) + (ci % 4 == y[ri]) * 2.0
+    Xs = linear.CooRows(ri, ci, v, (n, d))
+    m = linear.fit_softmax(Xs, y, 4, lam=0.1, max_iter=5)
+    assert m.W.shape == (4, d)
+    acc = (m.predict_idx(Xs) == y).mean()
+    assert acc > 0.3  # beats the 0.25 uniform-guess floor
+
+
 def test_ranked_top_k_matches_window_rank(spark):
     rng = np.random.RandomState(1)
     rows = [
