@@ -48,10 +48,23 @@ def stream_quality_gate(
     )
 
 
-def stream_dedup_exact(doc_stream: DataFrame) -> DataFrame:
+def stream_dedup_exact(
+    doc_stream: DataFrame,
+    event_time_col: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
     """First-seen document per exact content hash (sha2-256 of text).
-    Streaming dropDuplicates: one state row per distinct hash."""
+    Streaming dropDuplicates: one state row per distinct hash — grows
+    with the corpus. For a genuinely continuous stream pass
+    (event_time_col, watermark) to switch to
+    dropDuplicatesWithinWatermark: duplicates are only suppressed
+    within the dedup horizon, and state older than the watermark is
+    EVICTED — bounded state for unbounded streams."""
     hashed = doc_stream.withColumn("content_hash", F.sha2(F.col("text"), 256))
+    if event_time_col and watermark:
+        return hashed.withWatermark(
+            event_time_col, watermark
+        ).dropDuplicatesWithinWatermark(["content_hash"])
     return hashed.dropDuplicates(["content_hash"])
 
 
@@ -62,7 +75,11 @@ def stream_ingest(doc_stream: DataFrame, min_quality: float = 0.5) -> DataFrame:
 
 
 def row_minhash_bands(
-    docs: DataFrame, n_seeds: int = 8, k: int = 3, band_size: int = 2
+    docs: DataFrame,
+    n_seeds: int = 8,
+    k: int = 3,
+    band_size: int = 2,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """ROW-LOCAL MinHash band keys — bit-identical to the batch path
     (dedup.minhash_signatures → dedup.band_keys) but computed with
@@ -75,7 +92,9 @@ def row_minhash_bands(
     preferable BATCH plan at 100 TB when only band keys are needed: no
     shingle×seed explode, no aggregation exchange.)
 
-    Output: (doc_id, band, band_key) — one row per band via posexplode.
+    Output: (doc_id[, *keep_cols], band, band_key) — one row per band
+    via posexplode; `keep_cols` ride through (e.g. an event-time column
+    for a downstream watermark).
     """
     from sfa_spark.operators.text import with_tokens
 
@@ -112,7 +131,9 @@ def row_minhash_bands(
     # without this filter it would emit md5('') keys and false-join
     # every other shingle-less doc
     return d.where(F.size("sh") > 0).select(
-        "doc_id", F.posexplode(bands).alias("band", "band_key")
+        "doc_id",
+        *[F.col(c) for c in keep_cols],
+        F.posexplode(bands).alias("band", "band_key"),
     )
 
 
@@ -122,27 +143,47 @@ def stream_near_dup(
     n_seeds: int = 8,
     k: int = 3,
     band_size: int = 2,
+    event_time_col: str | None = None,
+    watermark: str | None = None,
 ) -> DataFrame:
     """Streaming near-dup detection against a STATIC reference corpus:
     arriving documents are MinHash-banded row-locally (stateless) and
     probed against the reference's precomputed band table by (band,
     band_key) equality — a stream-static join, valid in append mode.
     dropDuplicates collapses multi-band hits to one row per pair (one
-    state row per emitted pair — pair-count-sized, not corpus-sized).
+    state row per emitted pair — pair-count-sized, not corpus-sized) —
+    safe under availableNow/bounded replay, but on a genuinely
+    continuous stream that state never evicts. Pass (event_time_col,
+    watermark) for the long-running form: the pair-dedup becomes
+    dropDuplicatesWithinWatermark, so multi-band hits are collapsed
+    within the horizon and pair state older than the watermark is
+    EVICTED (a pair may re-emit if the same doc_id reappears beyond
+    the horizon — the standard bounded-state trade).
 
     `static_bands` is dedup.band_keys(dedup.minhash_signatures(ref)) —
     at 100 TB it is written out partitioned/bucketed by band_key so the
     probe join co-locates.
 
-    Output: (doc_id, ref_doc_id).
+    Output: (doc_id, ref_doc_id) (+ event_time_col in watermark mode).
     """
-    sb = row_minhash_bands(doc_stream, n_seeds=n_seeds, k=k, band_size=band_size)
+    bounded = bool(event_time_col and watermark)
+    if bounded:
+        doc_stream = doc_stream.withWatermark(event_time_col, watermark)
+    sb = row_minhash_bands(
+        doc_stream, n_seeds=n_seeds, k=k, band_size=band_size,
+        keep_cols=(event_time_col,) if bounded else (),
+    )
     ref = static_bands.select(
         F.col("doc_id").alias("ref_doc_id"), "band", "band_key"
     )
-    return (
+    pairs = (
         sb.join(ref, ["band", "band_key"])
         .where(F.col("doc_id") != F.col("ref_doc_id"))
-        .select("doc_id", "ref_doc_id")
-        .dropDuplicates(["doc_id", "ref_doc_id"])
+    )
+    if bounded:
+        return pairs.select(
+            "doc_id", "ref_doc_id", event_time_col
+        ).dropDuplicatesWithinWatermark(["doc_id", "ref_doc_id"])
+    return pairs.select("doc_id", "ref_doc_id").dropDuplicates(
+        ["doc_id", "ref_doc_id"]
     )

@@ -288,3 +288,54 @@ def test_stream_near_dup_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_near_dup_watermarked_matches_unbounded(spark, tmp_path):
+    """The long-running form (watermark + dropDuplicatesWithinWatermark,
+    bounded state) must emit the same pair set as the unbounded form for
+    in-horizon data."""
+    from pyspark.sql import functions as F
+    from sfa_spark.operators import dedup
+    from sfa_spark.sources.events import load_table
+    from sfa_spark.streaming import ingest
+
+    sf = "/root/testdata/sf0.001"
+    src = tmp_path / "docs_ts"
+    docs = load_table(spark, sf, "documents")
+    docs.withColumn(
+        "arrived", F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id"))
+    ).write.parquet(str(src))
+    ref = docs.where(F.col("doc_id") % 2 == 0)
+    static_bands = dedup.band_keys(dedup.minhash_signatures(ref, 8, 3), 2)
+
+    stream = ingest.docs_stream(spark, str(src))
+    out = ingest.stream_near_dup(
+        stream, static_bands, event_time_col="arrived", watermark="10 minutes"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_neardup_wm")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["doc_id"], r["ref_doc_id"])
+        for r in spark.table("t_neardup_wm").collect()
+    }
+    all_bands = dedup.band_keys(dedup.minhash_signatures(docs, 8, 3), 2)
+    want = {
+        (r["doc_id"], r["ref_doc_id"])
+        for r in all_bands.join(
+            static_bands.select(
+                F.col("doc_id").alias("ref_doc_id"), "band", "band_key"
+            ),
+            ["band", "band_key"],
+        )
+        .where(F.col("doc_id") != F.col("ref_doc_id"))
+        .select("doc_id", "ref_doc_id")
+        .distinct()
+        .collect()
+    }
+    assert got == want and len(got) > 0
