@@ -81,18 +81,14 @@ def mft_all_windows(
     end = max(1, n - w + 1)
     start_offset = 2 if norm_mean else 0
     norm = 1.0 / np.sqrt(w) if lower_bounding else 1.0
-    n_coefs = (l + start_offset + 1) // 2 + 1  # coefficients 0..n_coefs-1
+    n_coefs = w // 2 + 1  # every rfft coefficient of a w-point window
 
     if method == "recurrence":
         ks = np.arange(n_coefs)
         phi = np.exp(2j * np.pi * ks / w)  # e^{+2πik/w}, reference phis
         spec = np.empty((end, n_coefs), dtype=np.complex128)
         first = np.fft.rfft(x[:w] if n >= w else np.pad(x, (0, w - n)))
-        cur = np.zeros(n_coefs, dtype=np.complex128)
-        m = min(n_coefs, len(first))
-        cur[:m] = first[:m]
-        if w % 2 == 0 and n_coefs > w // 2:
-            cur[w // 2] = cur[w // 2].real  # packed-slot zeroing analogue
+        cur = first.copy()
         spec[0] = cur
         for t in range(1, end):
             cur = (cur + (x[t + w - 1] - x[t - 1])) * phi
@@ -104,19 +100,50 @@ def mft_all_windows(
             wins = buf[None, :]
         else:
             wins = np.lib.stride_tricks.sliding_window_view(x, w)
-        spec = np.fft.rfft(wins, axis=1)[:, :n_coefs]
+        spec = np.fft.rfft(wins, axis=1)
 
-    # jTransforms packs Re[w/2] into slot 1 and the reference zeroes it,
-    # so coefficient index 0's imaginary part is always 0 (it is anyway).
-    ks = np.arange(start_offset // 2, start_offset // 2 + (l + 1) // 2)
-    ks = ks[ks < spec.shape[1]]
-    re = spec[:, ks].real
-    im = -spec[:, ks].imag
-    inter = np.empty((end, 2 * len(ks)))
-    inter[:, 0::2] = re
-    inter[:, 1::2] = im
-    out = np.zeros((end, l))
-    out[:, : min(l, inter.shape[1])] = inter[:, : min(l, inter.shape[1])]
+    # Replicate the reference's jTransforms PACKED layout exactly
+    # (MFT.java:102-161 + 65-88): slot 2k = Re[k], slot 2k+1 = Im[k],
+    # and slot 1 — the packed slot holding Re[w/2] (even w) / Im[(w−1)/2]
+    # (odd w) — is ZEROED ("data[1] = 0"). Consequences the BOSS grids
+    # depend on when l exceeds the window's spectral content:
+    #   * even w: the Nyquist coefficient is dropped entirely; output
+    #     values beyond w − startOffset are zero-padding, so bags
+    #     plateau for f past the usable length;
+    #   * odd w with l + startOffset ≥ w + 1: the last coefficient
+    #     k* = (w−1)/2 enters the O(1) sliding recurrence with its
+    #     TRUE Re but a zeroed Im (the packed slot), and every later
+    #     window rotates that half-fake state — a deliberate-looking
+    #     artifact of the reference's packed arithmetic that its
+    #     grids (e.g. BOSS ensemble on Beef) measurably depend on.
+    #     Closed form: X(t) = φ^t · (X(0) + Σ_{s≤t} d_s φ^{−(s−1)}),
+    #     exactly the recurrence the reference iterates.
+    P = l + start_offset
+    packed = np.zeros((end, max(P, 2)))
+    packed[:, 0] = spec[:, 0].real
+    ks_re = np.arange(1, (w - 1) // 2 + 1)
+    ks_re = ks_re[2 * ks_re < P]
+    if len(ks_re):
+        packed[:, 2 * ks_re] = spec[:, ks_re].real
+    ks_im = np.arange(1, (w - 1) // 2 + 1)
+    ks_im = ks_im[(2 * ks_im + 1 <= w - 1) & (2 * ks_im + 1 < P)]
+    if len(ks_im):
+        packed[:, 2 * ks_im + 1] = spec[:, ks_im].imag
+    if w % 2 == 1 and P >= w + 1 and end > 1:
+        kstar = (w - 1) // 2
+        x0 = complex(spec[0, kstar].real, 0.0)
+        d = x[w:] - x[: end - 1]
+        t = np.arange(1, end)
+        cum = x0 + np.cumsum(d * np.exp(-2j * np.pi * kstar * (t - 1) / w))
+        xt = np.exp(2j * np.pi * kstar * t / w) * cum
+        packed[1:, 2 * kstar] = xt.real
+        packed[1:, 2 * kstar + 1] = xt.imag
+        packed[0, 2 * kstar] = x0.real
+        packed[0, 2 * kstar + 1] = 0.0
+    out = packed[:, start_offset : start_offset + l].copy()
+    if out.shape[1] < l:
+        out = np.pad(out, ((0, 0), (0, l - out.shape[1])))
+    out[:, 1::2] *= -1.0  # normalizeFT sign alternation (odd indices)
 
     if apply_z_norm:
         # per-window stddev normalization (normalizeFT)

@@ -49,6 +49,8 @@ __all__ = [
     "BossVSGridModel",
     "ShotgunGridModel",
     "WeaselGridModel",
+    "muse_grid_fit",
+    "MuseGridModel",
 ]
 
 COEF_SCHEMA = (
@@ -83,6 +85,7 @@ def _multi_coefs(
     sliding: bool,
     lower_bounding: bool = True,
     seg_map: dict[tuple[bool, int], list[int]] | None = None,
+    apply_z_norm: bool = True,
 ) -> DataFrame:
     """One mapInPandas pass → MFT values for EVERY (norm, window) combo.
 
@@ -116,7 +119,8 @@ def _multi_coefs(
                         continue  # reference emits no windows for short series
                     if sliding:
                         m = spectral.mft_all_windows(
-                            x, w, lc, norm_mean=nm, lower_bounding=lower_bounding
+                            x, w, lc, norm_mean=nm, lower_bounding=lower_bounding,
+                            apply_z_norm=apply_z_norm,
                         )
                     else:
                         k = len(x) // w
@@ -127,6 +131,7 @@ def _multi_coefs(
                                 spectral.mft_all_windows(
                                     x[i * w : (i + 1) * w], w, lc,
                                     norm_mean=nm, lower_bounding=lower_bounding,
+                                    apply_z_norm=apply_z_norm,
                                 )
                                 for i in range(k)
                             ]
@@ -371,6 +376,20 @@ def boss_ensemble_grid_fit(
             best_nm, best_c = nm, c
     members = per_norm[best_nm]
 
+    # Reference fit() MUTATES the winning ensemble's highest-scoring
+    # member's Score.training to the ensemble-vote train-correct count
+    # (BOSSEnsembleClassifier.java:100-104: `bestScore =
+    # model.getHighestScoringModel().score; bestScore.training =
+    # pred.correct.get()`), and predict() then uses that same Score as
+    # the member's TEST vote weight (java:268: `score.score.training`).
+    # Looks accidental, but the published goldens encode it — on Beef it
+    # is exactly the one-test-sample gap (weight 20 vs 18 flips sample
+    # 12 from 4.0 to 3.0). "Highest" ties break to the larger window
+    # (Score.compareTo, Classifier.java:300-308).
+    if members:
+        top = max(members, key=lambda m: (m.train_correct, m.w))
+        top.train_correct = int(best_c)
+
     mdf = F.broadcast(
         spark.createDataFrame(
             [(m.nm, m.w, m.f) for m in members], "nm boolean, w int, f int"
@@ -521,6 +540,13 @@ def bossvs_grid_fit(
         if vote_acc.get(nm, 0) >= best_c:
             best_nm, best_c = nm, vote_acc.get(nm, 0)
     members = per_norm[best_nm]
+
+    # reference fit() score-mutation: winning ensemble's top member's
+    # train score := vote correct count, later its test vote weight
+    # (BOSSVSClassifier.java:113-117; see boss_ensemble_grid_fit note)
+    if members:
+        top = max(members, key=lambda m: (m.train_correct, m.w))
+        top.train_correct = int(best_c)
 
     mdf = F.broadcast(
         spark.createDataFrame(
@@ -799,6 +825,12 @@ def shotgun_grid_fit(
             if vote_acc.get(nm, 0) >= best_c:
                 best_nm, best_c = nm, vote_acc.get(nm, 0)
         members = per_norm[best_nm]
+        # reference fit() score-mutation: winning ensemble's top member
+        # re-weighted with the vote correct count
+        # (ShotgunEnsembleClassifier.java:67-71; see boss_ensemble note)
+        if members:
+            top = max(members, key=lambda m: (m.train_correct, m.w))
+            top.train_correct = int(best_c)
     nn.unpersist()
     return ShotgunGridModel(
         members=members,
@@ -1167,4 +1199,279 @@ def weasel_grid_fit(
         nm=nm, f=f, seg_map=seg_map, bins=bins, lens=lens, combos=combos,
         weights=weights, intercept=final.b.tolist(), label_map=label_map,
         alphabet=alphabet, lower_bounding=lower_bounding,
+    )
+
+
+# ---------------------------------------------------------------- MUSE grid
+
+MUSE_KEYS = ("nm", "w", "dim")
+
+
+def _muse_arr2(mv_arrays: DataFrame, ndims: int) -> DataFrame:
+    """(series_id, dim, values) → (series_id2, values) with the dim
+    folded into a synthetic series key so the whole (window × dim) grid
+    runs through the ONE-pass _multi_coefs machinery."""
+    return mv_arrays.select(
+        (F.col("series_id") * ndims + F.col("dim")).alias("series_id"), "values"
+    )
+
+
+def muse_grid_words(
+    mv_arrays: DataFrame,
+    bins: DataFrame,
+    combos: list[tuple[bool, int]],
+    max_f: int,
+    alphabet: int,
+    ndims: int,
+) -> DataFrame:
+    """Sliding MUSE words at max_f for every (nm, w, dim):
+    (nm, w, dim, series_id2, win, word). MUSE conventions
+    (MUSEClassifier.java:50 + MUSE ctor): APPLY_Z_NORM=false (no
+    per-window 1/σ), lowerBounding=false (no 1/√w)."""
+    from sfa_spark.operators.words import pack_words
+
+    arr2 = _muse_arr2(mv_arrays, ndims)
+    long = _multi_coefs(
+        arr2, combos, max_f, sliding=True,
+        lower_bounding=False, apply_z_norm=False,
+    ).withColumn("dim", (F.col("series_id") % ndims).cast("int"))
+    sym = quantize.quantize_with_bins(long, bins, keys=MUSE_KEYS)
+    return pack_words(
+        sym.select("series_id", "nm", "w", "dim", "win", "seg", "symbol"),
+        alphabet,
+        keys=MUSE_KEYS,
+    )
+
+
+def muse_grid_keys(
+    words: DataFrame, f: int, alphabet: int, ndims: int, bigrams: bool
+) -> DataFrame:
+    """Masked MuseWord struct keys for word length f:
+    (series_id, key struct<w,d,word,word2>) with one row per occurrence
+    (MUSE has NO numerosity reduction — MUSE.java:248-268). Unigrams
+    word2=0 (MuseWord ctor default); bigram partner = the word one
+    window-length earlier; windows shorter than f emit nothing
+    (`windowLengths[w] >= wordLength`)."""
+    bits = binlog(alphabet)
+    masked = words.where(F.col("w") >= f).withColumn(
+        "mword",
+        F.expr(f"word & (shiftleft(cast(1 as bigint), {bits} * {f}) - 1)"),
+    )
+    sid = (F.col("series_id") / ndims).cast("bigint").alias("series_id")
+    uni = masked.select(
+        sid,
+        F.struct(
+            F.col("w").alias("w"),
+            F.col("dim").alias("d"),
+            F.col("mword").alias("word"),
+            F.lit(0).cast("bigint").alias("word2"),
+        ).alias("key"),
+    )
+    if not bigrams:
+        return uni
+    # bigram lag distance = the window length itself (offset −
+    # windowLength, MUSE.java:261-266); lag() needs a literal count, so
+    # join the word at win − w via an equi-join on the shifted index
+    prev = masked.select(
+        "series_id", "nm", "w", "dim",
+        (F.col("win") + F.col("w")).alias("win"),
+        F.col("mword").alias("prev_word"),
+    )
+    bi = masked.join(prev, ["series_id", "nm", "w", "dim", "win"]).select(
+        sid,
+        F.struct(
+            F.col("w").alias("w"),
+            F.col("dim").alias("d"),
+            F.col("prev_word").alias("word"),
+            F.col("mword").alias("word2"),
+        ).alias("key"),
+    )
+    return uni.unionByName(bi)
+
+
+@dataclass
+class MuseGridModel:
+    hist: str
+    nm: bool
+    f: int
+    bins: DataFrame  # (nm, w, dim, seg, bins) for the winning (hist, nm)
+    weights: DataFrame  # (key struct, w array<double>)
+    intercept: list[float]
+    label_map: list[float]
+    windows: list[int]
+    max_f: int
+    alphabet: int
+    ndims: int
+    bigrams: bool
+
+    def _features(self, test_mv: DataFrame) -> DataFrame:
+        combos = [(self.nm, w) for w in self.windows]
+        words = muse_grid_words(
+            test_mv, self.bins, combos, self.max_f, self.alphabet, self.ndims
+        )
+        keys = muse_grid_keys(words, self.f, self.alphabet, self.ndims, self.bigrams)
+        return bags.bag_of_keys(keys)
+
+    def predict(self, test_mv: DataFrame) -> DataFrame:
+        from sfa_spark.ml.classifiers import _score_with_weights
+
+        return _score_with_weights(
+            self._features(test_mv),
+            test_mv.select("series_id").distinct(),
+            self.weights,
+            self.intercept,
+            self.label_map,
+        )
+
+
+def muse_grid_fit(
+    mv_arrays: DataFrame,
+    labels: DataFrame,
+    hist_types: tuple[str, ...] = ("equi_depth", "equi_width"),
+    f_values: tuple[int, ...] = (2, 4, 6),
+    alphabet: int = 4,
+    min_window: int = 2,
+    max_window: int = 450,
+    chi_limit: float = 2.0,
+    n_folds: int = 10,
+    max_iter: int = 50,
+    reg_param: float = 1.0,
+    max_windows: int | None = None,
+) -> MuseGridModel:
+    """MUSE fit over the reference's FULL default grid
+    (MUSEClassifier.fitMuse, java:163-268): histType {equi-depth,
+    equi-width} × norm {true,false} × f {2,4,6}; windows = EVERY length
+    from max(3 if norm, MIN=2)..min(450, series length); 10-fold CV
+    picks the combo (ties → smaller f, java:202); early exit on a
+    perfect CV score; bigrams iff max window < 200.
+
+    Words are computed ONCE per (hist, nm, w, dim) at max_f and masked
+    per f — exactly what the reference's transformWindowingInt(maxF) +
+    bag mask does, so the per-f refits it performs are redundant by
+    construction. max_windows (ours) evenly subsamples the window set
+    for test budgets; None = the reference's full envelope."""
+    from sfa_spark.ml import linear
+    from sfa_spark.ml.classifiers import _collect_bags
+
+    spark = mv_arrays.sparkSession
+    lab = labels.select("series_id", "label")
+    dims = [r["dim"] for r in mv_arrays.select("dim").distinct().orderBy("dim").collect()]
+    ndims = len(dims)
+    assert dims == list(range(ndims)), f"dims must be dense 0..{ndims-1}: {dims}"
+    arr2 = _muse_arr2(mv_arrays, ndims)
+    max_len = arr2.agg(F.max(F.size("values"))).collect()[0][0]
+
+    def _windows(nm: bool) -> list[int]:
+        lo = max(3, min_window) if (nm and min_window <= 2) else min_window
+        ws = list(range(lo, min(max_window, max_len) + 1))
+        if max_windows is not None and len(ws) > max_windows:
+            idx = np.linspace(0, len(ws) - 1, max_windows).round().astype(int)
+            ws = sorted({ws[i] for i in idx})
+        return ws
+
+    win_by_nm = {nm: _windows(nm) for nm in (True, False)}
+    combos = [(nm, w) for nm in (True, False) for w in win_by_nm[nm]]
+    max_f = max(f_values)
+    bigrams = max(win_by_nm[True] + win_by_nm[False]) < 200  # MUSE.java:261
+
+    fit_long = (
+        _multi_coefs(
+            arr2, combos, max_f, sliding=False,
+            lower_bounding=False, apply_z_norm=False,
+        )
+        .withColumn("dim", (F.col("series_id") % ndims).cast("int"))
+        .withColumn("coef", F.round("coef", 2))  # orderline rounding
+        .cache()
+    )
+    bins_by_hist = {}
+    for hist in hist_types:
+        fitter = (
+            quantize.fit_equi_depth_bins
+            if hist == "equi_depth"
+            else quantize.fit_equi_width_bins
+        )
+        bins_by_hist[hist] = fitter(fit_long, alphabet, keys=MUSE_KEYS).cache()
+
+    words_by_hist = {
+        hist: muse_grid_words(
+            mv_arrays, bins_by_hist[hist], combos, max_f, alphabet, ndims
+        ).cache()
+        for hist in hist_types
+    }
+    fit_long.unpersist()
+
+    # fold splits + labels collected once (train-set sized)
+    folded = folds.stratified_folds(lab, n_folds).select("series_id", "fold")
+    fold_of = {r["series_id"]: r["fold"] for r in folded.collect()}
+    label_rows = lab.collect()
+    label_map = sorted({r["label"] for r in label_rows})
+    lab_idx = {l: i for i, l in enumerate(label_map)}
+    all_sids = sorted({r["series_id"] for r in label_rows})
+    y = np.asarray(
+        [lab_idx[r["label"]] for r in sorted(label_rows, key=lambda r: r["series_id"])],
+        dtype=np.int64,
+    )
+    fold_arr = np.asarray([fold_of[s] for s in all_sids], dtype=np.int64)
+    n_train = len(all_sids)
+    lam = 1.0 / (reg_param * max(n_train, 1))
+
+    def _combo_bags(hist: str, nm: bool, f: int) -> DataFrame:
+        keys = muse_grid_keys(
+            words_by_hist[hist].where(F.col("nm") == nm), f, alphabet, ndims, bigrams
+        )
+        kb = bags.bag_of_keys(keys)
+        selected = select.chi_squared(
+            kb.join(F.broadcast(lab), "series_id"),
+            limit=chi_limit, word_limit=None, key_col="key",
+        )
+        return select.filter_bags(kb, selected, key_col="key")
+
+    best = None  # (hist, nm, f)
+    best_correct = -1
+    stop = False
+    for hist in hist_types:  # reference histTypes order
+        if stop:
+            break
+        for nm in (True, False):  # NORMALIZATION order
+            if stop:
+                break
+            for f in sorted(f_values):
+                kept = _combo_bags(hist, nm, f)
+                _, X = _collect_bags(kept, all_sids)
+                correct = 0
+                for s in range(n_folds):
+                    te = fold_arr == s
+                    tr = ~te
+                    if not te.any() or not tr.any():
+                        continue
+                    m = linear.fit_softmax(X[tr], y[tr], len(label_map), lam, max_iter=max_iter)
+                    correct += int((m.predict_idx(X[te]) == y[te]).sum())
+                # java:202: `correct > maxCorrect || correct == maxCorrect && f < bestF`
+                if correct > best_correct or (
+                    best is not None and correct == best_correct and f < best[2]
+                ):
+                    best_correct, best = correct, (hist, nm, f)
+                if correct >= n_train:  # `break optimize` on perfect CV
+                    stop = True
+                    break
+
+    hist, nm, f = best
+    kept = _combo_bags(hist, nm, f)
+    keys_list, X = _collect_bags(kept, all_sids)
+    final = linear.fit_softmax(X, y, len(label_map), lam, max_iter=max_iter)
+    weights = spark.createDataFrame(
+        [
+            ((int(k[0]), int(k[1]), int(k[2]), int(k[3])), final.W[:, j].tolist())
+            for j, k in enumerate(keys_list)
+        ],
+        "key struct<w:int,d:int,word:bigint,word2:bigint>, w array<double>",
+    )
+    model_bins = bins_by_hist[hist].where(F.col("nm") == nm).cache()
+    for h in hist_types:
+        words_by_hist[h].unpersist()
+    return MuseGridModel(
+        hist=hist, nm=nm, f=f, bins=model_bins,
+        weights=weights, intercept=final.b.tolist(), label_map=label_map,
+        windows=win_by_nm[nm], max_f=max_f, alphabet=alphabet,
+        ndims=ndims, bigrams=bigrams,
     )

@@ -122,26 +122,83 @@ def resize(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
     return media.mapInPandas(fn, schema=MEDIA_SCHEMA)
 
 
+def split_mjpeg(payload: bytes) -> list[bytes]:
+    """Split an MJPEG container (concatenated JPEG images) into per-
+    frame byte blobs by scanning SOI (FFD8) / EOI (FFD9) markers.
+
+    This is the REAL container-demux step of an MJPEG pipeline and
+    needs no codec — only the pixel decode of each emitted frame is
+    codec-gated (PIL hatch in _decode_one)."""
+    frames = []
+    i = 0
+    n = len(payload)
+    while i < n - 1:
+        if payload[i] == 0xFF and payload[i + 1] == 0xD8:
+            j = i + 2
+            while j < n - 1 and not (payload[j] == 0xFF and payload[j + 1] == 0xD9):
+                j += 1
+            if j < n - 1:
+                frames.append(payload[i : j + 2])
+                i = j + 2
+                continue
+            break
+        i += 1
+    return frames
+
+
+def _gif_frames(payload: bytes) -> list[np.ndarray]:
+    """Decode GIF frames via the PIL escape hatch (env-gated: the
+    container ships no codecs, so this raises NotImplementedError
+    unless Pillow is installed — same contract as _decode_one)."""
+    if _PILImage is None:
+        raise NotImplementedError(
+            "GIF decode needs Pillow; install it to enable the real path"
+        )
+    import io
+
+    from PIL import ImageSequence
+
+    img = _PILImage.open(io.BytesIO(payload))
+    return [
+        np.asarray(f.convert("RGB"), dtype=np.uint8)
+        for f in ImageSequence.Iterator(img)
+    ]
+
+
 def frame_sample(video: DataFrame, every_k: int) -> DataFrame:
-    """Sample every k-th frame of a 'video' (payload = concatenated raw
-    frames). Emits one row per kept frame with frame_idx — the schema/
-    explode shape of a real video pipeline."""
+    """Sample every k-th frame of a video payload. Emits one row per
+    kept frame with frame_idx — the schema/explode shape of a real
+    video pipeline. Containers:
+
+      * 'rawcat' (and any unlisted format) — payload = concatenated raw
+        frames of width×height×channels bytes; pure slicing.
+      * 'mjpeg' — payload = concatenated JPEGs; frames split by SOI/EOI
+        marker scan (real demux, codec-free); each emitted frame is a
+        standalone JPEG blob for a downstream _decode_one.
+      * 'gif' — decoded through the PIL hatch when Pillow is present
+        (frames re-emitted as raw RGB bytes); NotImplementedError
+        otherwise — the same env-gated contract as image decode.
+    """
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
-                frame_bytes = r["width"] * r["height"] * r["channels"]
                 payload = bytes(r["payload"])
-                n_frames = len(payload) // frame_bytes if frame_bytes else 0
-                for fi in range(0, n_frames, every_k):
-                    rows.append(
-                        (
-                            r["media_id"],
-                            fi,
-                            payload[fi * frame_bytes : (fi + 1) * frame_bytes],
-                        )
-                    )
+                fmt = r["format"]
+                if fmt == "mjpeg":
+                    frames = split_mjpeg(payload)
+                elif fmt == "gif":
+                    frames = [a.tobytes() for a in _gif_frames(payload)]
+                else:
+                    frame_bytes = r["width"] * r["height"] * r["channels"]
+                    n_frames = len(payload) // frame_bytes if frame_bytes else 0
+                    frames = [
+                        payload[fi * frame_bytes : (fi + 1) * frame_bytes]
+                        for fi in range(n_frames)
+                    ]
+                for fi in range(0, len(frames), every_k):
+                    rows.append((r["media_id"], fi, frames[fi]))
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame"])
 
     return video.mapInPandas(fn, schema="media_id long, frame_idx int, frame binary")

@@ -60,6 +60,29 @@ def equi_depth_symbols(coef_long: DataFrame, alphabet: int) -> DataFrame:
     )
 
 
+def fit_equi_width_bins(
+    coef_long: DataFrame, alphabet: int, keys: tuple[str, ...] = ()
+) -> DataFrame:
+    """Equi-width bin BOUNDARIES per ([*keys], seg): uniform splits of
+    [min, max] of the (2dp-rounded) orderline — the reference's
+    divideEquiWidthHistogram (SFA.java:416-431; enum EQUI_FREQUENCY,
+    the naming swap documented in SURVEY §2.4). bins[c] = first +
+    width·(c+1), c = 0..alphabet−2; a constant orderline yields width 0
+    → every boundary = the value → quantization gives alphabet−1, same
+    as the reference's 'value < bins[c]' scan. Output shape matches
+    fit_equi_depth_bins so quantize_with_bins applies unchanged."""
+    ks = list(keys)
+    stats = coef_long.groupBy(*ks, "seg").agg(
+        F.min("coef").alias("vmin"), F.max("coef").alias("vmax")
+    )
+    width = (F.col("vmax") - F.col("vmin")) / alphabet
+    bins = F.transform(
+        F.sequence(F.lit(1), F.lit(alphabet - 1)),
+        lambda c: F.col("vmin") + width * c.cast("double"),
+    )
+    return stats.select(*ks, "seg", bins.alias("bins"))
+
+
 def fit_equi_depth_bins(
     coef_long: DataFrame,
     alphabet: int,

@@ -121,3 +121,47 @@ def test_real_codec_gate():
         arr = mm._decode_one(buf.getvalue(), "png", 4, 4, 3)
         assert arr.shape == (4, 4, 3) and arr.dtype == np.uint8
         assert (arr[0, 0] == [10, 20, 30]).all()
+
+
+def test_mjpeg_demux_frame_sample(spark):
+    """MJPEG container demux is codec-free: synthetic SOI/EOI-delimited
+    blobs split into standalone per-frame JPEG byte blobs, every_k
+    sampling applied — the real video-container plumbing."""
+    from sfa_spark.operators import multimodal
+
+    def jpeg_blob(body: bytes) -> bytes:
+        return b"\xff\xd8" + body + b"\xff\xd9"
+
+    frames = [jpeg_blob(bytes([i]) * (10 + i)) for i in range(7)]
+    payload = b"".join(frames)
+    video = spark.createDataFrame(
+        [(1, payload, "mjpeg", 0, 0, 0)], multimodal.MEDIA_SCHEMA
+    )
+    out = sorted(
+        multimodal.frame_sample(video, every_k=2).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    assert [r["frame_idx"] for r in out] == [0, 2, 4, 6]
+    for r in out:
+        assert bytes(r["frame"]) == frames[r["frame_idx"]]
+    # plain-python splitter agrees
+    assert multimodal.split_mjpeg(payload) == frames
+
+
+def test_gif_decode_gate(spark):
+    """GIF frame decode routes through the PIL hatch: parity with the
+    real decoder when Pillow is installed, NotImplementedError here."""
+    import pytest
+    from sfa_spark.operators import multimodal
+
+    if multimodal._PILImage is None:
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            multimodal._gif_frames(b"GIF89a-not-really")
+    else:  # env-gated real path: a 1x1 GIF must decode to one frame
+        import io
+
+        img = multimodal._PILImage.new("RGB", (1, 1))
+        buf = io.BytesIO()
+        img.save(buf, format="GIF")
+        frames = multimodal._gif_frames(buf.getvalue())
+        assert len(frames) == 1 and frames[0].shape == (1, 1, 3)
