@@ -1244,7 +1244,12 @@ def muse_grid_words(
 
 
 def muse_grid_keys(
-    words: DataFrame, f: int, alphabet: int, ndims: int, bigrams: bool
+    words: DataFrame,
+    f: int,
+    alphabet: int,
+    ndims: int,
+    bigrams: bool,
+    keep_nm: bool = False,
 ) -> DataFrame:
     """Masked MuseWord struct keys for word length f:
     (series_id, key struct<w,d,word,word2>) with one row per occurrence
@@ -1258,8 +1263,10 @@ def muse_grid_keys(
         F.expr(f"word & (shiftleft(cast(1 as bigint), {bits} * {f}) - 1)"),
     )
     sid = (F.col("series_id") / ndims).cast("bigint").alias("series_id")
+    extra = [F.col("nm")] if keep_nm else []
     uni = masked.select(
         sid,
+        *extra,
         F.struct(
             F.col("w").alias("w"),
             F.col("dim").alias("d"),
@@ -1279,6 +1286,7 @@ def muse_grid_keys(
     )
     bi = masked.join(prev, ["series_id", "nm", "w", "dim", "win"]).select(
         sid,
+        *extra,
         F.struct(
             F.col("w").alias("w"),
             F.col("dim").alias("d"),
@@ -1415,16 +1423,32 @@ def muse_grid_fit(
     n_train = len(all_sids)
     lam = 1.0 / (reg_param * max(n_train, 1))
 
-    def _combo_bags(hist: str, nm: bool, f: int) -> DataFrame:
-        keys = muse_grid_keys(
-            words_by_hist[hist].where(F.col("nm") == nm), f, alphabet, ndims, bigrams
+    def _kept_bags(hist: str) -> DataFrame:
+        """ALL (nm, f) combos' χ²-filtered bags in ONE keyed cascade
+        (grid-as-data: the per-combo Spark jobs of the naive loop
+        collapse into a single aggregation + χ² keyed by (nm, f))."""
+        parts = [
+            muse_grid_keys(
+                words_by_hist[hist], f, alphabet, ndims, bigrams, keep_nm=True
+            ).withColumn("f", F.lit(int(f)))
+            for f in sorted(f_values)
+        ]
+        allk = parts[0]
+        for pt in parts[1:]:
+            allk = allk.unionByName(pt)
+        kb = allk.groupBy("series_id", "nm", "f", "key").agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt")
         )
-        kb = bags.bag_of_keys(keys)
         selected = select.chi_squared(
             kb.join(F.broadcast(lab), "series_id"),
             limit=chi_limit, word_limit=None, key_col="key",
-        )
-        return select.filter_bags(kb, selected, key_col="key")
+            keys=("nm", "f"),
+        ).select("nm", "f", "key")
+        kept = kb.join(F.broadcast(selected), ["nm", "f", "key"], "left_semi").cache()
+        kept.count()
+        return kept
+
+    kept_by_hist = {hist: _kept_bags(hist) for hist in hist_types}
 
     best = None  # (hist, nm, f)
     best_correct = -1
@@ -1436,7 +1460,9 @@ def muse_grid_fit(
             if stop:
                 break
             for f in sorted(f_values):
-                kept = _combo_bags(hist, nm, f)
+                kept = kept_by_hist[hist].where(
+                    (F.col("nm") == nm) & (F.col("f") == f)
+                ).select("series_id", "key", "cnt")
                 _, X = _collect_bags(kept, all_sids)
                 correct = 0
                 for s in range(n_folds):
@@ -1456,7 +1482,9 @@ def muse_grid_fit(
                     break
 
     hist, nm, f = best
-    kept = _combo_bags(hist, nm, f)
+    kept = kept_by_hist[hist].where(
+        (F.col("nm") == nm) & (F.col("f") == f)
+    ).select("series_id", "key", "cnt")
     keys_list, X = _collect_bags(kept, all_sids)
     final = linear.fit_softmax(X, y, len(label_map), lam, max_iter=max_iter)
     weights = spark.createDataFrame(
@@ -1469,6 +1497,7 @@ def muse_grid_fit(
     model_bins = bins_by_hist[hist].where(F.col("nm") == nm).cache()
     for h in hist_types:
         words_by_hist[h].unpersist()
+        kept_by_hist[h].unpersist()
     return MuseGridModel(
         hist=hist, nm=nm, f=f, bins=model_bins,
         weights=weights, intercept=final.b.tolist(), label_map=label_map,

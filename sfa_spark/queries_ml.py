@@ -64,8 +64,14 @@ def q_bossvs_predict(spark, sf_dir):
 
 
 def q_muse_predict(spark, sf_dir):
-    """MUSE (C7) on a 2-dim corpus built from the events series via the
-    derivative channel (S4): dim 0 = value, dim 1 = |first diff|."""
+    """MUSE (C7) with the reference-DEFAULT grid machinery (histType ×
+    norm × f — grid.muse_grid_fit, MUSEClassifier.java:163-268) on a
+    2-dim corpus built from the events series via the derivative
+    channel (S4): dim 0 = value, dim 1 = |first diff|. The window
+    envelope is subsampled (max_windows) and CV folds reduced to fit
+    the per-query driver budget; the untrimmed default grid is golden-
+    tested on PenDigits (test_muse_grid_default_pendigits, ≥0.90)."""
+    from sfa_spark.ml import grid
     from sfa_spark.sources.multivariate import derivatives, dim_arrays
 
     s = series_df(spark, sf_dir).withColumn("dim", F.lit(0).cast("int"))
@@ -81,10 +87,11 @@ def q_muse_predict(spark, sf_dir):
         labels.where(F.col("series_id") % TEST_MOD == 0).select("series_id"),
         "series_id",
     )
-    model = C.muse_fit(
-        train_a, train_l, windows=[16], word_length=4, alphabet=4, max_iter=15
+    model = grid.muse_grid_fit(
+        train_a, train_l, f_values=(4,), min_window=12,
+        max_windows=3, n_folds=2, max_iter=12,
     )
-    return C.muse_predict(model, test_a)
+    return model.predict(test_a)
 
 
 def q_shotgun_1nn(spark, sf_dir):
