@@ -117,18 +117,23 @@ def test_weasel_golden(spark, dataset, golden):
 
 
 @pytest.mark.parametrize(
-    "dataset,golden,g_earl",
+    "dataset,golden,g_earl,earl_band",
     [
-        ("CBF", 0.982, 0.64),
-        ("Coffee", 1.000, 0.47),
-        ("variable_length", 0.929, 0.39),
+        # measured r3: acc 0.992 / earliness 0.516 — we decide EARLIER
+        # than the reference at higher accuracy; the residual earliness
+        # gap is slave/master probability calibration (liblinear +
+        # libsvm numerics, not runnable offline), so CBF keeps a wider
+        # band than the other fixtures
+        ("CBF", 0.982, 0.64, 0.15),
+        ("Coffee", 1.000, 0.47, 0.10),   # measured 0.490 (Δ 0.02)
+        ("variable_length", 0.929, 0.39, 0.10),  # measured 0.440 (Δ 0.05)
     ],
 )
-def test_teaser_golden(spark, dataset, golden, g_earl):
+def test_teaser_golden(spark, dataset, golden, g_earl, earl_band):
     """TEASER with WEASEL slaves + one-class-SVM master on the bundled
     fixtures (TEASERClassifierTest.java:13-18, S=10). Accuracy within
-    the reference DELTA; earliness within a looser band (it depends on
-    the accept thresholds, which float with the slave probabilities)."""
+    the reference DELTA; earliness within per-dataset bands (r3: the
+    blanket ±0.20 tightened to the measured envelope +margin)."""
     from sfa_spark.ml import teaser_weasel as tw
 
     tr, te = _load(spark, dataset)
@@ -144,7 +149,9 @@ def test_teaser_golden(spark, dataset, golden, g_earl):
     ).collect()[0]
     acc, earl = r[0] or 0.0, r[1]
     assert abs(acc - golden) <= DELTA, f"{dataset}: acc {acc} vs golden {golden}"
-    assert abs(earl - g_earl) <= 0.20, f"{dataset}: earliness {earl} vs {g_earl}"
+    assert abs(earl - g_earl) <= earl_band, (
+        f"{dataset}: earliness {earl} vs {g_earl} (band {earl_band})"
+    )
 
 
 @pytest.mark.parametrize(
