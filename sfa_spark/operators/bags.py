@@ -75,17 +75,25 @@ def weasel_keys(
     uni = words.select("series_id", uni_key.alias("key"))
     if not bigrams:
         return uni
+    # ONE pass for both key kinds: a union of uni/bigram branches would
+    # re-execute the whole upstream words chain twice (and the r2 bench
+    # paid exactly that); instead each row explodes into its unigram key
+    # plus — when the lagged word exists and is non-zero — its bigram key
     w = Window.partitionBy("series_id").orderBy("win")
     prev = F.lag("word", window_length).over(w)
-    bi = (
+    bigram_key = F.shiftleft(F.col("prev"), 32).bitwiseOR(uni_key)
+    return (
         words.withColumn("prev", prev)
-        .where(F.col("prev").isNotNull() & (F.col("prev") != 0))
         .select(
             "series_id",
-            F.shiftleft(F.col("prev"), 32).bitwiseOR(uni_key).alias("key"),
+            F.explode(
+                F.when(
+                    F.col("prev").isNotNull() & (F.col("prev") != 0),
+                    F.array(uni_key, bigram_key),
+                ).otherwise(F.array(uni_key))
+            ).alias("key"),
         )
     )
-    return uni.unionByName(bi)
 
 
 def bag_of_keys(keys: DataFrame) -> DataFrame:
