@@ -673,3 +673,24 @@ def test_domain_cap_two_phase_bounds_hot_domain(spark):
     assert any("_bkt" in p and "source" in p for p in parts), plan
     # phase-2 window sees survivors only: plan has two ranking windows
     assert plan.count("row_number()") >= 2, plan
+
+
+def test_ivfpq_partitioned_write_prunes(spark, emb_small, tmp_path):
+    """IVF-PQ 100 TB layout: the encoded index (centroid_id, pq_codes)
+    written partitionBy(centroid_id) IS the on-disk index — probing a
+    list subset must plan with PartitionFilters, and the float
+    embedding column must be absent from the scan entirely."""
+    from sfa_spark.operators import similarity as S
+
+    cents = S.kmeans_fit(emb_small, n_centroids=4, iters=3)
+    cb = S.ivfpq_fit(emb_small, cents, m=4, ksub=8, iters=3)
+    path = str(tmp_path / "ivfpq_index")
+    S.ivfpq_encode(emb_small, cents, cb).write.partitionBy(
+        "centroid_id"
+    ).mode("overwrite").parquet(path)
+    index = spark.read.parquet(path)
+    probed = index.where(F.col("centroid_id").isin([0, 2]))
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "centroid_id" in plan, plan
+    assert "embedding" not in plan  # codes-only scan
+    assert probed.count() > 0
