@@ -54,6 +54,7 @@ ROTATE_FIRST = [
     "q_muse_predict", "q_shotgun_1nn", "q_boss_grid_predict",
     "q_shotgun_ensemble_predict", "q_stream_sfa_words",
     "q_stream_window_stats", "q_stream_ingest_gate", "q_stream_near_dup",
+    "q_cluster_balanced_sample",  # new in r3
 ]
 
 

@@ -780,6 +780,32 @@ SELECT q_id, nn_id, round(adc_dist + 1e-9, 4) + 0.0 AS adc_dist,
 FROM adc QUALIFY rk <= 3"""
 
 
+# cluster-balanced sample: home-centroid assignment (data-derived
+# centroids, vec_id < 8) then the 40 smallest 'cap:'-salted hashes per
+# cluster — the q_embed_clusters assignment composed with the
+# q_domain_cap winner rule
+ORACLES["q_cluster_balanced_sample"] = """WITH cents AS (
+  SELECT CAST(vec_id AS INT) AS centroid_id, embedding AS cvec
+  FROM embeddings WHERE vec_id < 8
+),
+a AS (
+  SELECT e.vec_id, c.centroid_id,
+         (SELECT sum((e.embedding[i]::DOUBLE - c.cvec[i]::DOUBLE)
+                     * (e.embedding[i]::DOUBLE - c.cvec[i]::DOUBLE))
+          FROM generate_series(1, 64) t(i)) AS d
+  FROM embeddings e CROSS JOIN cents c
+),
+home AS (
+  SELECT vec_id, centroid_id FROM a
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, centroid_id ASC) = 1
+)
+SELECT vec_id, centroid_id FROM home
+QUALIFY row_number() OVER (
+  PARTITION BY centroid_id
+  ORDER BY (('0x' || substr(md5('cap:' || CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0) ASC,
+           vec_id ASC) <= 40"""
+
+
 # per-domain cap: 5 smallest 'cap:'-salted hashes per source
 ORACLES["q_domain_cap"] = """SELECT doc_id, source FROM documents
 QUALIFY row_number() OVER (

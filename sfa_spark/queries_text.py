@@ -316,6 +316,26 @@ def q_embed_clusters(spark, sf_dir):
     )
 
 
+CLUSTER_CAP = 40
+
+
+def q_cluster_balanced_sample(spark, sf_dir):
+    """Cluster-balanced curation sample: every embedding assigned to
+    its nearest centroid (row-local argmin, iters=0 oracle trick), then
+    at most CLUSTER_CAP deterministic smallest-hash winners per cluster
+    — the mixture-balancing pass of embedding-driven curation (composes
+    the IVF assignment with the two-phase per-domain cap, so one hot
+    cluster can't dominate the sample OR the plan)."""
+    from sfa_spark.operators import sample
+
+    emb = _emb(spark, sf_dir)
+    cents = similarity.kmeans_fit(emb, n_centroids=KMEANS_C, iters=0)
+    assigned = similarity.ivf_assign(emb, cents, n_probes=1).select(
+        "vec_id", "centroid_id"
+    )
+    return sample.domain_cap(assigned, "vec_id", "centroid_id", CLUSTER_CAP)
+
+
 PQ_M = 4
 PQ_KSUB = 16
 
