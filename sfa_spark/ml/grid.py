@@ -1243,24 +1243,44 @@ def muse_grid_words(
     )
 
 
+def muse_words_with_prev(words: DataFrame) -> DataFrame:
+    """Attach the UNMASKED word one window-length earlier (the MUSE
+    bigram partner, MUSE.java:261-266 `offset − windowLengths[w]`) —
+    ONCE at max_f: masking commutes with the lag (low-bit masks), so
+    every f re-derives its bigrams from this one frame with narrow ops
+    instead of a per-f shuffle of the words table. The lag distance is
+    the window length itself (a column), so it is an equi-join on the
+    shifted window index rather than a literal-count lag()."""
+    prev = words.select(
+        "series_id", "nm", "w", "dim",
+        (F.col("win") + F.col("w")).alias("win"),
+        F.col("word").alias("prev_word"),
+    )
+    return words.join(prev, ["series_id", "nm", "w", "dim", "win"], "left")
+
+
 def muse_grid_keys(
-    words: DataFrame,
+    words_prev: DataFrame,
     f: int,
     alphabet: int,
     ndims: int,
     bigrams: bool,
     keep_nm: bool = False,
 ) -> DataFrame:
-    """Masked MuseWord struct keys for word length f:
-    (series_id, key struct<w,d,word,word2>) with one row per occurrence
-    (MUSE has NO numerosity reduction — MUSE.java:248-268). Unigrams
-    word2=0 (MuseWord ctor default); bigram partner = the word one
-    window-length earlier; windows shorter than f emit nothing
-    (`windowLengths[w] >= wordLength`)."""
+    """Masked MuseWord struct keys for word length f from a
+    muse_words_with_prev frame:
+    (series_id[, nm], key struct<w,d,word,word2>) with one row per
+    occurrence (MUSE has NO numerosity reduction — MUSE.java:248-268).
+    Unigrams word2=0 (MuseWord ctor default); bigram emitted where the
+    lagged word exists; windows shorter than f emit nothing
+    (`windowLengths[w] >= wordLength`). Pure narrow ops — the only
+    shuffle on this path is muse_words_with_prev's one-time join."""
     bits = binlog(alphabet)
-    masked = words.where(F.col("w") >= f).withColumn(
-        "mword",
-        F.expr(f"word & (shiftleft(cast(1 as bigint), {bits} * {f}) - 1)"),
+    mask = f"(shiftleft(cast(1 as bigint), {bits} * {f}) - 1)"
+    masked = (
+        words_prev.where(F.col("w") >= f)
+        .withColumn("mword", F.expr(f"word & {mask}"))
+        .withColumn("mprev", F.expr(f"prev_word & {mask}"))
     )
     sid = (F.col("series_id") / ndims).cast("bigint").alias("series_id")
     extra = [F.col("nm")] if keep_nm else []
@@ -1276,21 +1296,13 @@ def muse_grid_keys(
     )
     if not bigrams:
         return uni
-    # bigram lag distance = the window length itself (offset −
-    # windowLength, MUSE.java:261-266); lag() needs a literal count, so
-    # join the word at win − w via an equi-join on the shifted index
-    prev = masked.select(
-        "series_id", "nm", "w", "dim",
-        (F.col("win") + F.col("w")).alias("win"),
-        F.col("mword").alias("prev_word"),
-    )
-    bi = masked.join(prev, ["series_id", "nm", "w", "dim", "win"]).select(
+    bi = masked.where(F.col("prev_word").isNotNull()).select(
         sid,
         *extra,
         F.struct(
             F.col("w").alias("w"),
             F.col("dim").alias("d"),
-            F.col("prev_word").alias("word"),
+            F.col("mprev").alias("word"),
             F.col("mword").alias("word2"),
         ).alias("key"),
     )
@@ -1317,7 +1329,10 @@ class MuseGridModel:
         words = muse_grid_words(
             test_mv, self.bins, combos, self.max_f, self.alphabet, self.ndims
         )
-        keys = muse_grid_keys(words, self.f, self.alphabet, self.ndims, self.bigrams)
+        keys = muse_grid_keys(
+            muse_words_with_prev(words), self.f, self.alphabet, self.ndims,
+            self.bigrams,
+        )
         return bags.bag_of_keys(keys)
 
     def predict(self, test_mv: DataFrame) -> DataFrame:
@@ -1401,8 +1416,10 @@ def muse_grid_fit(
         bins_by_hist[hist] = fitter(fit_long, alphabet, keys=MUSE_KEYS).cache()
 
     words_by_hist = {
-        hist: muse_grid_words(
-            mv_arrays, bins_by_hist[hist], combos, max_f, alphabet, ndims
+        hist: muse_words_with_prev(
+            muse_grid_words(
+                mv_arrays, bins_by_hist[hist], combos, max_f, alphabet, ndims
+            )
         ).cache()
         for hist in hist_types
     }
