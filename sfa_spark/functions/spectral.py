@@ -129,7 +129,11 @@ def mft_all_windows(
     ks_im = ks_im[(2 * ks_im + 1 <= w - 1) & (2 * ks_im + 1 < P)]
     if len(ks_im):
         packed[:, 2 * ks_im + 1] = spec[:, ks_im].imag
-    if w % 2 == 1 and P >= w + 1 and end > 1:
+    # reachable once the EVENIZED word length min(w, P)→even covers the
+    # kstar pair: for odd w that is already P == w (w evenizes to w+1),
+    # not just P >= w+1 — slot w−1 then carries the recurrence-mutated
+    # Re[kstar], matching the reference for windows t >= 1.
+    if w % 2 == 1 and P >= w and end > 1:
         kstar = (w - 1) // 2
         x0 = complex(spec[0, kstar].real, 0.0)
         d = x[w:] - x[: end - 1]
@@ -137,9 +141,10 @@ def mft_all_windows(
         cum = x0 + np.cumsum(d * np.exp(-2j * np.pi * kstar * (t - 1) / w))
         xt = np.exp(2j * np.pi * kstar * t / w) * cum
         packed[1:, 2 * kstar] = xt.real
-        packed[1:, 2 * kstar + 1] = xt.imag
         packed[0, 2 * kstar] = x0.real
-        packed[0, 2 * kstar + 1] = 0.0
+        if 2 * kstar + 1 < packed.shape[1]:  # P == w keeps only Re
+            packed[1:, 2 * kstar + 1] = xt.imag
+            packed[0, 2 * kstar + 1] = 0.0
     out = packed[:, start_offset : start_offset + l].copy()
     if out.shape[1] < l:
         out = np.pad(out, ((0, 0), (0, l - out.shape[1])))

@@ -34,11 +34,22 @@ class CooRows:
     this shape ((series, key, cnt) rows), so keeping them sparse makes
     driver memory ∝ nnz, not #train × vocab."""
 
-    def __init__(self, rows, cols, vals, shape):
+    def __init__(self, rows, cols, vals, shape, _checked=False):
         self.rows = np.asarray(rows, dtype=np.int64)
         self.cols = np.asarray(cols, dtype=np.int64)
         self.vals = np.asarray(vals, dtype=np.float64)
         self.shape = (int(shape[0]), int(shape[1]))
+        # the bincount matvecs SUM duplicate (row, col) entries while
+        # toarray()/the dense-gated paths OVERWRITE them — refuse
+        # non-aggregated input so the size gate can't change the model.
+        # Row slices of a checked matrix stay unique (_checked skips the
+        # O(nnz log nnz) re-sort on every CV fold split).
+        if not _checked and len(self.rows):
+            key = self.rows * self.shape[1] + self.cols
+            assert len(np.unique(key)) == len(key), (
+                "CooRows requires aggregated (row, col) pairs — duplicates "
+                "would sum in sparse matvecs but overwrite in dense paths"
+            )
 
     @property
     def nnz(self) -> int:
@@ -77,6 +88,7 @@ class CooRows:
             self.cols[keep],
             self.vals[keep],
             (int(mask.sum()), self.shape[1]),
+            _checked=True,
         )
 
     def toarray(self) -> np.ndarray:

@@ -18,6 +18,8 @@ written partitionBy(bucket).
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -345,23 +347,27 @@ def kmeans_fit(
     import numpy as np
 
     spark = corpus.sparkSession
+    # fetch one extra row so exactly-sample_limit-sized tables (full
+    # coverage, valid oracle contract) are distinguishable from
+    # truncation — limit(N) alone can't tell ==N from >N
     rows = (
         corpus.select(
             F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
         )
         .orderBy(F.xxhash64(F.col("id")), F.col("id"))
-        .limit(sample_limit)
+        .limit(sample_limit + 1)
         .collect()
     )
-    rows.sort(key=lambda r: r["id"])
     if iters == 0:
         # the iters=0 oracle contract ("centroids = the C smallest-id
         # vectors") only holds when the sample saw the WHOLE table
-        assert len(rows) < sample_limit, (
+        assert len(rows) <= sample_limit, (
             f"kmeans_fit(iters=0) needs the full table inside "
-            f"sample_limit={sample_limit}; got {len(rows)} rows — raise "
+            f"sample_limit={sample_limit}; got more rows — raise "
             f"sample_limit or use iters>0 (non-oracle path)"
         )
+    rows = rows[:sample_limit]
+    rows.sort(key=lambda r: r["id"])
     x = np.array([r["v"] for r in rows], dtype=np.float64)
     cent = x[:n_centroids].copy()
     for _ in range(iters):
@@ -386,6 +392,53 @@ def _sqdist_expr(a, b):
     )
 
 
+# max total inlined doubles (C × dim) for ivf_assign's literal
+# array-of-structs form; beyond this Catalyst analysis/codegen cost
+# dominates and the pandas-UDF path wins
+LITERAL_BUDGET = 32768
+
+
+def _ivf_assign_pandas(df, rows, v, n_probes):
+    """Row-local IVF assignment via Arrow-batched pandas UDF: vectorized
+    ||x−c||² over a closure-captured (C, dim) numpy matrix; ties break
+    to the smallest centroid_id (lexsort), matching the literal path."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    cents = np.array([r["cvec"] for r in rows], dtype=np.float64)
+    cids = np.array([int(r["centroid_id"]) for r in rows], dtype=np.int64)
+    c_sq = (cents * cents).sum(axis=1)
+
+    @pandas_udf("array<int>")
+    def _probe(vecs: pd.Series) -> pd.Series:
+        x = np.array(vecs.tolist(), dtype=np.float64)
+        d2 = (x * x).sum(axis=1)[:, None] - 2.0 * x @ cents.T + c_sq[None, :]
+        if n_probes == 1:
+            best = cids[np.argmin(d2, axis=1)]
+            return pd.Series([[int(b)] for b in best])
+        out = []
+        for i in range(len(x)):
+            order = np.lexsort((cids, d2[i]))[:n_probes]
+            out.append([int(c) for c in cids[order]])
+        return pd.Series(out)
+
+    probed = df.withColumn("_probes", _probe(v))
+    if n_probes == 1:
+        return (
+            probed.withColumn("centroid_id", F.col("_probes")[0])
+            .withColumn("crk", F.lit(1).cast("int"))
+            .drop("_probes")
+        )
+    return (
+        probed.select("*", F.posexplode("_probes"))
+        .withColumn("centroid_id", F.col("col"))
+        .withColumn("crk", (F.col("pos") + 1).cast("int"))
+        .drop("_probes", "pos", "col")
+    )
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: DataFrame,
@@ -402,14 +455,23 @@ def ivf_assign(
     (kmeans_fit returns C rows), so it inlines as literal arrays — the
     same trick pq_encode uses for its codebook — and the per-row argmin
     is a codegen'd `array_min` over `(dist, centroid_id)` structs. No
-    join, no shuffle, one corpus scan: at 10⁹ vectors × C=4096 the
-    former crossJoin+window form exchanged ~4×10¹² rows for what this
-    computes in place. Ties break to the smallest centroid_id (struct
-    ordering = (dist asc, centroid_id asc)), identical to the previous
-    window `row_number` semantics, so results are bit-for-bit unchanged.
+    join, no shuffle, one corpus scan: at 10⁹ vectors the former
+    crossJoin+window form exchanged C× the corpus for what this computes
+    in place. Ties break to the smallest centroid_id (struct ordering =
+    (dist asc, centroid_id asc)), identical to the previous window
+    `row_number` semantics, so results are bit-for-bit unchanged.
+
+    Above LITERAL_BUDGET total C×dim literals the inlined expression
+    would stress Catalyst (Janino 64KB method fallback, slow analysis),
+    so large centroid sets switch to an equally row-local Arrow-batched
+    pandas UDF over a closure-captured numpy matrix — same output, same
+    tie-break, still zero joins/exchanges.
     """
     rows = sorted(centroids.collect(), key=lambda r: r["centroid_id"])
     v = _as_double(F.col(vec_col))
+    dim = len(rows[0]["cvec"]) if rows else 0
+    if len(rows) * dim > LITERAL_BUDGET:
+        return _ivf_assign_pandas(df, rows, v, n_probes)
     darr = F.array(
         *[
             F.struct(

@@ -5,7 +5,9 @@ covered by the CBF golden tests in tests/test_classifiers.py).
 Each query trains on the events-derived series (label = series_id % 3,
 train = series_id % 5 != 0) and predicts the held-out series. BOSS
 ensemble predictions are integer-deterministic (bag distances are
-exact bigints); WEASEL uses MLlib LogisticRegression.
+exact bigints); WEASEL solves its linear model with the driver-local
+softmax + L-BFGS solver (ml/linear.py) over the distributed bag
+featurization, mirroring the reference's single-node liblinear split.
 """
 
 from __future__ import annotations

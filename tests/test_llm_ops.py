@@ -303,6 +303,46 @@ def test_ivf_assign_is_row_local(spark):
         assert [c for _, c in sorted(got[i])] == [int(j) for j in order], i
 
 
+def test_ivf_assign_pandas_fallback_matches_literal(spark, monkeypatch):
+    """Above LITERAL_BUDGET centroids×dim the assignment switches to the
+    Arrow-batched pandas UDF — same (centroid_id, crk) output and still
+    zero Exchange/Join in the plan."""
+    rng = np.random.default_rng(47)
+    vecs = rng.normal(0, 1, (80, 8))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = similarity.kmeans_fit(emb, n_centroids=6, iters=2)
+    for probes in (1, 3):
+        lit = sorted(
+            (r["vec_id"], r["crk"], r["centroid_id"])
+            for r in similarity.ivf_assign(emb, cents, n_probes=probes).collect()
+        )
+        monkeypatch.setattr(similarity, "LITERAL_BUDGET", 1)
+        assigned = similarity.ivf_assign(emb, cents, n_probes=probes)
+        plan = assigned._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "Join" not in plan, plan
+        pdz = sorted(
+            (r["vec_id"], r["crk"], r["centroid_id"]) for r in assigned.collect()
+        )
+        monkeypatch.setattr(similarity, "LITERAL_BUDGET", 32768)
+        assert lit == pdz, probes
+
+
+def test_kmeans_fit_exact_limit_table_ok(spark):
+    """A table with exactly sample_limit rows is full coverage — the
+    iters=0 oracle-contract assert must not fire (ADVICE r3)."""
+    rng = np.random.default_rng(53)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(0, 1, 4)]) for i in range(64)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = similarity.kmeans_fit(emb, n_centroids=4, iters=0, sample_limit=64)
+    ids = sorted(r["centroid_id"] for r in cents.collect())
+    assert ids == [0, 1, 2, 3]
+
+
 def test_dedup_groups_components(spark):
     """Connected components over near-dup pairs: {1,2,3} collapse to 1,
     {5,6} to 5, untouched docs stay singleton-canonical."""

@@ -51,6 +51,30 @@ def test_mft_recurrence_matches_fft_method():
     assert np.allclose(a, b, atol=1e-7)
 
 
+def test_mft_odd_window_packed_tail_at_p_equals_w():
+    """Odd w with l + offset == w reaches the packed kstar pair once the
+    reference evenizes wordLength (w → w+1), so slot w−1 must carry the
+    recurrence-mutated Re[kstar] for t ≥ 1 — not the true per-window
+    DFT value (ADVICE r3: condition is P >= w, not P >= w+1)."""
+    rng = np.random.default_rng(11)
+    w, l = 15, 15  # norm_mean=False → offset 0, P = 15 == w
+    x = rng.normal(0, 1, 40)
+    out = spectral.mft_all_windows(
+        x, w, l, norm_mean=False, apply_z_norm=False, method="fft"
+    )
+    kstar = (w - 1) // 2
+    phi = np.exp(2j * np.pi * kstar / w)
+    X = complex(np.fft.rfft(x[:w])[kstar].real, 0.0)  # half-fake (Re, 0)
+    norm = 1.0 / np.sqrt(w)
+    assert np.isclose(out[0, 2 * kstar], X.real * norm)
+    for t in range(1, len(out)):
+        X = phi * (X + (x[t + w - 1] - x[t - 1]))  # reference recurrence
+        assert np.isclose(out[t, 2 * kstar], X.real * norm), t
+        true_re = np.fft.rfft(x[t : t + w])[kstar].real * norm
+        if t == 3:  # generically differs from the true coefficient
+            assert not np.isclose(out[t, 2 * kstar], true_re)
+
+
 def test_dft_distance_lower_bounds_euclidean():
     """Parseval: 2·Σ|ΔX_k|²/N over kept coefficients ≤ Σ(a−b)²
     for z-normalized series (reference MFTTest.testMFTLowerBound)."""
