@@ -87,9 +87,13 @@ def test_fit_softmax_sparse_at_scale():
     assert n * d * 8 > linear.DENSE_BUDGET_BYTES
     ri = rng.randint(0, n, nnz)
     ci = rng.randint(0, d, nnz)
+    # aggregate colliding (row, col) pairs — CooRows requires unique
+    # keys (real bag featurizations arrive pre-aggregated)
+    key, first = np.unique(ri.astype(np.int64) * d + ci, return_index=True)
+    ri, ci = ri[first], ci[first]
     y = rng.randint(0, 4, n)
     # label-correlated signal so the fit does something
-    v = rng.rand(nnz) + (ci % 4 == y[ri]) * 2.0
+    v = rng.rand(len(ri)) + (ci % 4 == y[ri]) * 2.0
     Xs = linear.CooRows(ri, ci, v, (n, d))
     m = linear.fit_softmax(Xs, y, 4, lam=0.1, max_iter=5)
     assert m.W.shape == (4, d)
