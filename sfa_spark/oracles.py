@@ -500,6 +500,142 @@ SELECT series_id, win, CAST(2 * (k - 1) + 1 AS INT) AS seg,
        round(im + 1e-9, 4) + 0.0 AS coef
 FROM normed"""
 
+# Full SFA pipeline (fit on DISJOINT chunks → sliding words → bags):
+# every stage reuses an already-proven oracle technique — trig-sum MFT
+# (q_mft_sliding), 2-dp orderline + reference equi-depth scan
+# (q_equi_depth_bins), quantize = #boundaries <= coef, 2-bit pack,
+# numerosity reduction + bag (q_sfa_words/_bag_ctes). Parameters match
+# queries_spectral.q_sfa_words_dft: w=16, l=4 (k=1..2, norm_mean drops
+# DC), alphabet 4, z-norm 1/sd, lower-bounding 1/√16; the oracle "im"
+# is +Σ value·sin — the reference's negated-imaginary storage.
+ORACLES["q_sfa_words_dft"] = f"""WITH {SERIES},
+ks AS (SELECT unnest(generate_series(1, 2)) AS k),
+chunk AS (
+  SELECT series_id, CAST(floor(pos / 16) AS BIGINT) AS ci,
+         pos % 16 AS poff, value
+  FROM series WHERE n >= 16 AND pos < n - (n % 16)
+),
+cstat AS (
+  SELECT series_id, ci, stddev_pop(value) AS sd FROM chunk GROUP BY 1, 2
+),
+cterm AS (
+  SELECT c.series_id, c.ci, k.k,
+         sum(c.value * cos(2 * pi() * k.k * c.poff / 16)) AS re,
+         sum(c.value * sin(2 * pi() * k.k * c.poff / 16)) AS im
+  FROM chunk c CROSS JOIN ks k GROUP BY 1, 2, 3
+),
+cnorm AS (
+  SELECT t.series_id, t.ci, t.k,
+         t.re * (CASE WHEN s.sd > 0 THEN 1.0 / s.sd ELSE 1.0 END) / 4 AS re,
+         t.im * (CASE WHEN s.sd > 0 THEN 1.0 / s.sd ELSE 1.0 END) / 4 AS im
+  FROM cterm t JOIN cstat s USING (series_id, ci)
+),
+orderline AS (
+  SELECT CAST(2 * (k - 1) AS INT) AS seg, round(re, 2) AS coef FROM cnorm
+  UNION ALL
+  SELECT CAST(2 * (k - 1) + 1 AS INT) AS seg, round(im, 2) AS coef FROM cnorm
+),
+ranked AS (
+  SELECT seg, coef, row_number() OVER (PARTITION BY seg ORDER BY coef) AS rn,
+         count(*) OVER (PARTITION BY seg) AS cnt
+  FROM orderline
+),
+b1 AS (SELECT seg, min(coef) AS b FROM ranked WHERE rn > ceil(cnt / 4.0 * 1) GROUP BY seg),
+b2 AS (SELECT r.seg, min(r.coef) AS b FROM ranked r JOIN b1 USING (seg)
+       WHERE r.rn > ceil(r.cnt / 4.0 * 2) AND r.coef > b1.b GROUP BY r.seg),
+b3 AS (SELECT r.seg, min(r.coef) AS b FROM ranked r JOIN b2 USING (seg)
+       WHERE r.rn > ceil(r.cnt / 4.0 * 3) AND r.coef > b2.b GROUP BY r.seg),
+bins AS (
+  SELECT DISTINCT r.seg, b1.b AS bv1, b2.b AS bv2, b3.b AS bv3
+  FROM ranked r LEFT JOIN b1 USING (seg) LEFT JOIN b2 USING (seg)
+       LEFT JOIN b3 USING (seg)
+),
+swin AS (
+  SELECT series_id, pos, value, n,
+         unnest(generate_series(greatest(pos - 15, 0), least(pos, n - 16))) AS win
+  FROM series WHERE n >= 16
+),
+wstat AS (
+  SELECT series_id, win, stddev_pop(value) AS sd FROM swin GROUP BY 1, 2
+),
+wterm AS (
+  SELECT w.series_id, w.win, k.k,
+         sum(w.value * cos(2 * pi() * k.k * (w.pos - w.win) / 16)) AS re,
+         sum(w.value * sin(2 * pi() * k.k * (w.pos - w.win) / 16)) AS im
+  FROM swin w CROSS JOIN ks k GROUP BY 1, 2, 3
+),
+wnorm AS (
+  SELECT t.series_id, t.win, t.k,
+         t.re * (CASE WHEN s.sd > 0 THEN 1.0 / s.sd ELSE 1.0 END) / 4 AS re,
+         t.im * (CASE WHEN s.sd > 0 THEN 1.0 / s.sd ELSE 1.0 END) / 4 AS im
+  FROM wterm t JOIN wstat s USING (series_id, win)
+),
+wlong AS (
+  SELECT series_id, win, CAST(2 * (k - 1) AS INT) AS seg, re AS coef FROM wnorm
+  UNION ALL
+  SELECT series_id, win, CAST(2 * (k - 1) + 1 AS INT) AS seg, im AS coef FROM wnorm
+),
+sym AS (
+  SELECT w.series_id, w.win, w.seg,
+         (CASE WHEN w.coef >= b.bv1 THEN 1 ELSE 0 END +
+          CASE WHEN w.coef >= b.bv2 THEN 1 ELSE 0 END +
+          CASE WHEN w.coef >= b.bv3 THEN 1 ELSE 0 END) AS symbol
+  FROM wlong w JOIN bins b USING (seg)
+),
+words AS (
+  SELECT series_id, win,
+         CAST(sum(CAST(symbol AS BIGINT) << (2 * seg)) AS BIGINT) AS word
+  FROM sym GROUP BY series_id, win
+),
+nr AS (
+  SELECT series_id, win, word,
+         lag(word) OVER (PARTITION BY series_id ORDER BY win) AS prev
+  FROM words
+)
+SELECT series_id, word, CAST(count(*) AS BIGINT) AS cnt
+FROM nr WHERE prev IS NULL OR word <> prev
+GROUP BY series_id, word"""
+
+# Haar DWT (T10) as closed-form block sums: after zero-padding to
+# n2 = 2^L, output seg 0 is Σx/√n2 and seg ≥ 1 (coarse→fine detail
+# order, functions/representations.py dwt_values) is
+# (Σ first half − Σ second half)/√blk over block bi of size
+# blk = n2 / 2^⌊log2 seg⌋ — a LEFT join keeps blocks that lie entirely
+# in the zero padding (coef 0).
+ORACLES["q_dwt_coefs"] = f"""WITH {SERIES},
+meta AS (
+  SELECT series_id,
+         CAST(pow(2, ceil(log2(CAST(greatest(max(n), 1) AS DOUBLE)))) AS BIGINT) AS n2
+  FROM series GROUP BY series_id
+),
+segs AS (
+  SELECT series_id, n2, seg,
+         CASE WHEN seg = 0 THEN n2
+              ELSE n2 // CAST(pow(2, floor(log2(CAST(seg AS DOUBLE)))) AS BIGINT)
+         END AS blk,
+         CASE WHEN seg = 0 THEN 0
+              ELSE seg - CAST(pow(2, floor(log2(CAST(seg AS DOUBLE)))) AS BIGINT)
+         END AS bi
+  FROM (
+    SELECT series_id, n2, unnest(generate_series(0, least(7, n2 - 1))) AS seg
+    FROM meta
+  )
+),
+terms AS (
+  SELECT g.series_id, g.seg,
+         coalesce(sum(CASE WHEN g.seg = 0 THEN s.value
+                           WHEN (s.pos % g.blk) * 2 < g.blk THEN s.value
+                           ELSE -s.value END), 0.0)
+         / sqrt(CAST(g.blk AS DOUBLE)) AS coef
+  FROM segs g LEFT JOIN series s
+    ON s.series_id = g.series_id
+   AND (g.seg = 0 OR s.pos // g.blk = g.bi)
+  GROUP BY g.series_id, g.seg, g.blk
+)
+SELECT series_id, CAST(seg AS INT) AS seg,
+       round(coef + 1e-9, 4) + 0.0 AS coef
+FROM terms"""
+
 ORACLES["q_daily_revenue"] = """WITH d AS (
   SELECT CAST(floor(epoch(l_shipdate) / 86400) AS BIGINT) AS day,
          CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,

@@ -1,6 +1,12 @@
-"""Classifier driver queries (rows-only checks: the grid/ensemble
-control flow is not SQL-expressible — SURVEY §2.7; semantics are
-covered by the CBF golden tests in tests/test_classifiers.py).
+"""Classifier driver queries.
+
+r4: the BOSS-family predicts (boss_ensemble, bossvs, boss_grid,
+shotgun_ensemble) carry full end-to-end SQL oracles (oracles_ml.py) —
+words, bags, exact-bigint 1-NN, tf-idf, factor filter, norm pick and
+the fit() Score mutation are all mirrored in DuckDB. Only the
+WEASEL/MUSE predicts stay rows-only: their linear models are iterative
+L-BFGS softmax solves with no SQL equivalent (semantics covered by the
+golden tests in tests/test_classifiers.py / test_goldens.py).
 
 Each query trains on the events-derived series (label = series_id % 3,
 train = series_id % 5 != 0) and predicts the held-out series. BOSS

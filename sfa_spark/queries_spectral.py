@@ -3,9 +3,10 @@ checks: Spark computes via numpy (r)FFT inside a pandas UDF, DuckDB
 recomputes the same coefficients as explicit trig sums — agreement
 validates the transform itself, not just expression mirroring.
 
-q_sfa_words_dft (full DFT+equi-depth pipeline) is registered without an
-oracle → driver rows-only check; its correctness is covered by the
-property tests in tests/test_spectral.py.
+r4: q_sfa_words_dft (full MFT → 2-dp orderline → equi-depth → quantize
+→ pack → bag pipeline) and q_dwt_coefs (Haar as closed-form block
+sums) now carry full SQL oracles too; only q_apca_segments (greedy
+sequential merge) remains rows-only.
 """
 
 from __future__ import annotations
@@ -71,8 +72,8 @@ def q_pla_segments(spark, sf_dir):
 
 
 def q_dwt_coefs(spark, sf_dir):
-    """Haar DWT coefficients per series (rows-only; orthonormality and
-    LB property are covered by tests/test_representations.py)."""
+    """Haar DWT coefficients per series (SQL oracle: closed-form block
+    sums; orthonormality and LB property in tests/test_representations)."""
     from sfa_spark.functions import representations as R
     from sfa_spark.queries import rnd
 
@@ -98,8 +99,8 @@ def q_apca_segments(spark, sf_dir):
 
 def q_sfa_words_dft(spark, sf_dir):
     """Full SFA: equi-depth bins fitted on disjoint windows → sliding
-    words. No SQL oracle (binning on rounded orderlines is brittle to
-    mirror); driver does the rows-only check."""
+    words → bags. SQL oracle mirrors every stage (trig-sum MFT, 2-dp
+    orderline, reference equi-depth scan, quantize, pack, bag)."""
     arr = _arrays(spark, sf_dir).where(F.size("values") >= MFT_W)
     model = sfa.fit(
         arr, window=MFT_W, word_length=MFT_L, alphabet=4,
