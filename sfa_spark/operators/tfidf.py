@@ -47,10 +47,12 @@ def fit_tfidf(
         ncls = bags_labeled.groupBy(*ks).agg(
             F.countDistinct("label").cast("double").alias("n_classes")
         )
-    df_ = class_tf.groupBy(*ks, "word").agg(
-        F.count(F.lit(1)).cast("double").alias("df")
+    # df as a count over the word partition: class_tf is aggregated
+    # ONCE (the former groupBy-df + broadcast-join form re-ran the
+    # class_tf aggregation on the broadcast branch every fit)
+    raw = class_tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy(*ks, "word")).cast("double")
     )
-    raw = class_tf.join(F.broadcast(df_), [*ks, "word"])
     if n_classes is None:
         raw = (
             raw.join(F.broadcast(ncls), ks)
