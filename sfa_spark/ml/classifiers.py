@@ -262,6 +262,86 @@ def _collect_bags(kept: DataFrame, all_sids: list):
     return keys, X
 
 
+# Above this estimated COO footprint (24 bytes per nnz: row + col +
+# value) the χ²-kept bag no longer fits the driver and the solve routes
+# to MLlib LogisticRegression over distributed SparseVectors instead of
+# a toPandas() collect. Module-level so tests can lower the gate.
+SOLVE_NNZ_BUDGET_BYTES = 2 << 30
+
+
+def _fit_mllib_lr(
+    kept: DataFrame,
+    labels: DataFrame,
+    key_schema: str,
+    max_iter: int,
+    reg_param: float,
+):
+    """Distributed escape hatch for the linear solve: same objective as
+    linear.fit_softmax ((1/n)Σ CE + λ·½‖W‖², intercept free, λ =
+    1/(C·n) — the documented MLlib-parity objective in ml/linear.py),
+    fit by MLlib's multinomial LogisticRegression on SparseVectors
+    assembled in-plan. The bag table is NEVER collected: only the
+    vocab-sized key index and the final (vocab × k) weight matrix touch
+    the driver — both are the same size as the weights table every
+    scoring path broadcasts anyway. Trade-off: ~1 treeAggregate job per
+    L-BFGS iteration vs. zero jobs for the driver solve — only worth it
+    past the nnz gate (SURVEY §2.6 M4/M5; PLANS.md row)."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.linalg import Vectors, VectorUDT
+    from pyspark.sql.functions import udf
+
+    spark = kept.sparkSession
+    n_train = labels.select("series_id").distinct().count()
+    label_map = [
+        r["label"] for r in labels.select("label").distinct().orderBy("label").collect()
+    ]
+    lab_idx_df = F.broadcast(
+        spark.createDataFrame(
+            [(l, float(i)) for i, l in enumerate(label_map)], "label double, yidx double"
+        )
+    )
+    # deterministic vocab index: vocab is χ²/WORD_LIMIT-capped, so the
+    # single-partition row_number sort is bounded (and the weight table
+    # it indexes is driver-broadcast downstream regardless)
+    kidx = (
+        kept.select("key").distinct()
+        .withColumn("cidx", F.row_number().over(Window.orderBy("key")) - 1)
+    ).cache()
+    d = kidx.count()
+
+    @udf(VectorUDT())
+    def _to_vec(iv):
+        iv = sorted((int(i), float(c)) for i, c in iv or [])
+        return Vectors.sparse(d, [i for i, _ in iv], [c for _, c in iv])
+
+    feats = (
+        kept.join(F.broadcast(kidx), "key")
+        .groupBy("series_id")
+        .agg(F.collect_list(F.struct("cidx", "cnt")).alias("_iv"))
+    )
+    train = (
+        labels.select("series_id", "label").join(lab_idx_df, "label")
+        .join(feats, "series_id", "left")
+        .select("series_id", "yidx", _to_vec("_iv").alias("features"))
+    )
+    lam = 1.0 / (reg_param * max(n_train, 1))
+    lr = LogisticRegression(
+        featuresCol="features", labelCol="yidx", family="multinomial",
+        standardization=False, fitIntercept=True, regParam=lam,
+        elasticNetParam=0.0, maxIter=max_iter, tol=1e-7,
+    )
+    m = lr.fit(train)
+    W = m.coefficientMatrix.toArray()  # k × d
+    b = list(m.interceptVector.toArray())
+    key_rows = kidx.orderBy("cidx").collect()
+    kidx.unpersist()
+    weights = spark.createDataFrame(
+        [(r["key"], W[:, r["cidx"]].tolist()) for r in key_rows],
+        f"key {key_schema}, w array<double>",
+    )
+    return weights, b, label_map, None, None, None, None
+
+
 def _fit_local_softmax(
     kept: DataFrame,
     labels: DataFrame,
@@ -272,8 +352,15 @@ def _fit_local_softmax(
     """The reference's liblinear call, as a driver-local numpy solve
     (WEASELClassifier.java:35 — the solve is single-node there too;
     featurization and scoring stay distributed). Returns
-    (weights_df, intercept, label_map, keys, X, y, all_sids)."""
+    (weights_df, intercept, label_map, keys, X, y, all_sids).
+
+    Above SOLVE_NNZ_BUDGET_BYTES of estimated COO footprint the solve
+    routes to _fit_mllib_lr — no driver collect of the bags at all."""
     from sfa_spark.ml import linear
+
+    nnz = kept.count()
+    if nnz * 24 > SOLVE_NNZ_BUDGET_BYTES:
+        return _fit_mllib_lr(kept, labels, key_schema, max_iter, reg_param)
 
     spark = kept.sparkSession
     label_rows = labels.select("series_id", "label").collect()

@@ -1009,6 +1009,10 @@ class WeaselGridModel:
     label_map: list[float]
     alphabet: int = 4
     lower_bounding: bool = False
+    # 'softmax' (driver multinomial — the WEASEL-standalone path) or
+    # 'liblinear_lr' (one-vs-rest sigmoid-normalized, the calibration
+    # Linear.predictProbability produces; TEASER forces this)
+    prob_mode: str = "softmax"
 
     def _score(self, test_arrays: DataFrame) -> DataFrame:
         """Distributed scoring as a BROADCAST join: bag keys ⋈ the
@@ -1035,13 +1039,19 @@ class WeaselGridModel:
             .fillna(0.0)
         )
         z = [F.col(f"_s{c}") + F.lit(float(self.intercept[c])) for c in range(k)]
-        m = F.greatest(*z) if k > 1 else z[0]
-        e = [F.exp(zc - m) for zc in z]
+        if self.prob_mode == "liblinear_lr":
+            # Linear.predictProbability: per-class sigmoid, normalized
+            e = [F.lit(1.0) / (F.lit(1.0) + F.exp(-zc)) for zc in z]
+        else:
+            m = F.greatest(*z) if k > 1 else z[0]
+            e = [F.exp(zc - m) for zc in z]
         denom = e[0]
         for ec in e[1:]:
             denom = denom + ec
         probs = F.array(*[ec / denom for ec in e])
-        # first max wins ties — same as a sequential argmax
+        # first max wins ties — same as a sequential argmax (both links
+        # are monotone in the decision value, so argmax prob == argmax
+        # decision, the reference predictValues rule)
         idx = F.array_position(probs, F.array_max(probs)) - 1
         labels = F.array(*[F.lit(float(l)) for l in self.label_map])
         return base.select(
@@ -1072,6 +1082,7 @@ def weasel_grid_fit(
     max_iter: int = 100,
     reg_param: float = 1.0,
     lower_bounding: bool = False,
+    prob_mode: str = "softmax",
 ) -> WeaselGridModel:
     """WEASEL fit with the reference's full defaults
     (WEASELClassifier.fitWeasel, java:214-263): windows 2..min(350,len)
@@ -1144,6 +1155,12 @@ def weasel_grid_fit(
     # (1/n)Σloss + λ·½‖w‖² → λ = 1/(C·n)
     lam = 1.0 / (reg_param * n_train)
 
+    def _fit(Xm, ym):
+        if prob_mode == "liblinear_lr":
+            # TEASER parity: OvR L2R_LR, C=reg_param, regularized bias=1
+            return linear.fit_ovr_lr(Xm, ym, k, C=reg_param, max_iter=max_iter * 2)
+        return linear.fit_softmax(Xm, ym, k, lam, max_iter=max_iter)
+
     def _combo_matrix(nm, f):
         pdf = (
             kept.where((F.col("nm") == nm) & (F.col("f") == f))
@@ -1177,9 +1194,7 @@ def weasel_grid_fit(
                 tr = ~te
                 if not te.any() or not tr.any():
                     continue
-                m = linear.fit_softmax(
-                    X[tr], y[tr], k, lam, max_iter=max_iter
-                )
+                m = _fit(X[tr], y[tr])
                 correct += int((m.predict_idx(X[te]) == y[te]).sum())
             if correct > best_correct:
                 best_correct, best_key = correct, (nm, f)
@@ -1189,7 +1204,7 @@ def weasel_grid_fit(
 
     nm, f = best_key
     keys, X = _combo_matrix(nm, f)
-    final = linear.fit_softmax(X, y, k, lam, max_iter=max_iter)
+    final = _fit(X, y)
     weights = spark.createDataFrame(
         [(int(key), final.W[:, j].tolist()) for j, key in enumerate(keys)],
         "key bigint, w array<double>",
@@ -1198,7 +1213,7 @@ def weasel_grid_fit(
     return WeaselGridModel(
         nm=nm, f=f, seg_map=seg_map, bins=bins, lens=lens, combos=combos,
         weights=weights, intercept=final.b.tolist(), label_map=label_map,
-        alphabet=alphabet, lower_bounding=lower_bounding,
+        alphabet=alphabet, lower_bounding=lower_bounding, prob_mode=prob_mode,
     )
 
 

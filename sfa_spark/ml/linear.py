@@ -175,6 +175,85 @@ def _lbfgs(fun_grad, x0, max_iter=100, tol=1e-7, m=10):
     return x
 
 
+def _ovr_fun_grad(theta, X, ysign, C, bias):
+    """liblinear L2R_LR primal for ONE one-vs-rest subproblem:
+        f(w) = ½(wᵀw + w_b²) + C Σ_i log(1 + exp(−y_i·(w·x_i + w_b·bias)))
+    The bias enters as an appended feature of value `bias`, so its
+    weight IS regularized — unlike fit_softmax's free intercept. This
+    is the calibration TEASER's slaves need (TEASERClassifier.java:46
+    forces SolverType.L2R_LR; WEASELClassifier.java:33 bias = 1)."""
+    w, wb = theta[:-1], theta[-1]
+    z = (X.dot_wt(w[None, :])[:, 0] if isinstance(X, CooRows) else X @ w) + wb * bias
+    yz = ysign * z
+    # stable log(1+exp(-yz)) and σ(-yz) = exp(-logaddexp(0, yz))
+    loss = np.logaddexp(0.0, -yz)
+    sig = np.exp(-np.logaddexp(0.0, yz))
+    f = 0.5 * (w @ w + wb * wb) + C * loss.sum()
+    coef = -C * ysign * sig  # dL/dz
+    gw = (
+        X.gt_dot(coef[:, None])[0] if isinstance(X, CooRows) else coef @ X
+    ) + w
+    gb = wb + coef.sum() * bias
+    return f, np.concatenate([gw, [gb]])
+
+
+class OvrLR:
+    """One-vs-rest L2R_LR bundle: W (k×d), b (k) with b already scaled
+    by the bias value (decision_c = W_c·x + b_c). Probabilities follow
+    Linear.predictProbability: per-class sigmoid, then normalize —
+    NOT a softmax. predict_idx = argmax decision (first max wins), the
+    reference's predictValues tie-break."""
+
+    def __init__(self, W: np.ndarray, b: np.ndarray):
+        self.W, self.b = W, b
+
+    def _dec(self, X) -> np.ndarray:
+        if isinstance(X, CooRows):
+            return X.dot_wt(self.W) + self.b
+        return np.atleast_2d(X) @ self.W.T + self.b
+
+    def predict_proba(self, X) -> np.ndarray:
+        p = 1.0 / (1.0 + np.exp(-self._dec(X)))
+        return p / p.sum(axis=1, keepdims=True)
+
+    def predict_idx(self, X) -> np.ndarray:
+        return self._dec(X).argmax(axis=1)
+
+
+def fit_ovr_lr(
+    X,
+    y_idx: np.ndarray,
+    n_classes: int,
+    C: float = 1.0,
+    bias: float = 1.0,
+    max_iter: int = 200,
+    tol: float = 1e-9,
+) -> OvrLR:
+    """liblinear-parity multiclass fit: one binary L2R_LR per class
+    (converged primal ≡ the unique optimum liblinear's TRON/dual
+    approach; both solvers are deterministic for this solver type).
+    Class order is immaterial for k>2 (independent subproblems) and for
+    k=2 the two sign-flipped optima yield identical normalized
+    probabilities."""
+    if not isinstance(X, CooRows):
+        X = np.atleast_2d(np.asarray(X, dtype=np.float64))
+    n, d = X.shape
+    y_idx = np.asarray(y_idx, dtype=np.int64)
+    W = np.zeros((int(n_classes), d))
+    b = np.zeros(int(n_classes))
+    for c in range(int(n_classes)):
+        ysign = np.where(y_idx == c, 1.0, -1.0)
+        theta = _lbfgs(
+            lambda t: _ovr_fun_grad(t, X, ysign, C, bias),
+            np.zeros(d + 1),
+            max_iter=max_iter,
+            tol=tol,
+        )
+        W[c] = theta[:-1]
+        b[c] = theta[-1] * bias
+    return OvrLR(W, b)
+
+
 class LocalSoftmax:
     """Fitted model: W (k×d), b (k); predict_proba on dense or CooRows."""
 

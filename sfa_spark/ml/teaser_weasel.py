@@ -148,6 +148,11 @@ def teaser_weasel_fit(
     the slave fits (n_folds/max_iter) for test budgets."""
     kw = dict(weasel_kw or {})
     kw.setdefault("lower_bounding", True)  # TEASERClassifier ctor
+    # TEASERClassifier ctor forces SolverType.L2R_LR (java:46): slave
+    # probabilities are OvR sigmoids normalized (Linear.
+    # predictProbability), NOT a softmax — the calibration the one-class
+    # master's accept threshold was published against
+    kw.setdefault("prob_mode", "liblinear_lr")
     lab = labels.select("series_id", "label")
     max_len = train_arrays.agg(F.max(F.size("values"))).collect()[0][0]
     step = max_len / s_total

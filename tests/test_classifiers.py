@@ -78,3 +78,37 @@ def test_weasel_grid_cbf(spark, cbf):
     )
     acc = _accuracy(C.weasel_predict(model, te_a), te_l)
     assert acc >= 0.75, f"WEASEL grid CBF accuracy {acc}"
+
+
+def test_mllib_fallback_matches_local_solve(spark, monkeypatch):
+    """Above the nnz gate the linear solve routes to MLlib
+    LogisticRegression over distributed SparseVectors (same objective as
+    the driver solve) — predictions must agree with the local path and
+    the bags must never be collected."""
+    import numpy as np
+
+    rng = np.random.RandomState(17)
+    rows, lab_rows = [], []
+    for sid in range(60):
+        label = float(sid % 3)
+        lab_rows.append((sid, label))
+        for j in range(12):
+            key = int(rng.randint(0, 40))
+            cnt = int(rng.randint(1, 4)) + (3 if key % 3 == int(label) else 0)
+            rows.append((sid, key, cnt))
+    kept = spark.createDataFrame(rows, "series_id long, key bigint, cnt long") \
+        .groupBy("series_id", "key").agg(F.sum("cnt").alias("cnt"))
+    labels = spark.createDataFrame(lab_rows, "series_id long, label double")
+
+    w_loc, b_loc, lm_loc, *_ = C._fit_local_softmax(kept, labels, "bigint", 100, 1.0)
+    monkeypatch.setattr(C, "SOLVE_NNZ_BUDGET_BYTES", 1)
+    w_dist, b_dist, lm_dist, *rest = C._fit_local_softmax(kept, labels, "bigint", 100, 1.0)
+    assert lm_loc == lm_dist and rest[:3] == [None, None, None]
+
+    ids = labels.select("series_id").distinct()
+    p_loc = {r["series_id"]: r["pred_label"]
+             for r in C._score_with_weights(kept, ids, w_loc, b_loc, lm_loc).collect()}
+    p_dist = {r["series_id"]: r["pred_label"]
+              for r in C._score_with_weights(kept, ids, w_dist, b_dist, lm_dist).collect()}
+    agree = sum(p_loc[s] == p_dist[s] for s in p_loc) / len(p_loc)
+    assert agree >= 0.95, f"local vs MLlib prediction agreement {agree}"
