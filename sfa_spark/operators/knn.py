@@ -90,6 +90,7 @@ def shotgun_1nn(
     window: int,
     norm_mean: bool = True,
     n_chunks: int | None = None,
+    n_query_blocks: int = 1,
 ) -> DataFrame:
     """Shotgun distance 1-NN (reference ShotgunClassifier.java:161-238):
     the query is cut into DISJOINT windows; each window's best (min) ED
@@ -106,6 +107,14 @@ def shotgun_1nn(
     w-amplified crossJoin of exploded window rows (the former plan
     shuffled |Q|·n/w × |C|·n pair ROWS; this ships each series array
     once per chunk).
+
+    n_query_blocks > 1 is the NON-broadcast-query path: queries are
+    hash-blocked too, giving a (block × chunk) grid — each group holds
+    |Q|/n_query_blocks queries and |C|/n_chunks candidates, so neither
+    side needs to fit a single task. Shipped volume becomes
+    |Q|·n_chunks + |C|·n_query_blocks (vs |Q|·n_chunks + |C|); pick
+    n_query_blocks ≈ |Q|·row_bytes / task_budget. The default (1)
+    keeps the replicate-broadcast-sized-queries plan bit-for-bit.
     Output: (series_id, nn_id, dist).
     """
     import numpy as np
@@ -113,19 +122,30 @@ def shotgun_1nn(
 
     spark = query_arrays.sparkSession
     P = int(n_chunks or spark.sparkContext.defaultParallelism)
+    B = max(1, int(n_query_blocks))
     w_len, nm = int(window), bool(norm_mean)
 
     chunks = spark.range(P).select(F.col("id").cast("int").alias("chunk"))
+    qblocks = spark.range(B).select(F.col("id").cast("int").alias("qblock"))
     q = (
         query_arrays.where(F.size("values") >= w_len)
-        .select("series_id", "values", F.lit(True).alias("is_q"))
+        .select(
+            "series_id",
+            "values",
+            F.lit(True).alias("is_q"),
+            F.pmod(F.hash("series_id"), F.lit(B)).cast("int").alias("qblock"),
+        )
         .join(F.broadcast(chunks))
     )
-    c = corpus_arrays.where(F.size("values") >= w_len).select(
-        "series_id",
-        "values",
-        F.lit(False).alias("is_q"),
-        F.pmod(F.hash("series_id"), F.lit(P)).cast("int").alias("chunk"),
+    c = (
+        corpus_arrays.where(F.size("values") >= w_len)
+        .select(
+            "series_id",
+            "values",
+            F.lit(False).alias("is_q"),
+            F.pmod(F.hash("series_id"), F.lit(P)).cast("int").alias("chunk"),
+        )
+        .join(F.broadcast(qblocks))
     )
 
     def _norm(m):
@@ -169,7 +189,7 @@ def shotgun_1nn(
 
     local = (
         q.unionByName(c)
-        .groupBy("chunk")
+        .groupBy("qblock", "chunk")
         .applyInPandas(_group, schema="q_id bigint, c_id bigint, dist double")
     )
     return (

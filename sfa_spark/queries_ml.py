@@ -102,6 +102,35 @@ def q_muse_predict(spark, sf_dir):
     return model.predict(test_a)
 
 
+def q_muse_predict_full(spark, sf_dir):
+    """MUSE (C7) with the UNTRIMMED reference-default grid on the
+    events-derived 2-dim corpus: full window envelope (every length
+    from 2..min(450, len)), histType {equi-depth, equi-width} × norm ×
+    f {2,4,6}, 10-fold CV, early exit — the exact code path the
+    PenDigits golden certifies (MUSEClassifier.java:163-268), here run
+    end-to-end as a driver query. Rows-only by design (iterative
+    softmax solves); the budgeted q_muse_predict stays in the gate for
+    speed."""
+    from sfa_spark.ml import grid
+    from sfa_spark.sources.multivariate import derivatives, dim_arrays
+
+    s = series_df(spark, sf_dir).withColumn("dim", F.lit(0).cast("int"))
+    mv = derivatives(s.select("series_id", "dim", "pos", "value", "n"), n_dims=1)
+    arrays = dim_arrays(mv).where(F.size("values") >= 32).cache()
+    labels = (
+        arrays.select("series_id").distinct()
+        .withColumn("label", (F.col("series_id") % N_LABELS).cast("double"))
+    )
+    train_l = labels.where(F.col("series_id") % TEST_MOD != 0)
+    train_a = arrays.join(train_l.select("series_id"), "series_id")
+    test_a = arrays.join(
+        labels.where(F.col("series_id") % TEST_MOD == 0).select("series_id"),
+        "series_id",
+    )
+    model = grid.muse_grid_fit(train_a, train_l)
+    return model.predict(test_a)
+
+
 def q_shotgun_1nn(spark, sf_dir):
     train_a, labels, test_a = _corpus(spark, sf_dir)
     nn = knn.shotgun_1nn(test_a, train_a, window=16)
