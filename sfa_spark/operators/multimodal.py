@@ -165,6 +165,34 @@ def _gif_frames(payload: bytes) -> list[np.ndarray]:
     ]
 
 
+try:  # real-codec escape hatch: PyAV decodes mp4/h264/webm when installed
+    import av as _pyav
+except ImportError:  # absent in this container — NotImplementedError path
+    _pyav = None
+
+
+def _video_frames(payload: bytes, fmt: str) -> list[np.ndarray]:
+    """Decode a compressed video container (mp4/h264/mkv/webm) to RGB
+    frame arrays via the PyAV escape hatch — the same env-gated
+    contract as _decode_one/_gif_frames: a deterministic
+    NotImplementedError when the codec stack is absent, a real decode
+    mirroring the PIL contract when it is. ffmpeg-the-binary is an
+    equivalent swap (subprocess rawvideo pipe) — PyAV is preferred
+    because frames stay in-process as numpy arrays."""
+    if _pyav is None:
+        raise NotImplementedError(
+            f"video codec for format={fmt!r} needs PyAV (pip install av) "
+            "or an ffmpeg pipeline; not available in this environment"
+        )
+    import io
+
+    frames: list[np.ndarray] = []
+    with _pyav.open(io.BytesIO(payload), format=fmt if fmt != "h264" else None) as c:
+        for frame in c.decode(video=0):
+            frames.append(frame.to_ndarray(format="rgb24"))
+    return frames
+
+
 def frame_sample(video: DataFrame, every_k: int) -> DataFrame:
     """Sample every k-th frame of a video payload. Emits one row per
     kept frame with frame_idx — the schema/explode shape of a real
@@ -178,6 +206,9 @@ def frame_sample(video: DataFrame, every_k: int) -> DataFrame:
       * 'gif' — decoded through the PIL hatch when Pillow is present
         (frames re-emitted as raw RGB bytes); NotImplementedError
         otherwise — the same env-gated contract as image decode.
+      * 'mp4' / 'h264' / 'mkv' / 'webm' — decoded through the PyAV
+        hatch (_video_frames) when installed; frames re-emitted as raw
+        RGB bytes, NotImplementedError otherwise.
     """
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -190,6 +221,8 @@ def frame_sample(video: DataFrame, every_k: int) -> DataFrame:
                     frames = split_mjpeg(payload)
                 elif fmt == "gif":
                     frames = [a.tobytes() for a in _gif_frames(payload)]
+                elif fmt in ("mp4", "h264", "mkv", "webm"):
+                    frames = [a.tobytes() for a in _video_frames(payload, fmt)]
                 else:
                     frame_bytes = r["width"] * r["height"] * r["channels"]
                     n_frames = len(payload) // frame_bytes if frame_bytes else 0

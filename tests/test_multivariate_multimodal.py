@@ -165,3 +165,40 @@ def test_gif_decode_gate(spark):
         img.save(buf, format="GIF")
         frames = multimodal._gif_frames(buf.getvalue())
         assert len(frames) == 1 and frames[0].shape == (1, 1, 3)
+
+
+def test_video_decode_gate(spark):
+    """mp4/h264 frame decode routes through the PyAV hatch — the same
+    env-gated contract as the PIL paths: NotImplementedError without
+    the codec stack, real RGB frames with it; the frame_sample plumbing
+    surfaces the gate (not a silent empty result)."""
+    import pytest
+    from sfa_spark.operators import multimodal
+
+    if multimodal._pyav is None:
+        with pytest.raises(NotImplementedError, match="PyAV"):
+            multimodal._video_frames(b"\x00\x00\x00\x18ftypmp42-not-really", "mp4")
+        media = spark.createDataFrame(
+            [(1, bytearray(b"xx"), "mp4", 2, 2, 3)], multimodal.MEDIA_SCHEMA
+        )
+        with pytest.raises(Exception, match="NotImplementedError|PyAV"):
+            multimodal.frame_sample(media, every_k=1).collect()
+    else:  # env-gated real path: encode a 2-frame clip, decode it back
+        import io
+
+        import numpy as np
+
+        buf = io.BytesIO()
+        with multimodal._pyav.open(buf, "w", format="mp4") as c:
+            st = c.add_stream("h264", rate=2)
+            st.width, st.height, st.pix_fmt = 16, 16, "yuv420p"
+            for _ in range(2):
+                arr = np.zeros((16, 16, 3), dtype=np.uint8)
+                for pkt in st.encode(
+                    multimodal._pyav.VideoFrame.from_ndarray(arr, format="rgb24")
+                ):
+                    c.mux(pkt)
+            for pkt in st.encode():
+                c.mux(pkt)
+        frames = multimodal._video_frames(buf.getvalue(), "mp4")
+        assert len(frames) == 2 and frames[0].shape == (16, 16, 3)
