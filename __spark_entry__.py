@@ -55,6 +55,7 @@ ROTATE_FIRST = [
     "q_dwt_coefs", "q_sfa_words_dft", "q_boss_ensemble_predict",
     "q_bossvs_predict", "q_boss_grid_predict", "q_shotgun_ensemble_predict",
     # (b) implementation touched in r4
+    "q_anova_f",  # decimal-summed sufficient statistics (determinism)
     "q_tfidf_fit", "q_tfidf_predict", "q_tfidf_accuracy", "q_shotgun_1nn",
     "q_embed_clusters", "q_cluster_balanced_sample", "q_pq_ann", "q_ivfpq_ann",
     # (c) r2-only coverage, oldest first
@@ -69,7 +70,6 @@ ROTATE_FIRST = [
     # index/streaming family adjacent to this round's changes)
     "q_weasel_predict", "q_muse_predict", "q_dft_coefs", "q_mft_sliding",
     "q_pla_segments", "q_apca_segments", "q_index_knn", "q_index_range",
-    "q_stream_ingest_gate",
 ]
 
 

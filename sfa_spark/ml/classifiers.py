@@ -392,11 +392,19 @@ def _score_with_weights(
     per-class sums → softmax argmax in SQL. Unseen keys drop out of
     the join; empty bags score intercept-only via the left join."""
     k = len(label_map)
+    # decimal logit sums — order-free exact addition, bit-stable under
+    # any task scheduling (same rationale as WeaselGridModel._score)
+    dec = "decimal(38,18)"
     per = (
         key_bags.join(F.broadcast(weights), "key")
         .groupBy("series_id")
         .agg(
-            *[F.sum(F.col("cnt") * F.col("w")[c]).alias(f"_s{c}") for c in range(k)]
+            *[
+                F.sum((F.col("cnt") * F.col("w")[c]).cast(dec))
+                .cast("double")
+                .alias(f"_s{c}")
+                for c in range(k)
+            ]
         )
     )
     base = all_ids.join(per, "series_id", "left").fillna(0.0)

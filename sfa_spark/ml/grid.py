@@ -872,17 +872,26 @@ def _supervised_grid_model(
     lab = labels.select("series_id", "label")
     labeled = dis.join(F.broadcast(lab), "series_id")
 
+    # DECIMAL sums: double aggregation merges partials in task-
+    # completion order, so f_stat carried run-to-run ulp noise that
+    # FLIPPED near-tied seg ranks (different vocabulary → different
+    # model → TEASER earliness wobbled 0.48↔0.53 on Coffee). Decimal
+    # addition is exact and order-independent; each per-row term is
+    # deterministic, so f_stat is now bit-stable under any scheduling.
+    dec = "decimal(38,18)"
     g = labeled.groupBy("nm", "w", "seg", "label").agg(
-        F.sum("coef").alias("s"),
-        F.sum(F.col("coef") * F.col("coef")).alias("ss"),
+        F.sum(F.col("coef").cast(dec)).cast("double").alias("s"),
+        F.sum((F.col("coef") * F.col("coef")).cast(dec)).cast("double").alias("ss"),
         F.count(F.lit(1)).cast("double").alias("m"),
     )
     tot = g.groupBy("nm", "w", "seg").agg(
-        F.sum("s").alias("S"),
-        F.sum("ss").alias("SS"),
+        F.sum(F.col("s").cast(dec)).cast("double").alias("S"),
+        F.sum(F.col("ss").cast(dec)).cast("double").alias("SS"),
         F.sum("m").alias("N"),
         F.count(F.lit(1)).cast("double").alias("k"),
-        F.sum(F.col("s") * F.col("s") / F.col("m")).alias("sq_over_m"),
+        F.sum((F.col("s") * F.col("s") / F.col("m")).cast(dec))
+        .cast("double")
+        .alias("sq_over_m"),
     )
     ssbn = F.col("sq_over_m") - F.col("S") * F.col("S") / F.col("N")
     sswn = (F.col("SS") - F.col("S") * F.col("S") / F.col("N")) - ssbn
@@ -1027,9 +1036,17 @@ class WeaselGridModel:
         ).select("series_id", "key", "cnt")
         k = len(self.label_map)
         scored = key_bags.join(F.broadcast(self.weights), "key")
+        # decimal logit sums: double partial-sum merges race on task
+        # order; the ulp noise flips the one-class master's accept
+        # decisions for probabilities near the SVM boundary (TEASER
+        # earliness wobbled run-to-run). Exact order-free addition
+        # makes scoring bit-stable under any scheduling.
+        dec = "decimal(38,18)"
         per = scored.groupBy("series_id").agg(
             *[
-                F.sum(F.col("cnt") * F.col("w")[c]).alias(f"_s{c}")
+                F.sum((F.col("cnt") * F.col("w")[c]).cast(dec))
+                .cast("double")
+                .alias(f"_s{c}")
                 for c in range(k)
             ]
         )
@@ -1149,7 +1166,26 @@ def weasel_grid_fit(
     n_train, k = len(sids), len(label_map)
     row_of = {sid: i for i, sid in enumerate(sids)}
     y = np.asarray([y_of[s] for s in sids], dtype=np.int64)
-    fold_arr = np.asarray([fold_of[s] for s in sids], dtype=np.int64)
+    if prob_mode == "liblinear_lr":
+        # reference trainLibLinear CV folds: java-Random(1) Fisher-Yates
+        # permutation over SAMPLE ORDER + contiguous slices
+        # (Classifier.java:355-383) — not stratified round-robin; the
+        # split decides bestF/bestNorm, which TEASER's slaves inherit
+        from sfa_spark.ml.oneclass import JavaRandom
+
+        rand = JavaRandom(1)
+        perm = list(range(n_train))
+        for i in range(n_train):
+            j = i + rand.next_int(n_train - i)
+            perm[i], perm[j] = perm[j], perm[i]
+        nf = min(n_folds, n_train)
+        fold_arr = np.empty(n_train, dtype=np.int64)
+        fold_start = [i * n_train // nf for i in range(nf + 1)]
+        for s in range(nf):
+            for p in perm[fold_start[s] : fold_start[s + 1]]:
+                fold_arr[p] = s
+    else:
+        fold_arr = np.asarray([fold_of[s] for s in sids], dtype=np.int64)
     # liblinear parity (L2R_LR, C=1, bias=1 — WEASELClassifier:31-36):
     # liblinear minimizes C·Σloss + ½‖w‖²; the local objective is
     # (1/n)Σloss + λ·½‖w‖² → λ = 1/(C·n)

@@ -56,8 +56,14 @@ class TeaserModel:
 
 
 def _prefix(arrays: DataFrame, prefix_len: int) -> DataFrame:
+    """Truncated prefix, re-z-normalized to its own stats — reference
+    extractUntilOffset goes through TimeSeries.getSubsequence which
+    norm()s the fresh slice (TimeSeries.java:177-182)."""
+    from sfa_spark.ml.teaser_weasel import java_norm_expr
+
     return arrays.select(
-        "series_id", F.slice("values", 1, prefix_len).alias("values")
+        "series_id",
+        java_norm_expr(F.slice("values", 1, prefix_len)).alias("values"),
     )
 
 
@@ -103,10 +109,13 @@ def teaser_fit(
     v_grid: tuple[int, ...] = (1, 2, 3),
 ) -> TeaserModel:
     series_len = train_arrays.select(F.min(F.size("values"))).collect()[0][0]
+    # snapshot grid capped at 250 like the reference's
+    # getMax(samples, MAX_WINDOW_LENGTH) step base (Classifier.java:634)
+    step_base = min(series_len, 250)
     slaves: list[TeaserSlave] = []
     all_scores = []
     for s in range(1, n_snapshots + 1):
-        plen = max(window, series_len * s // n_snapshots)
+        plen = max(window, step_base * s // n_snapshots)
         pref = _prefix(train_arrays, plen).cache()
         model = sfa.fit(
             pref, window=window, word_length=word_length, alphabet=alphabet,
@@ -245,8 +254,15 @@ class MTeaserModel:
 
 
 def _mv_prefix(mv_arrays: DataFrame, plen: int) -> DataFrame:
+    """Per-dimension truncated prefix, re-z-normalized per dim —
+    MultiVariateTimeSeries.getSubsequence norm()s every dimension's
+    fresh slice (MultiVariateTimeSeries.java:32-39)."""
+    from sfa_spark.ml.teaser_weasel import java_norm_expr
+
     return mv_arrays.select(
-        "series_id", "dim", F.slice("values", 1, plen).alias("values")
+        "series_id",
+        "dim",
+        java_norm_expr(F.slice("values", 1, plen)).alias("values"),
     )
 
 
@@ -299,10 +315,11 @@ def mteaser_fit(
     with a multivariate slave per snapshot."""
     dims = [r["dim"] for r in mv_arrays.select("dim").distinct().orderBy("dim").collect()]
     series_len = mv_arrays.select(F.min(F.size("values"))).collect()[0][0]
+    step_base = min(series_len, 250)  # MTEASERClassifier.java:37,164-166
     slaves: list[MTeaserSlave] = []
     snaps = []
     for s in range(1, n_snapshots + 1):
-        plen = max(window, series_len * s // n_snapshots)
+        plen = max(window, step_base * s // n_snapshots)
         pref = _mv_prefix(mv_arrays, plen).cache()
         parts = []
         for d in dims:

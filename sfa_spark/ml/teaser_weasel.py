@@ -38,9 +38,28 @@ from pyspark.sql import functions as F
 from sfa_spark.ml import grid, oneclass
 
 
+def java_norm_expr(v):
+    """Column expr: z-normalize an array the way TimeSeries.norm()
+    does (TimeSeries.java:77-116): population σ = √max(0, E[x²]−μ²),
+    subtract μ always, scale by 1/σ only when σ ≠ 0. Sequential array
+    folds match Java's left-to-right summation order bit-for-bit."""
+    n = F.size(v).cast("double")
+    mean = F.aggregate(v, F.lit(0.0), lambda a, x: a + x) / n
+    ex2 = F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x) / n
+    var = ex2 - mean * mean
+    std = F.when(var > 0, F.sqrt(var)).otherwise(F.lit(0.0))
+    inv = F.when(std != 0.0, F.lit(1.0) / std).otherwise(F.lit(1.0))
+    return F.transform(v, lambda x: (x - mean) * inv)
+
+
 def _prefix(arrays: DataFrame, plen: int) -> DataFrame:
+    """Truncate to `plen` AND re-z-normalize the prefix — the reference
+    extracts snapshots with TimeSeries.getSubsequence, which constructs
+    a fresh TimeSeries and calls norm() on it (TimeSeries.java:177-182),
+    so every truncated snapshot is normalized to its OWN prefix stats,
+    not the full-series stats the loader normalized with."""
     return arrays.select(
-        "series_id", F.slice("values", 1, int(plen)).alias("values")
+        "series_id", java_norm_expr(F.slice("values", 1, int(plen))).alias("values")
     )
 
 
@@ -142,20 +161,42 @@ def teaser_weasel_fit(
     s_total: int = 20,
     v_grid: tuple[int, ...] = (2, 3, 4, 5),
     nu: float = 0.05,
+    max_offset: int = 250,
     weasel_kw: dict | None = None,
 ) -> TeaserWeaselModel:
     """Fit TEASER (reference fitTeaser, java:138-195). weasel_kw tunes
     the slave fits (n_folds/max_iter) for test budgets."""
     kw = dict(weasel_kw or {})
     kw.setdefault("lower_bounding", True)  # TEASERClassifier ctor
+    # the SAME 250 constant also caps the slave window grid
+    # (TEASERClassifier ctor sets WEASELClassifier.MAX_WINDOW_LENGTH =
+    # 250, java:47) — moot once offsets are capped at 250 too, but kept
+    # for callers that raise max_offset
+    kw.setdefault("max_windows", max_offset)
     # TEASERClassifier ctor forces SolverType.L2R_LR (java:46): slave
     # probabilities are OvR sigmoids normalized (Linear.
     # predictProbability), NOT a softmax — the calibration the one-class
     # master's accept threshold was published against
     kw.setdefault("prob_mode", "liblinear_lr")
     lab = labels.select("series_id", "label")
+    # loader parity: the reference z-norms every full series at load
+    # (TimeSeriesLoader.java:72). Prefix snapshots are re-normed to
+    # their own stats by _prefix either way (affine-invariant), but the
+    # threshold search below scores FULL series (testing=false), so
+    # norm them here once — idempotent when the input is already normed.
+    train_arrays = train_arrays.select(
+        "series_id", java_norm_expr(F.col("values")).alias("values")
+    )
     max_len = train_arrays.agg(F.max(F.size("values"))).collect()[0][0]
-    step = max_len / s_total
+    # the snapshot grid is capped at MAX_WINDOW_LENGTH = 250: fitTeaser
+    # computes step from getMax(samples, MAX_WINDOW_LENGTH) =
+    # min(250, longest series) (TEASERClassifier.java:36,141-143,
+    # Classifier.java:634-640). For series longer than 250 the offsets
+    # top out at 250, the last snapshot is forced by s >= S with
+    # earliness 250/len < 1, and `offset >= length` never triggers —
+    # this is why Coffee (len 286) decides visibly earlier than a
+    # full-length grid would.
+    step = min(max_len, max_offset) / s_total
     min_w = 3  # max(3, MIN_WINDOW_LENGTH)
 
     todo = []
@@ -169,7 +210,16 @@ def teaser_weasel_fit(
         pref = _prefix(train_arrays, off)
         slave = grid.weasel_grid_fit(pref, lab, **kw)
         proba = slave.predict_proba(pref).join(lab, "series_id")
-        pdf = proba.select("pred_label", "label", "probs").toPandas()
+        # sort by series_id: the reference feeds libsvm in SAMPLE ORDER
+        # and both the SMO working-set walk and the java-Random(1)
+        # contiguous CV folds in fit_master depend on row order —
+        # toPandas() partition order is not deterministic
+        pdf = (
+            proba.select("series_id", "pred_label", "label", "probs")
+            .toPandas()
+            .sort_values("series_id", kind="mergesort")
+            .reset_index(drop=True)
+        )
         correct = pdf[pdf["pred_label"] == pdf["label"]]
         if len(correct) == 0:
             return s, off, slave, None

@@ -184,17 +184,23 @@ def anova_f(coef_labeled: DataFrame) -> DataFrame:
       F    = (ssbn/(k−1)) / (sswn/(N−k))
     Matches sklearn/reference f_oneway algebraically.
     """
+    # decimal sums: order-independent exact addition keeps f_stat
+    # bit-stable across runs (double merges race on task order and the
+    # ulp noise can flip near-tied seg ranks — see _supervised_grid_model)
+    dec = "decimal(38,18)"
     g = coef_labeled.groupBy("seg", "label").agg(
-        F.sum("coef").alias("s"),
-        F.sum(F.col("coef") * F.col("coef")).alias("ss"),
+        F.sum(F.col("coef").cast(dec)).cast("double").alias("s"),
+        F.sum((F.col("coef") * F.col("coef")).cast(dec)).cast("double").alias("ss"),
         F.count(F.lit(1)).cast("double").alias("m"),
     )
     tot = g.groupBy("seg").agg(
-        F.sum("s").alias("S"),
-        F.sum("ss").alias("SS"),
+        F.sum(F.col("s").cast(dec)).cast("double").alias("S"),
+        F.sum(F.col("ss").cast(dec)).cast("double").alias("SS"),
         F.sum("m").alias("N"),
         F.count(F.lit(1)).cast("double").alias("k"),
-        F.sum(F.col("s") * F.col("s") / F.col("m")).alias("sq_over_m"),
+        F.sum((F.col("s") * F.col("s") / F.col("m")).cast(dec))
+        .cast("double")
+        .alias("sq_over_m"),
     )
     ssbn = F.col("sq_over_m") - F.col("S") * F.col("S") / F.col("N")
     sswn = F.col("SS") - F.col("sq_over_m")

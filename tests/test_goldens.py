@@ -117,23 +117,38 @@ def test_weasel_golden(spark, dataset, golden):
 
 
 @pytest.mark.parametrize(
-    "dataset,golden,g_earl,earl_band",
+    "dataset,golden,g_earl,earl_band,v3_parity",
     [
-        # measured r3: acc 0.992 / earliness 0.516 — we decide EARLIER
-        # than the reference at higher accuracy; the residual earliness
-        # gap is slave/master probability calibration (liblinear +
-        # libsvm numerics, not runnable offline), so CBF keeps a wider
-        # band than the other fixtures
-        ("CBF", 0.982, 0.64, 0.15),
-        ("Coffee", 1.000, 0.47, 0.10),   # measured 0.490 (Δ 0.02)
-        ("variable_length", 0.929, 0.39, 0.10),  # measured 0.440 (Δ 0.05)
+        # r4 parity set (all fits now run-deterministic): OvR
+        # liblinear-style slave probabilities + java-Random(1)
+        # contiguous CV folds, the 250-capped snapshot grid
+        # (getMax(·, MAX_WINDOW_LENGTH), TEASERClassifier.java:36,142),
+        # prefix re-z-norm (TimeSeries.getSubsequence), decimal-summed
+        # ANOVA/logits. Measured: CBF acc 0.990 / earliness 0.639 —
+        # inside the reference's own ±0.05 (AbstractClassifierTest:25).
+        ("CBF", 0.982, 0.64, 0.05, False),
+        # Coffee/variable_length (the two fixtures longer than the 250
+        # cap) decide EARLIER than published at equal-or-better
+        # accuracy: measured 0.384 (Coffee) / 0.311 (VL), v=2. The
+        # residual divergence is the v-threshold cliff: predicting with
+        # v=3 reproduces the published numbers within the reference's
+        # own ±0.05 (0.518 vs 0.47; 0.427 vs 0.39 — asserted below).
+        # Our HM search legitimately picks v=2 because the tightly
+        # converged slaves hold 1.0 full-series train accuracy, while
+        # liblinear's eps=0.1 under-converged slaves make train
+        # mistakes that push the reference's search to v=3 — an iterate
+        # position not reproducible without its exact float trajectory
+        # (ml/linear.fit_ovr_lr convergence note).
+        ("Coffee", 1.000, 0.47, 0.10, True),
+        ("variable_length", 0.929, 0.39, 0.10, True),
     ],
 )
-def test_teaser_golden(spark, dataset, golden, g_earl, earl_band):
+def test_teaser_golden(spark, dataset, golden, g_earl, earl_band, v3_parity):
     """TEASER with WEASEL slaves + one-class-SVM master on the bundled
     fixtures (TEASERClassifierTest.java:13-18, S=10). Accuracy within
-    the reference DELTA; earliness within per-dataset bands (r3: the
-    blanket ±0.20 tightened to the measured envelope +margin)."""
+    the reference DELTA; earliness within the documented band at our
+    deterministic v, and at the reference's own ±0.05 under v=3 for
+    the capped fixtures (the published operating point)."""
     from sfa_spark.ml import teaser_weasel as tw
 
     tr, te = _load(spark, dataset)
@@ -141,17 +156,32 @@ def test_teaser_golden(spark, dataset, golden, g_earl, earl_band):
         tr.select("series_id", "values"), tr.select("series_id", "label"),
         s_total=10,
     )
-    pred = tw.teaser_weasel_predict(model, te.select("series_id", "values"))
-    joined = pred.join(te.select("series_id", "label"), "series_id", "right")
-    r = joined.agg(
-        F.avg((F.col("pred_label") == F.col("label")).cast("double")),
-        F.avg("earliness"),
-    ).collect()[0]
-    acc, earl = r[0] or 0.0, r[1]
+
+    def _eval():
+        pred = tw.teaser_weasel_predict(model, te.select("series_id", "values"))
+        joined = pred.join(te.select("series_id", "label"), "series_id", "right")
+        r = joined.agg(
+            F.avg((F.col("pred_label") == F.col("label")).cast("double")),
+            F.avg("earliness"),
+        ).collect()[0]
+        return r[0] or 0.0, r[1]
+
+    acc, earl = _eval()
     assert abs(acc - golden) <= DELTA, f"{dataset}: acc {acc} vs golden {golden}"
     assert abs(earl - g_earl) <= earl_band, (
         f"{dataset}: earliness {earl} vs {g_earl} (band {earl_band})"
     )
+    if v3_parity:
+        # never LATER than published beyond the reference's own band —
+        # the wide band above only covers the earlier-at-equal-accuracy
+        # side of the frontier
+        assert earl <= g_earl + DELTA, f"{dataset}: late at v=2 ({earl})"
+        model.threshold = 3
+        acc3, earl3 = _eval()
+        assert abs(acc3 - golden) <= DELTA
+        assert abs(earl3 - g_earl) <= DELTA, (
+            f"{dataset}: v=3 earliness {earl3} vs {g_earl} (±{DELTA})"
+        )
 
 
 @pytest.mark.parametrize(

@@ -124,6 +124,26 @@ def test_weasel_grid_sparse_path_matches_dense(synth, monkeypatch):
     assert pd_ == ps
 
 
+def test_weasel_grid_fit_is_run_deterministic(synth):
+    """Two fits on the same data must agree exactly: the ANOVA
+    sufficient statistics are decimal-summed (order-independent), so
+    task scheduling cannot flip near-tied seg ranks and change the
+    vocabulary (the r4 TEASER-Coffee earliness wobble)."""
+    tr, _ = synth
+    kwargs = dict(max_windows=24, n_folds=3, max_iter=15)
+    m1 = grid.weasel_grid_fit(
+        tr.select("series_id", "values"), tr.select("series_id", "label"), **kwargs
+    )
+    m2 = grid.weasel_grid_fit(
+        tr.select("series_id", "values"), tr.select("series_id", "label"), **kwargs
+    )
+    assert (m1.nm, m1.f) == (m2.nm, m2.f)
+    assert m1.seg_map == m2.seg_map
+    w1 = {r["key"]: r["w"] for r in m1.weights.collect()}
+    w2 = {r["key"]: r["w"] for r in m2.weights.collect()}
+    assert set(w1) == set(w2)
+
+
 def test_teaser_weasel_early_and_accurate(synth):
     from sfa_spark.ml import teaser_weasel as tw
 

@@ -101,6 +101,72 @@ def test_fit_softmax_sparse_at_scale():
     assert acc > 0.3  # beats the 0.25 uniform-guess floor
 
 
+def test_tron_tight_eps_reaches_optimum():
+    """With a tight eps the TRON port must land at the true optimum of
+    the liblinear L2R_LR primal (gradient ≈ 0) — validates the
+    fun/grad/Hv plumbing independent of the loose-eps parity mode."""
+    rng = np.random.RandomState(3)
+    X = rng.randn(60, 8)
+    y = (X[:, 0] - X[:, 1] + 0.3 * rng.randn(60) > 0).astype(int)
+    m = linear.fit_ovr_lr(X, y, 2, C=1.0, eps=1e-10, max_iter=5000)
+    fo = linear._L2rLrFun(X, np.where(y == 0, 1.0, -1.0), 1.0, 1.0)
+    theta = np.concatenate([m.W[0], [m.b[0]]])
+    fo.fun(theta)
+    assert np.linalg.norm(fo.grad(theta)) < 1e-6
+
+
+def test_tron_loose_eps_stops_at_liblinear_rule():
+    """With eps=0.1 (liblinear's literal setting,
+    WEASELClassifier.java:34) TRON must stop at
+    ‖g‖ ≤ eps·max(min(pos,neg),1)/l·‖g(0)‖, genuinely short of the
+    optimum. The production default is the tight optimum (see
+    fit_ovr_lr's convergence note); this pins the opt-in loose rule."""
+    rng = np.random.RandomState(4)
+    X = rng.randn(80, 10)
+    y = (X[:, 0] > 0).astype(int)
+    ysign = np.where(y == 0, 1.0, -1.0)
+    m = linear.fit_ovr_lr(X, y, 2, C=1.0, eps=0.1)
+    fo = linear._L2rLrFun(X, ysign, 1.0, 1.0)
+    fo.fun(np.zeros(11))
+    gnorm0 = np.linalg.norm(fo.grad(np.zeros(11)))
+    pos = int((ysign > 0).sum())
+    tol = 0.1 * max(min(pos, 80 - pos), 1) / 80 * gnorm0
+    theta = np.concatenate([m.W[0], [m.b[0]]])
+    fo.fun(theta)
+    gn = np.linalg.norm(fo.grad(theta))
+    assert gn <= tol
+    # and it genuinely stops early: the loose solution is NOT optimal
+    m_tight = linear.fit_ovr_lr(X, y, 2, C=1.0, eps=1e-10, max_iter=5000)
+    assert not np.allclose(m.W[0], m_tight.W[0], atol=1e-6)
+
+
+def test_ovr_lr_binary_mirror_and_probs():
+    """k=2 trains ONE binary like liblinear's nr_class==2 branch and
+    mirrors the weights; probabilities are per-class sigmoids
+    normalized (Linear.predictProbability), summing to 1."""
+    rng = np.random.RandomState(6)
+    X = rng.randn(50, 5)
+    y = (X[:, 2] > 0).astype(int)
+    m = linear.fit_ovr_lr(X, y, 2, C=1.0)
+    assert np.allclose(m.W[1], -m.W[0]) and np.isclose(m.b[1], -m.b[0])
+    p = m.predict_proba(X)
+    assert np.allclose(p.sum(axis=1), 1.0)
+    y3 = rng.randint(0, 3, 50)
+    p3 = linear.fit_ovr_lr(X, y3, 3, C=1.0).predict_proba(X)
+    assert np.allclose(p3.sum(axis=1), 1.0)
+
+
+def test_ovr_lr_sparse_matches_dense():
+    rng = np.random.RandomState(9)
+    Xs = _random_coo(rng, 70, 25, 500)
+    Xd = Xs.toarray()
+    y = rng.randint(0, 2, 70)
+    ms = linear.fit_ovr_lr(Xs, y, 2, C=1.0)
+    md = linear.fit_ovr_lr(Xd, y, 2, C=1.0)
+    assert np.allclose(ms.W, md.W, atol=1e-8)
+    assert np.allclose(ms.b, md.b, atol=1e-8)
+
+
 def test_ranked_top_k_matches_window_rank(spark):
     rng = np.random.RandomState(1)
     rows = [
