@@ -51,6 +51,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # prep). q_muse_predict_full (~270 s at sf0.01) stays out of the gate
 # by design — rows-only, certified by the PenDigits golden.
 ROTATE_FIRST = [
+    # (a0) new operators added in r4 (curation tier)
+    "q_pii_redact", "q_lm_perplexity", "q_dup_spans", "q_mixture_sample",
     # (a) newly-oracled in r4
     "q_dwt_coefs", "q_sfa_words_dft", "q_boss_ensemble_predict",
     "q_bossvs_predict", "q_boss_grid_predict", "q_shotgun_ensemble_predict",
@@ -69,7 +71,6 @@ ROTATE_FIRST = [
     # fill to 50 with r3-gate rows worth re-recording (ML/spectral/
     # index/streaming family adjacent to this round's changes)
     "q_weasel_predict", "q_muse_predict", "q_dft_coefs", "q_mft_sliding",
-    "q_pla_segments", "q_apca_segments", "q_index_knn", "q_index_range",
 ]
 
 

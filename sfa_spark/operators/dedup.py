@@ -313,3 +313,70 @@ def dedup_groups(
     return labels.withColumn(
         "is_canonical", F.col("group_id") == F.col(id_col)
     )
+
+
+def dup_span_stats(docs: DataFrame, span_len: int = 5) -> DataFrame:
+    """Per-doc duplicated-substring coverage — the diagnostic behind
+    suffix-array substring dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): how many of a doc's
+    tokens sit inside a token span of length `span_len` that also
+    appears verbatim in ANOTHER document.
+
+    Token-L-gram approximation of the suffix-array pass: every
+    duplicated substring of length ≥ L is a union of duplicated
+    L-grams, so covered-token counts agree with the suffix-array
+    answer for spans ≥ L. Shapes for 100 TB:
+
+      * positioned L-grams are a row-local explode (no shuffle);
+      * "appears in another doc" is a distinct (gram, doc) → per-gram
+        doc count — two map-side-combinable aggregates, never doc×doc;
+      * the cover join is keyed by gram (inverted-index shape), and
+        the interval-union sweep is a per-doc window over ONLY the
+        duplicated positions (bounded by doc length).
+
+    Output: (doc_id, n_tokens, dup_tokens, dup_span_frac), one row per
+    input doc (zero coverage kept)."""
+    from sfa_spark.operators.text import with_tokens
+    from sfa_spark.queries import rnd
+
+    L = int(span_len)
+    d = with_tokens(docs)
+    idx = F.when(
+        F.size("toks") >= L, F.sequence(F.lit(0), F.size("toks") - L)
+    ).otherwise(F.array())
+    pos = d.select("doc_id", F.explode(idx).alias("p"), "toks").select(
+        "doc_id",
+        "p",
+        F.concat_ws(
+            " ", *[F.element_at("toks", F.col("p") + j + 1) for j in range(L)]
+        ).alias("gram"),
+    )
+    dup_grams = (
+        pos.select("doc_id", "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("gram")
+    )
+    hits = pos.join(dup_grams, "gram")
+    w = Window.partitionBy("doc_id").orderBy("p")
+    covered = hits.withColumn("nxt", F.lead("p").over(w)).select(
+        "doc_id",
+        F.least(F.lit(L), F.coalesce(F.col("nxt") - F.col("p"), F.lit(L))).alias(
+            "cov"
+        ),
+    )
+    per = covered.groupBy("doc_id").agg(F.sum("cov").alias("dup_tokens"))
+    base = d.select("doc_id", F.size("toks").cast("bigint").alias("n_tokens"))
+    return (
+        base.join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("dup_tokens", F.lit(0)).cast("bigint").alias("dup_tokens"),
+            rnd(
+                F.coalesce("dup_tokens", F.lit(0)).cast("double") / F.col("n_tokens")
+            ).alias("dup_span_frac"),
+        )
+    )

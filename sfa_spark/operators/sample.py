@@ -119,3 +119,70 @@ def hash_top_n(df: DataFrame, key_col: str, n: int, salt: str = "s") -> DataFram
     return df.orderBy(
         _hash_unit(key_col, salt).asc(), F.col(key_col).asc()
     ).limit(n)
+
+
+def mixture_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    targets: dict[str, float],
+    salt: str = "mix",
+) -> DataFrame:
+    """Resample to TARGET mixture proportions — the domain-reweighting
+    pass of pretraining pipelines (DoReMi / The Pile style: given
+    per-domain weights, emit the largest corpus whose composition
+    matches them exactly).
+
+    The output size is maximal subject to the weights: N = min_s
+    floor(n_s / p_s) (the binding stratum is taken whole), each
+    stratum keeps k_s = floor(N·p_s) rows. Selection within a stratum
+    is the k_s smallest md5 hashes — deterministic, layout-independent
+    and superset-stable as weights grow (same contract as hash_sample).
+
+    Everything stays in-plan: per-stratum counts are one tiny
+    aggregate, N is a scalar min broadcast back, and the keep rule is
+    a per-stratum row_number ≤ k_s window. Weights are converted to
+    exact integer ratios (numerators over one common denominator) so
+    BOTH the cap and k_s are pure integer arithmetic — bit-identical
+    in any engine, no float thresholds. Strata absent from `targets`
+    are dropped (weight 0)."""
+    from fractions import Fraction
+    from math import lcm
+
+    from pyspark.sql import Window
+
+    fr = {s: Fraction(p).limit_denominator(10**6) for s, p in targets.items()}
+    tot = sum(fr.values())
+    if tot == 0:
+        raise ValueError("mixture_sample: all-zero targets")
+    fr = {s: p / tot for s, p in fr.items()}  # normalize exactly
+    den = lcm(*[p.denominator for p in fr.values()])
+    num = {s: int(p * den) for s, p in fr.items()}  # p_s = num_s / den
+
+    in_play = df.where(
+        F.col(strata_col).isin([s for s, n in num.items() if n > 0])
+    )
+    cnt = in_play.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n"))
+    num_expr = F.lit(None).cast("long")
+    for s, n in sorted(num.items()):
+        if n > 0:
+            num_expr = F.when(
+                F.col(strata_col) == F.lit(s), F.lit(n)
+            ).otherwise(num_expr)
+    # N = min_s floor(n_s * den / num_s)  (integer division)
+    cap = cnt.select(
+        F.min(
+            F.floor(F.col("_n") * F.lit(den) / num_expr).cast("long")
+        ).alias("_N")
+    )
+    staged = (
+        in_play.crossJoin(F.broadcast(cap))
+        .withColumn("_k", F.floor(F.col("_N") * num_expr / F.lit(den)).cast("long"))
+        .withColumn("_h", F.md5(F.concat_ws(":", F.lit(salt), F.col(key_col).cast("string"))))
+    )
+    w = Window.partitionBy(strata_col).orderBy(F.col("_h").asc(), F.col(key_col).asc())
+    return (
+        staged.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= F.col("_k"))
+        .drop("_N", "_k", "_h", "_rk")
+    )

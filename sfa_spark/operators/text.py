@@ -252,3 +252,91 @@ def pii_stats(docs: DataFrame) -> DataFrame:
         .alias("n_urls"),
         bp.cast("int").alias("boilerplate_hits"),
     )
+
+
+def pii_redact(docs: DataFrame) -> DataFrame:
+    """Redact emails and URLs with typed placeholder tags — the
+    transform counterpart of pii_stats (the curation pass that KEEPS
+    the document but strips contact strings before training). Pure
+    row-local regexp_replace chain: no shuffle, scales linearly.
+
+    Email replacement runs first; the URL pattern starts at
+    `https?://` so the two cannot overlap and the order is only fixed
+    for engine reproducibility."""
+    red = F.regexp_replace(
+        F.regexp_replace(F.col("text"), F.lit(_EMAIL), F.lit("<EMAIL>")),
+        F.lit(_URL),
+        F.lit("<URL>"),
+    )
+    n_e = F.size(F.regexp_extract_all(F.col("text"), F.lit(_EMAIL), 0))
+    n_u = F.size(F.regexp_extract_all(F.col("text"), F.lit(_URL), 0))
+    return docs.select(
+        "doc_id",
+        red.alias("redacted"),
+        (n_e + n_u).cast("bigint").alias("n_redacted"),
+    )
+
+
+def doc_bigrams(docs: DataFrame) -> DataFrame:
+    """(doc_id, w1, w2) token bigrams WITH repetition — one row per
+    adjacent position (the LM event stream, unlike `shingles`' distinct
+    set)."""
+    d = with_tokens(docs)
+    idx = F.when(
+        F.size("toks") >= 2, F.sequence(F.lit(0), F.size("toks") - 2)
+    ).otherwise(F.array())
+    return d.select("doc_id", F.explode(idx).alias("i"), "toks").select(
+        "doc_id",
+        F.element_at("toks", F.col("i") + 1).alias("w1"),
+        F.element_at("toks", F.col("i") + 2).alias("w2"),
+    )
+
+
+def lm_perplexity(docs: DataFrame, add_k: float = 0.5) -> DataFrame:
+    """CCNet-style corpus quality signal: fit an add-k-smoothed bigram
+    LM on the corpus itself and score every document's perplexity under
+    it (Wenzek et al. 2020 filter KenLM perplexity; a count-based
+    bigram model is its SQL-expressible analog).
+
+        P(w2 | w1) = (c(w1,w2) + k) / (c(w1·) + k·V)
+        avg_logp   = mean over bigram positions of ln P
+        ppl        = exp(−avg_logp)
+
+    c(w1·) counts bigram CONTEXTS (all positions but the last), V is
+    the corpus vocabulary. Shapes for 100 TB: the model is two keyed
+    aggregates (bigram and context counts — map-side combinable), the
+    scoring pass joins the event stream to them BY KEY (inverted-index
+    shape, never doc × vocab), and the per-doc reduce is one
+    aggregation. Engine determinism: each ln term is rounded to 6 dp
+    (nudged) and decimal-summed, so task/engine accumulation order
+    cannot move the score."""
+    from sfa_spark.queries import rnd
+
+    events = doc_bigrams(docs)
+    bg = events.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    ctx = events.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = with_tokens(docs).select(F.explode("toks").alias("w")).distinct()
+    v = vocab.agg(F.count(F.lit(1)).alias("V"))
+    term = rnd(
+        F.log(
+            (F.col("c12") + F.lit(add_k))
+            / (F.col("c1") + F.lit(add_k) * F.col("V"))
+        ),
+        6,
+    )
+    scored = (
+        events.join(bg, ["w1", "w2"])
+        .join(ctx, "w1")
+        .crossJoin(F.broadcast(v))
+        .select("doc_id", term.cast("decimal(18,6)").alias("logp"))
+    )
+    per = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (F.sum("logp").cast("double") / F.count(F.lit(1))).alias("_avg"),
+    )
+    return per.select(
+        "doc_id",
+        F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+        rnd(F.col("_avg")).alias("avg_logp"),
+        rnd(F.exp(-F.col("_avg"))).alias("ppl"),
+    )

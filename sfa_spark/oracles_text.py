@@ -812,3 +812,100 @@ QUALIFY row_number() OVER (
   PARTITION BY source
   ORDER BY (('0x' || substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0) ASC,
            doc_id ASC) <= 5"""
+
+
+# ---- r4 curation additions (pii_redact / lm_perplexity / dup_spans /
+# mixture_sample) ----
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_URL_RE = r"https?://[^\s]+"
+
+ORACLES["q_pii_redact"] = f"""SELECT doc_id,
+  regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                 '{_URL_RE}', '<URL>', 'g') AS redacted,
+  CAST(len(regexp_extract_all(text, '{_EMAIL_RE}'))
+     + len(regexp_extract_all(text, '{_URL_RE}')) AS BIGINT) AS n_redacted
+FROM documents"""
+
+# add-k bigram LM perplexity: every ln term rounded to 6 dp (nudged)
+# and decimal-summed — the engine-determinism contract of
+# operators/text.lm_perplexity
+ORACLES["q_lm_perplexity"] = f"""WITH t AS (
+  SELECT doc_id, {_TOKS} AS tk FROM documents
+),
+ev AS (
+  SELECT doc_id, tk[j] AS w1, tk[j+1] AS w2
+  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS j FROM t)
+),
+bg AS (SELECT w1, w2, count(*) AS c12 FROM ev GROUP BY w1, w2),
+ctx AS (SELECT w1, count(*) AS c1 FROM ev GROUP BY w1),
+v AS (
+  SELECT count(DISTINCT w) AS V
+  FROM (SELECT unnest(tk) AS w FROM t)
+),
+scored AS (
+  SELECT ev.doc_id,
+         CAST(round(ln((bg.c12 + 0.5) / (ctx.c1 + 0.5 * v.V)) + 1e-9, 6) + 0.0
+              AS DECIMAL(18,6)) AS logp
+  FROM ev JOIN bg USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN v
+),
+per AS (
+  SELECT doc_id, count(*) AS n, CAST(SUM(logp) AS DOUBLE) / count(*) AS a
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_bigrams,
+       round(a + 1e-9, 4) + 0.0 AS avg_logp,
+       round(exp(-a) + 1e-9, 4) + 0.0 AS ppl
+FROM per"""
+
+ORACLES["q_dup_spans"] = f"""WITH t AS (
+  SELECT doc_id, {_TOKS} AS tk FROM documents
+),
+pos AS (
+  SELECT doc_id, j - 1 AS p,
+         tk[j] || ' ' || tk[j+1] || ' ' || tk[j+2] || ' ' || tk[j+3]
+               || ' ' || tk[j+4] AS gram
+  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 4)) AS j
+        FROM t WHERE len(tk) >= 5)
+),
+dg AS (
+  SELECT gram
+  FROM (SELECT DISTINCT doc_id, gram FROM pos)
+  GROUP BY gram HAVING count(*) >= 2
+),
+cov AS (
+  SELECT doc_id,
+         least(5, coalesce(lead(p) OVER (PARTITION BY doc_id ORDER BY p) - p,
+                           5)) AS c
+  FROM pos SEMI JOIN dg USING (gram)
+),
+per AS (SELECT doc_id, SUM(c) AS dup FROM cov GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(len(tk) AS BIGINT) AS n_tokens,
+       CAST(coalesce(dup, 0) AS BIGINT) AS dup_tokens,
+       round(coalesce(dup, 0) * 1.0 / len(tk) + 1e-9, 4) + 0.0 AS dup_span_frac
+FROM t LEFT JOIN per USING (doc_id)"""
+
+# mixture resample: N = min_s floor(n_s/p_s), k_s = floor(N*p_s), all
+# integer ratios (p_s = num_s/10) — the floor(double-division) is
+# exact for integers < 2^52 in both engines
+ORACLES["q_mixture_sample"] = """WITH d AS (
+  SELECT doc_id, lang,
+         CASE lang WHEN 'en' THEN 4 WHEN 'de' THEN 2 WHEN 'fr' THEN 2
+                   WHEN 'es' THEN 1 WHEN 'zh' THEN 1 END AS num
+  FROM documents WHERE lang IN ('en', 'de', 'fr', 'es', 'zh')
+),
+cnt AS (SELECT lang, num, count(*) AS n FROM d GROUP BY lang, num),
+cap AS (SELECT min(CAST(floor(n * 10 / num) AS BIGINT)) AS N FROM cnt),
+rk AS (
+  SELECT doc_id, lang, num,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5('mix:' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM d
+)
+SELECT doc_id, lang
+FROM rk CROSS JOIN cap
+WHERE rn <= CAST(floor(N * num / 10) AS BIGINT)"""

@@ -432,3 +432,36 @@ def q_sequence_pack(spark, sf_dir):
     return corpus.sequence_pack(
         _docs(spark, sf_dir), ctx_len=PACK_CTX, n_shards=PACK_SHARDS
     )
+
+
+MIXTURE_TARGETS = {"en": 0.4, "de": 0.2, "fr": 0.2, "es": 0.1, "zh": 0.1}
+
+
+def q_pii_redact(spark, sf_dir):
+    """Email/URL redaction transform — the keep-the-document curation
+    pass (typed placeholder tags + per-doc redaction count)."""
+    return text.pii_redact(_docs(spark, sf_dir))
+
+
+def q_lm_perplexity(spark, sf_dir):
+    """Corpus-fit add-k bigram LM perplexity per document (CCNet-style
+    quality signal: count-based analog of the KenLM filter)."""
+    return text.lm_perplexity(_docs(spark, sf_dir))
+
+
+def q_dup_spans(spark, sf_dir):
+    """Duplicated-substring coverage per doc (token-5-gram span
+    approximation of the Lee et al. suffix-array dedup diagnostic)."""
+    return dedup.dup_span_stats(_docs(spark, sf_dir), span_len=5)
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Resample the corpus to target language proportions (40/20/20/
+    10/10) — the domain-reweighting pass; maximal output subject to the
+    weights, deterministic smallest-hash winners per stratum."""
+    from sfa_spark.operators import sample
+
+    return sample.mixture_sample(
+        _docs(spark, sf_dir).select("doc_id", "lang"),
+        "doc_id", "lang", MIXTURE_TARGETS,
+    )

@@ -734,3 +734,83 @@ def test_ivfpq_partitioned_write_prunes(spark, emb_small, tmp_path):
     assert "PartitionFilters: [" in plan and "centroid_id" in plan, plan
     assert "embedding" not in plan  # codes-only scan
     assert probed.count() > 0
+
+
+# ---------------------------------------------------------------- r4 curation ops
+
+
+def test_pii_redact_replaces_and_counts(spark):
+    rows = [
+        (0, "contact bob@example.com or visit https://example.com/page now"),
+        (1, "no pii here at all"),
+        (2, "two mails a@b.co and c@d.org"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    res = {r["doc_id"]: r for r in text.pii_redact(df).collect()}
+    assert res[0]["redacted"] == "contact <EMAIL> or visit <URL> now"
+    assert res[0]["n_redacted"] == 2
+    assert res[1]["redacted"] == "no pii here at all" and res[1]["n_redacted"] == 0
+    assert res[2]["redacted"] == "two mails <EMAIL> and <EMAIL>"
+    assert res[2]["n_redacted"] == 2
+
+
+def test_lm_perplexity_prefers_predictable_text(spark):
+    # doc 0/1 are the same repetitive pattern (high bigram probability);
+    # doc 2 is one-off word salad → higher perplexity under the
+    # corpus-fit bigram LM
+    rows = [
+        (0, "a b a b a b a b a b a b"),
+        (1, "a b a b a b a b a b a b"),
+        (2, "q w e r t y u i o p z x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    res = {r["doc_id"]: r for r in text.lm_perplexity(df).collect()}
+    assert res[0]["n_bigrams"] == 11
+    assert res[0]["ppl"] == res[1]["ppl"]
+    assert res[2]["ppl"] > 2 * res[0]["ppl"]
+    # ppl = exp(-avg_logp) within rounding
+    import math
+
+    assert abs(res[0]["ppl"] - math.exp(-res[0]["avg_logp"])) < 1e-2
+
+
+def test_dup_span_stats_covers_shared_span_only(spark):
+    # docs 0 and 1 share the 7-token prefix; doc 2 is disjoint.
+    # With span_len=5 the shared prefix yields dup 5-grams at positions
+    # 0..2 → covered tokens = union of [0,5),[1,6),[2,7) = 7.
+    shared = "alpha beta gamma delta epsilon zeta eta"
+    rows = [
+        (0, shared + " one two three"),
+        (1, shared + " four five six"),
+        (2, "k l m n o p q r s t"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    res = {r["doc_id"]: r for r in dedup.dup_span_stats(df, span_len=5).collect()}
+    assert res[0]["dup_tokens"] == 7 and res[1]["dup_tokens"] == 7
+    assert res[0]["n_tokens"] == 10
+    assert abs(res[0]["dup_span_frac"] - 0.7) < 1e-6
+    assert res[2]["dup_tokens"] == 0 and res[2]["dup_span_frac"] == 0.0
+
+
+def test_mixture_sample_hits_targets_and_is_deterministic(spark):
+    from sfa_spark.operators import sample
+
+    rows = [(i, "en" if i % 4 != 3 else "de") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    # en:de = 300:100 available; targets 50/50 → N bound by de:
+    # N = min(300/0.5, 100/0.5) = 200 → 100 en + 100 de
+    out = sample.mixture_sample(df, "doc_id", "lang", {"en": 0.5, "de": 0.5})
+    got = {r["lang"]: r["cnt"] for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert got == {"en": 100, "de": 100}
+    # deterministic: same rows both runs
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in sample.mixture_sample(df, "doc_id", "lang", {"en": 0.5, "de": 0.5}).collect()
+    )
+    assert a == b
+    # unlisted stratum dropped; zero-weight raises on all-zero
+    out2 = sample.mixture_sample(df, "doc_id", "lang", {"en": 1.0})
+    assert out2.select("lang").distinct().collect() == [("en",)]
+    with pytest.raises(ValueError):
+        sample.mixture_sample(df, "doc_id", "lang", {"en": 0.0})
