@@ -292,42 +292,53 @@ def doc_bigrams(docs: DataFrame) -> DataFrame:
     )
 
 
-def lm_perplexity(docs: DataFrame, add_k: float = 0.5) -> DataFrame:
-    """CCNet-style corpus quality signal: fit an add-k-smoothed bigram
-    LM on the corpus itself and score every document's perplexity under
-    it (Wenzek et al. 2020 filter KenLM perplexity; a count-based
-    bigram model is its SQL-expressible analog).
+class BigramLM:
+    """Count-based add-k bigram LM: (bg, ctx, v) DataFrames —
+    (w1,w2)→c12, w1→c1, and the scalar vocab size. Plain static
+    DataFrames, so scoring works batch-side AND as the static side of
+    a stream-static join (streaming/ingest.stream_lm_gate)."""
 
-        P(w2 | w1) = (c(w1,w2) + k) / (c(w1·) + k·V)
-        avg_logp   = mean over bigram positions of ln P
-        ppl        = exp(−avg_logp)
+    def __init__(self, bg: DataFrame, ctx: DataFrame, v: DataFrame, add_k: float):
+        self.bg, self.ctx, self.v, self.add_k = bg, ctx, v, add_k
 
-    c(w1·) counts bigram CONTEXTS (all positions but the last), V is
-    the corpus vocabulary. Shapes for 100 TB: the model is two keyed
-    aggregates (bigram and context counts — map-side combinable), the
-    scoring pass joins the event stream to them BY KEY (inverted-index
-    shape, never doc × vocab), and the per-doc reduce is one
-    aggregation. Engine determinism: each ln term is rounded to 6 dp
-    (nudged) and decimal-summed, so task/engine accumulation order
-    cannot move the score."""
-    from sfa_spark.queries import rnd
 
+def bigram_lm_fit(docs: DataFrame, add_k: float = 0.5) -> BigramLM:
+    """Fit the LM counts on a reference corpus: two map-side-combinable
+    keyed aggregates + a scalar distinct count."""
     events = doc_bigrams(docs)
     bg = events.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     ctx = events.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     vocab = with_tokens(docs).select(F.explode("toks").alias("w")).distinct()
     v = vocab.agg(F.count(F.lit(1)).alias("V"))
+    return BigramLM(bg, ctx, v, add_k)
+
+
+def lm_score(docs: DataFrame, model: BigramLM) -> DataFrame:
+    """Per-doc perplexity under a (possibly foreign) corpus LM:
+
+        P(w2 | w1) = (c(w1,w2) + k) / (c(w1·) + k·V)
+
+    Unseen bigrams/contexts back off through the smoothing (c=0), so
+    scoring a stream against a static model is total. The doc's event
+    stream joins the model BY KEY (inverted-index shape, never
+    doc × vocab); per-doc reduce is one aggregation. Engine
+    determinism: each ln term is rounded to 6 dp (nudged) and
+    decimal-summed, so accumulation order cannot move the score."""
+    from sfa_spark.queries import rnd
+
+    add_k = model.add_k
+    events = doc_bigrams(docs)
     term = rnd(
         F.log(
-            (F.col("c12") + F.lit(add_k))
-            / (F.col("c1") + F.lit(add_k) * F.col("V"))
+            (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(add_k))
+            / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(add_k) * F.col("V"))
         ),
         6,
     )
     scored = (
-        events.join(bg, ["w1", "w2"])
-        .join(ctx, "w1")
-        .crossJoin(F.broadcast(v))
+        events.join(model.bg, ["w1", "w2"], "left")
+        .join(model.ctx, "w1", "left")
+        .crossJoin(F.broadcast(model.v))
         .select("doc_id", term.cast("decimal(18,6)").alias("logp"))
     )
     per = scored.groupBy("doc_id").agg(
@@ -340,3 +351,12 @@ def lm_perplexity(docs: DataFrame, add_k: float = 0.5) -> DataFrame:
         rnd(F.col("_avg")).alias("avg_logp"),
         rnd(F.exp(-F.col("_avg"))).alias("ppl"),
     )
+
+
+def lm_perplexity(docs: DataFrame, add_k: float = 0.5) -> DataFrame:
+    """CCNet-style corpus quality signal: fit the add-k bigram LM on
+    the corpus itself and score every document's perplexity under it
+    (Wenzek et al. 2020 filter on KenLM perplexity; a count-based
+    bigram model is its SQL-expressible analog). See bigram_lm_fit /
+    lm_score for the fit/score halves and the 100 TB shapes."""
+    return lm_score(docs, bigram_lm_fit(docs, add_k))

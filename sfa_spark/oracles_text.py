@@ -909,3 +909,37 @@ rk AS (
 SELECT doc_id, lang
 FROM rk CROSS JOIN cap
 WHERE rn <= CAST(floor(N * num / 10) AS BIGINT)"""
+
+
+# streaming LM gate == the batch perplexity filter (stream-static
+# joins + update-mode aggregate are exactly-once with availableNow)
+ORACLES["q_stream_lm_gate"] = """SELECT * FROM (
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk FROM documents
+),
+ev AS (
+  SELECT doc_id, tk[j] AS w1, tk[j+1] AS w2
+  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS j FROM t)
+),
+bg AS (SELECT w1, w2, count(*) AS c12 FROM ev GROUP BY w1, w2),
+ctx AS (SELECT w1, count(*) AS c1 FROM ev GROUP BY w1),
+v AS (
+  SELECT count(DISTINCT w) AS V
+  FROM (SELECT unnest(tk) AS w FROM t)
+),
+scored AS (
+  SELECT ev.doc_id,
+         CAST(round(ln((bg.c12 + 0.5) / (ctx.c1 + 0.5 * v.V)) + 1e-9, 6) + 0.0
+              AS DECIMAL(18,6)) AS logp
+  FROM ev JOIN bg USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN v
+),
+per AS (
+  SELECT doc_id, count(*) AS n, CAST(SUM(logp) AS DOUBLE) / count(*) AS a
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_bigrams,
+       round(a + 1e-9, 4) + 0.0 AS avg_logp,
+       round(exp(-a) + 1e-9, 4) + 0.0 AS ppl
+FROM per
+) WHERE ppl <= 31.0"""

@@ -123,3 +123,29 @@ def q_stream_near_dup(spark, sf_dir):
     )
     q.awaitTermination(300)
     return spark.table(name).select("doc_id", "ref_doc_id")
+
+
+def q_stream_lm_gate(spark, sf_dir):
+    """Streaming perplexity ingest gate: docs scored as they land
+    against a STATIC corpus-fit bigram LM (stream-static keyed joins +
+    update-mode per-doc aggregate); passes ppl ≤ 31. Stream must equal
+    the batch lm filter, so it shares the plain-SQL oracle."""
+    from sfa_spark.operators import text
+    from sfa_spark.sources.events import load_table
+    from sfa_spark.streaming import ingest
+
+    model = text.bigram_lm_fit(load_table(spark, sf_dir, "documents"))
+    src = tempfile.mkdtemp(prefix="sfa_lmgate_src_")
+    shutil.copy(f"{sf_dir}/documents.parquet", f"{src}/documents.parquet")
+    name = f"slmgate_{uuid.uuid4().hex[:8]}"
+    stream = ingest.docs_stream(spark, src)
+    q = (
+        ingest.stream_lm_gate(stream, model, max_ppl=31.0)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select("doc_id", "n_bigrams", "avg_logp", "ppl")

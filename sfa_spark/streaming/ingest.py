@@ -187,3 +187,23 @@ def stream_near_dup(
     return pairs.select("doc_id", "ref_doc_id").dropDuplicates(
         ["doc_id", "ref_doc_id"]
     )
+
+
+def stream_lm_gate(
+    doc_stream: DataFrame, model, max_ppl: float
+) -> DataFrame:
+    """Perplexity ingest gate: score arriving documents against a
+    STATIC reference bigram LM (operators/text.bigram_lm_fit) and pass
+    those at or below the threshold — the streaming half of the CCNet
+    quality filter (the model is fit offline on a trusted corpus; the
+    stream is scored as it lands).
+
+    Shapes: the doc's bigram events are a stateless explode; the model
+    joins as the static side of stream-static left joins (unseen
+    bigrams back off through the smoothing); the per-doc reduce is an
+    update-mode aggregate — with availableNow every doc's bigrams land
+    in one microbatch, and a continuous source should watermark an
+    event-time column upstream to bound the aggregation state."""
+    from sfa_spark.operators.text import lm_score
+
+    return lm_score(doc_stream, model).where(F.col("ppl") <= F.lit(float(max_ppl)))

@@ -339,3 +339,48 @@ def test_stream_near_dup_watermarked_matches_unbounded(spark, tmp_path):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_lm_gate_matches_batch(spark, tmp_path):
+    """Perplexity ingest gate: streaming score against a static bigram
+    LM must equal the batch lm filter row-for-row — including docs
+    with bigrams UNSEEN by the model (foreign-corpus backoff)."""
+    from sfa_spark.operators import text as T
+    from sfa_spark.streaming import ingest
+
+    ref_rows = [(i, "spark makes big data small " * 3) for i in range(4)]
+    new_rows = [
+        (10, "spark makes big data small again"),
+        (11, "totally novel words appear here now"),  # unseen context path
+    ]
+    ref = spark.createDataFrame(ref_rows, "doc_id long, text string")
+    model = T.bigram_lm_fit(ref)
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    spark.createDataFrame(new_rows, "doc_id long, text string").write.parquet(
+        str(src / "p"), mode="overwrite"
+    )
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(src / "p")
+    )
+    q = (
+        ingest.stream_lm_gate(stream, model, max_ppl=1e9)
+        .writeStream.format("memory")
+        .queryName("lmgate_t")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(tuple(r) for r in spark.table("lmgate_t").collect())
+    want = sorted(
+        tuple(r)
+        for r in T.lm_score(
+            spark.createDataFrame(new_rows, "doc_id long, text string"), model
+        ).collect()
+    )
+    assert got == want and len(got) == 2
+    # the in-model doc is far more predictable than the novel one
+    by_id = {t[0]: t for t in got}
+    assert by_id[10][3] < by_id[11][3]
