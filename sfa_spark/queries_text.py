@@ -465,3 +465,25 @@ def q_mixture_sample(spark, sf_dir):
         _docs(spark, sf_dir).select("doc_id", "lang"),
         "doc_id", "lang", MIXTURE_TARGETS,
     )
+
+
+def q_quality_classifier(spark, sf_dir):
+    """fastText-style hashed-ngram linear classifier distilling the
+    Gopher rule filter (rule-labeled train half → model-predicted
+    held-out half) — the trainable curation gate. Rows-only BY DESIGN:
+    the softmax solve is iterative (no SQL equivalent); semantics are
+    covered by test_llm_ops.py's separable-class accuracy floor."""
+    from sfa_spark.ml import quality
+    from sfa_spark.operators import corpus
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    kept = corpus.gopher_filter(docs).select(
+        "doc_id", F.col("kept").cast("int").alias("label")
+    )
+    train = F.col("doc_id") % 2 == 0
+    model = quality.quality_fit(
+        docs.where(train), kept.where(train), n_buckets=1 << 14
+    )
+    return model.predict(docs.where(~train)).select(
+        "doc_id", F.col("pred").cast("int").alias("pred")
+    )

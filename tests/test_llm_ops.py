@@ -814,3 +814,33 @@ def test_mixture_sample_hits_targets_and_is_deterministic(spark):
     assert out2.select("lang").distinct().collect() == [("en",)]
     with pytest.raises(ValueError):
         sample.mixture_sample(df, "doc_id", "lang", {"en": 0.0})
+
+
+def test_quality_classifier_separable_classes(spark):
+    """The hashed-ngram linear classifier must recover clearly
+    separable classes (disjoint vocabularies) on held-out docs, with
+    string labels decoded back."""
+    from sfa_spark.ml import quality
+
+    good = "clear helpful prose with structure and meaning always"
+    spam = "buy cheap pills now click win prize free casino"
+    rows = [
+        (i, (good if i % 2 == 0 else spam) + f" tail{i % 7}")
+        for i in range(80)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    labels = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, "keep").otherwise("drop").alias("label"),
+    )
+    train = F.col("doc_id") < 60
+    m = quality.quality_fit(
+        docs.where(train), labels.where(train), n_buckets=1 << 12
+    )
+    pred = m.predict(docs.where(~train))
+    j = pred.join(labels, "doc_id")
+    acc = j.agg(
+        F.avg((F.col("pred") == F.col("label")).cast("double"))
+    ).collect()[0][0]
+    assert acc >= 0.9
+    assert set(r["pred"] for r in pred.collect()) <= {"keep", "drop"}
