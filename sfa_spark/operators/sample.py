@@ -140,12 +140,22 @@ def mixture_sample(
     and superset-stable as weights grow (same contract as hash_sample).
 
     Everything stays in-plan: per-stratum counts are one tiny
-    aggregate, N is a scalar min broadcast back, and the keep rule is
-    a per-stratum row_number ≤ k_s window. Weights are converted to
-    exact integer ratios (numerators over one common denominator) so
-    BOTH the cap and k_s are pure integer arithmetic — bit-identical
+    aggregate, N is a scalar min broadcast back. Weights are converted
+    to exact integer ratios (numerators over one common denominator)
+    so BOTH the cap and k_s are pure integer arithmetic — bit-identical
     in any engine, no float thresholds. Strata absent from `targets`
-    are dropped (weight 0)."""
+    are dropped (weight 0).
+
+    "k_s smallest hashes" is computed by exact RADIX-SELECT, not a
+    per-stratum row_number window (which would sort a whole stratum in
+    ONE partition — the 100 TB killer): rows bucket by their hash's
+    leading 3 hex chars; per-(stratum, bucket) counts (tiny: 4096 × S
+    rows) give each bucket's cumulative rank, so buckets below the
+    cutoff are kept WHOLE with no sort at all, and only the single
+    boundary bucket per stratum — ~n_s/4096 rows — pays a row_number
+    window. The keep set is identical to the naive window (hash-prefix
+    order == hash order), so the SQL oracle keeps the simple
+    row_number form."""
     from fractions import Fraction
     from math import lcm
 
@@ -179,10 +189,35 @@ def mixture_sample(
         in_play.crossJoin(F.broadcast(cap))
         .withColumn("_k", F.floor(F.col("_N") * num_expr / F.lit(den)).cast("long"))
         .withColumn("_h", F.md5(F.concat_ws(":", F.lit(salt), F.col(key_col).cast("string"))))
+        .withColumn("_b", F.conv(F.substring("_h", 1, 3), 16, 10).cast("int"))
     )
-    w = Window.partitionBy(strata_col).orderBy(F.col("_h").asc(), F.col(key_col).asc())
-    return (
-        staged.withColumn("_rk", F.row_number().over(w))
-        .where(F.col("_rk") <= F.col("_k"))
-        .drop("_N", "_k", "_h", "_rk")
+    # radix histogram: cumulative count per (stratum, hash-prefix
+    # bucket); the window runs over ≤4096 rows per stratum
+    bcnt = staged.groupBy(strata_col, "_b", "_k").agg(
+        F.count(F.lit(1)).alias("_bn")
     )
+    wb = Window.partitionBy(strata_col).orderBy("_b")
+    cuts = (
+        bcnt.withColumn("_cum", F.sum("_bn").over(wb))
+        .withColumn("_prev", F.col("_cum") - F.col("_bn"))
+        .where(F.col("_prev") < F.col("_k"))  # kept-whole or boundary
+        .select(
+            strata_col,
+            "_b",
+            (F.col("_cum") <= F.col("_k")).alias("_whole"),
+            (F.col("_k") - F.col("_prev")).alias("_take"),
+        )
+    )
+    joined = staged.join(F.broadcast(cuts), [strata_col, "_b"])
+    whole = joined.where(F.col("_whole"))
+    wbound = Window.partitionBy(strata_col, "_b").orderBy(
+        F.col("_h").asc(), F.col(key_col).asc()
+    )
+    boundary = (
+        joined.where(~F.col("_whole"))
+        .withColumn("_rk", F.row_number().over(wbound))
+        .where(F.col("_rk") <= F.col("_take"))
+        .drop("_rk")
+    )
+    drop_cols = ["_N", "_k", "_h", "_b", "_whole", "_take"]
+    return whole.drop(*drop_cols).unionByName(boundary.drop(*drop_cols))
