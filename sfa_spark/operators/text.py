@@ -323,7 +323,9 @@ def lm_score(docs: DataFrame, model: BigramLM) -> DataFrame:
     stream joins the model BY KEY (inverted-index shape, never
     doc × vocab); per-doc reduce is one aggregation. Engine
     determinism: each ln term is rounded to 6 dp (nudged) and
-    decimal-summed, so accumulation order cannot move the score."""
+    decimal-summed, so accumulation order cannot move the score.
+    Documents with fewer than two tokens have no bigram events and are
+    absent from the output (they carry no LM evidence either way)."""
     from sfa_spark.queries import rnd
 
     add_k = model.add_k
