@@ -844,3 +844,64 @@ def test_quality_classifier_separable_classes(spark):
     ).collect()[0][0]
     assert acc >= 0.9
     assert set(r["pred"] for r in pred.collect()) <= {"keep", "drop"}
+
+
+def test_mixture_sample_radix_never_sorts_whole_stratum(spark):
+    """Scale contract of the radix-select: every window in the plan is
+    partitioned by (stratum, bucket) — never by the stratum alone
+    (which would sort an entire stratum in one partition at 100 TB).
+    The only stratum-only window allowed is the ≤4096-row bucket-
+    histogram cumulative sum."""
+    from sfa_spark.operators import sample
+
+    rows = [(i, "en" if i % 3 else "de") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = sample.mixture_sample(df, "doc_id", "lang", {"en": 0.6, "de": 0.4})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    row_number_specs = [s for s in specs if "_b" in s or "lang" in s]
+    for s in row_number_specs:
+        # stratum-only windows may only carry the tiny histogram sum
+        # (ordered by _b); the row_number window must include _b in its
+        # PARTITION keys
+        if "_h" in s:  # the row_number spec orders by the hash
+            assert "_b#" in s.split("ASC")[0], s
+
+
+def test_dup_span_stats_full_dup_and_bounds(spark):
+    """Property: coverage is bounded by doc length, and an exactly
+    duplicated doc pair is fully covered (frac 1.0)."""
+    base = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    rows = [(0, base), (1, base), (2, "a b c d e f g h i j")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    res = {r["doc_id"]: r for r in dedup.dup_span_stats(df, span_len=5).collect()}
+    for r in res.values():
+        assert 0 <= r["dup_tokens"] <= r["n_tokens"]
+    assert res[0]["dup_span_frac"] == 1.0 and res[1]["dup_span_frac"] == 1.0
+    assert res[2]["dup_tokens"] == 0
+
+
+def test_mixture_sample_proportion_property(spark):
+    """Property: output composition matches the integer-exact targets
+    for arbitrary weights, and output never exceeds availability."""
+    from sfa_spark.operators import sample
+
+    rows = [
+        (i, ["a", "b", "c"][i % 3] if i < 240 else "a") for i in range(400)
+    ]  # a:213(ish), b:80, c:80 — skewed availability
+    df = spark.createDataFrame(
+        [(i, s) for i, s in rows], "doc_id long, lang string"
+    )
+    avail = {r["lang"]: r["n"] for r in df.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    targets = {"a": 0.7, "b": 0.2, "c": 0.1}
+    out = sample.mixture_sample(df, "doc_id", "lang", targets)
+    got = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    import math
+
+    N = min(math.floor(avail[s] * 10 / (targets[s] * 10)) for s in targets)
+    for s, p in targets.items():
+        assert got.get(s, 0) == math.floor(N * p + 1e-9), (s, got, N)
+        assert got.get(s, 0) <= avail[s]
