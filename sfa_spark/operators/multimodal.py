@@ -235,3 +235,127 @@ def frame_sample(video: DataFrame, every_k: int) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame"])
 
     return video.mapInPandas(fn, schema="media_id long, frame_idx int, frame binary")
+
+
+# ---------------------------------------------------------------- audio
+
+AUDIO_SCHEMA = "media_id bigint, payload binary, format string"
+
+AUDIO_FEATURE_SCHEMA = (
+    "media_id long, sample_rate int, n_samples long, duration_s double, "
+    "rms double, zero_cross_rate double, peak double"
+)
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """Decode a RIFF/WAVE PCM payload to (sample_rate, mono float64 in
+    [−1, 1]) with the stdlib only — REAL audio decode, codec-free (PCM
+    is uncompressed; the `wave` module just parses the RIFF header).
+    Multi-channel audio is downmixed by channel mean. 8/16/32-bit PCM
+    supported; compressed WAVs raise like any other missing codec."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        sr = w.getframerate()
+        n_ch = w.getnchannels()
+        width = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if width == 1:  # unsigned 8-bit
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise NotImplementedError(f"PCM sample width {width} not supported")
+    if n_ch > 1:
+        x = x.reshape(-1, n_ch).mean(axis=1)
+    return sr, x
+
+
+def _decode_audio(payload: bytes, fmt: str) -> tuple[int, np.ndarray]:
+    """'wav' → real stdlib PCM decode; 'fake' → deterministic md5-seeded
+    noise at 16 kHz (the image/video fake-codec contract); anything
+    else is an env-gated NotImplementedError (swap in soundfile/ffmpeg
+    to enable mp3/flac/ogg)."""
+    if fmt == "wav":
+        return decode_wav(payload)
+    if fmt == "fake":
+        seed = int.from_bytes(hashlib.md5(payload).digest()[:8], "big")
+        rng = np.random.default_rng(seed)
+        return 16000, rng.uniform(-1.0, 1.0, max(len(payload), 1))
+    raise NotImplementedError(
+        f"audio codec for format={fmt!r} not available in this environment; "
+        "install soundfile/ffmpeg to enable real decode"
+    )
+
+
+def audio_features(audio: DataFrame) -> DataFrame:
+    """Per-clip decode → (sample_rate, length, duration, RMS energy,
+    zero-crossing rate, peak) — the audio curation feature set (silence
+    / clipping / junk detection before training). Same mapInPandas
+    shape as extract_features: binary batches in, small feature rows
+    out, payloads never leave executors."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                sr, x = _decode_audio(bytes(r["payload"]), r["format"])
+                n = int(x.size)
+                rms = float(np.sqrt((x * x).mean())) if n else 0.0
+                zcr = (
+                    float((np.signbit(x[1:]) != np.signbit(x[:-1])).mean())
+                    if n > 1
+                    else 0.0
+                )
+                peak = float(np.abs(x).max()) if n else 0.0
+                rows.append(
+                    (r["media_id"], sr, n, n / sr if sr else 0.0, rms, zcr, peak)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sample_rate", "n_samples", "duration_s",
+                    "rms", "zero_cross_rate", "peak",
+                ],
+            )
+
+    return audio.mapInPandas(fn, schema=AUDIO_FEATURE_SCHEMA)
+
+
+def clip_sample(audio: DataFrame, clip_s: float, stride_s: float | None = None) -> DataFrame:
+    """Split each payload into fixed-duration training clips (the audio
+    analog of frame_sample): one row per clip with its offset and RMS —
+    the pre-filter a speech pipeline runs before feature extraction.
+    Short tails (< clip_s) are dropped, matching fixed-window training
+    consumption."""
+    stride_s = stride_s if stride_s is not None else clip_s
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                sr, x = _decode_audio(bytes(r["payload"]), r["format"])
+                clip_n = int(round(clip_s * sr))
+                stride_n = max(int(round(stride_s * sr)), 1)
+                if clip_n <= 0:
+                    continue
+                ci = 0
+                for start in range(0, x.size - clip_n + 1, stride_n):
+                    seg = x[start : start + clip_n]
+                    rows.append(
+                        (
+                            r["media_id"], ci, start / sr,
+                            float(np.sqrt((seg * seg).mean())),
+                        )
+                    )
+                    ci += 1
+            yield pd.DataFrame(
+                rows, columns=["media_id", "clip_idx", "start_s", "rms"]
+            )
+
+    return audio.mapInPandas(
+        fn, schema="media_id long, clip_idx int, start_s double, rms double"
+    )
