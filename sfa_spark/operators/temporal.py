@@ -1,0 +1,78 @@
+"""Temporal joins over event streams.
+
+asof_join — "latest right row at or before each left row" per entity:
+the canonical time-series enrichment join (quote-at-trade, state-at-
+event, config-at-measurement). Spark has no ASOF relation, and the
+naive formulation (range join + argmax) explodes to |L|·|R| candidate
+pairs per entity before pruning. The scalable shape used here is the
+UNION-SORT-FILL trick:
+
+    tag left rows 1 / right rows 0 → union → ONE shuffle on the
+    entity key → ONE sort by (time, tag, tiebreak) → last(payload,
+    ignorenulls) over an unbounded-preceding running window fills
+    every left row with the most recent right payload → filter tag=1.
+
+Cost is a single Exchange + Sort over |L|+|R| rows — the same plan
+class as sessionize — and it inherits AQE skew handling on hot
+entities. Ties at equal time: the right row sorts FIRST (tag 0 < 1),
+so "at or before" is inclusive, matching DuckDB's ASOF `>=`
+semantics (the oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    on: str,
+    right_cols: list[str],
+    tiebreak: str | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Left-outer as-of join: every left row, enriched with
+    `right_cols` from the latest right row whose `on` ≤ the left
+    row's `on` within the same `by` group (nulls when none precedes).
+    The right `on` value is also emitted as `{on}{suffix}`.
+
+    `right` should be unique per (by, on) — pre-aggregate ties (e.g.
+    max_by) upstream; otherwise `tiebreak` names a right column whose
+    LARGEST value wins among equal timestamps."""
+    tag = F.lit(1)
+    payload = [*right_cols, on]  # carry right's own time for lag calcs
+    l_tagged = left.select(
+        "*",
+        tag.alias("_is_l"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in payload],
+    )
+    left_only = [c for c in left.columns if c not in (by, on)]
+    r_tagged = right.select(
+        by,
+        on,
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_only],
+        F.lit(0).alias("_is_l"),
+        *[F.col(c).alias(f"_r_{c}") for c in payload],
+    )
+    order = [F.col(on).asc(), F.col("_is_l").asc()]
+    if tiebreak is not None:
+        order.append(F.col(f"_r_{tiebreak}").asc_nulls_first())
+    w = Window.partitionBy(by).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    filled = l_tagged.unionByName(r_tagged).select(
+        "*",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_f_{c}")
+            for c in payload
+        ],
+    )
+    out_cols = [
+        *left.columns,
+        *[F.col(f"_f_{c}").alias(c) for c in right_cols],
+        F.col(f"_f_{on}").alias(f"{on}{suffix}"),
+    ]
+    return filled.where(F.col("_is_l") == 1).select(*out_cols)

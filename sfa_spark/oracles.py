@@ -684,3 +684,24 @@ SELECT CAST(user_id AS BIGINT) AS series_id, session_id,
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
 FROM s GROUP BY 1, 2"""
+
+
+# as-of join: DuckDB's native ASOF LEFT JOIN is the spec; the Spark
+# side computes the identical relation with the union-sort-fill plan
+ORACLES["q_asof_join"] = """WITH p AS (
+  SELECT event_id, user_id, epoch_ns(ts) AS ts_ns, value
+  FROM events WHERE event_type = 'purchase'
+),
+e AS (
+  SELECT user_id, epoch_ns(ts) AS ts_ns,
+         arg_max(value, event_id) AS err_value
+  FROM events WHERE event_type = 'error'
+  GROUP BY user_id, epoch_ns(ts)
+)
+SELECT p.event_id,
+       CAST(p.user_id AS BIGINT) AS user_id,
+       p.ts_ns,
+       p.value,
+       e.err_value,
+       p.ts_ns - e.ts_ns AS lag_ns
+FROM p ASOF LEFT JOIN e ON p.user_id = e.user_id AND p.ts_ns >= e.ts_ns"""

@@ -405,3 +405,33 @@ def q_sessionize(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         dec_sum("value").alias("sum_value"),
     )
+
+
+def q_asof_join(spark, sf_dir):
+    """As-of enrichment: each purchase event joined to the user's
+    latest error at or before it (left-outer; lag in ns). The Spark
+    side is the union-sort-fill plan (operators/temporal.asof_join —
+    one Exchange + Sort, no range-join blow-up); the oracle is
+    DuckDB's native ASOF LEFT JOIN."""
+    from sfa_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    errors = (
+        ev.where(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("err_value"))
+    )
+    j = asof_join(
+        purchases, errors, by="user_id", on="ts", right_cols=["err_value"]
+    )
+    return j.select(
+        "event_id",
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("ts").alias("ts_ns"),
+        "value",
+        "err_value",
+        (F.col("ts") - F.col("ts_right")).alias("lag_ns"),
+    )

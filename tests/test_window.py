@@ -134,3 +134,46 @@ def test_fast_and_explode_coef_paths_agree(spark):
         for r in Q.coef_df(spark, sf, fast=True).collect()
     }
     assert a == b
+
+
+def test_asof_join_semantics(spark):
+    """Hand-checkable as-of: inclusive ties, latest-preceding pick,
+    left-outer nulls, per-entity isolation."""
+    from sfa_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 5, "c"), (2, 10, "d")],
+        "uid long, t long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 6, 60.0), (1, 10, 100.0), (1, 15, 150.0), (2, 11, 110.0)],
+        "uid long, t long, v double",
+    )
+    out = {
+        (r["uid"], r["t"]): (r["v"], r["t_right"])
+        for r in asof_join(left, right, by="uid", on="t", right_cols=["v"]).collect()
+    }
+    assert out[(1, 10)] == (100.0, 10)   # inclusive tie
+    assert out[(1, 20)] == (150.0, 15)   # latest preceding
+    assert out[(1, 5)] == (None, None)   # nothing precedes
+    assert out[(2, 10)] == (None, None)  # other entity's rows invisible
+    assert len(out) == 4
+
+
+def test_asof_join_plan_single_exchange(spark):
+    """Scale contract: the union-sort-fill as-of plans ONE shuffle on
+    the entity key — no join operator, no range-explosion."""
+    from sfa_spark.operators.temporal import asof_join
+
+    left = spark.range(100).select(
+        (F.col("id") % 5).alias("uid"), F.col("id").alias("t")
+    )
+    right = spark.range(50).select(
+        (F.col("id") % 5).alias("uid"), (F.col("id") * 2).alias("t"),
+        F.rand(7).alias("v"),
+    )
+    out = asof_join(left, right, by="uid", on="t", right_cols=["v"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    n_exchange = plan.count("Exchange hashpartitioning")
+    assert n_exchange == 1, plan
