@@ -76,3 +76,47 @@ def asof_join(
         F.col(f"_f_{on}").alias(f"{on}{suffix}"),
     ]
     return filled.where(F.col("_is_l") == 1).select(*out_cols)
+
+
+def interval_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    by: str,
+    t: str,
+    start: str,
+    end: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Interval (range) join: every (event, interval) pair with
+    interval.start ≤ event.t ≤ interval.end within the same `by`
+    entity. Inner join; overlapping intervals yield one row per match.
+
+    Spark plans a raw `t BETWEEN start AND end` predicate as a
+    broadcast-nested-loop / cartesian over the entity — quadratic per
+    hot key. The scalable shape is BUCKETIZATION: intervals explode to
+    the fixed-width time buckets they cover, events map to their ONE
+    bucket, and the join becomes an equi-join on (by, bucket) followed
+    by the exact BETWEEN as a residual filter. Each matching pair
+    meets in exactly one bucket (the event's), so no dedup pass is
+    needed. Shuffle volume: |events| + Σ span/bucket_width — pick
+    bucket_width near the typical interval span so intervals explode
+    to O(1) buckets each.
+
+    `bucket_width` shares `t`'s unit (engine convention: bigint ns)."""
+    ev = events.withColumn(
+        "_bkt", F.floor(F.col(t) / F.lit(int(bucket_width))).cast("long")
+    )
+    iv = intervals.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start) / F.lit(int(bucket_width))).cast("long"),
+                F.floor(F.col(end) / F.lit(int(bucket_width))).cast("long"),
+            )
+        ),
+    )
+    return (
+        ev.join(iv, [by, "_bkt"])
+        .where(F.col(t).between(F.col(start), F.col(end)))
+        .drop("_bkt")
+    )

@@ -705,3 +705,22 @@ SELECT p.event_id,
        e.err_value,
        p.ts_ns - e.ts_ns AS lag_ns
 FROM p ASOF LEFT JOIN e ON p.user_id = e.user_id AND p.ts_ns >= e.ts_ns"""
+
+
+# interval join: the oracle affords the naive BETWEEN join at gate
+# scale; the Spark side bucketizes (equi-join + residual filter)
+ORACLES["q_interval_join"] = """WITH p AS (
+  SELECT event_id AS purchase_id, user_id, epoch_ns(ts) AS ts_ns, value
+  FROM events WHERE event_type = 'purchase'
+),
+i AS (
+  SELECT event_id AS incident_id, user_id,
+         epoch_ns(ts) - 3600000000000 AS w_start,
+         epoch_ns(ts) + 3600000000000 AS w_end
+  FROM events WHERE event_type = 'error'
+)
+SELECT p.purchase_id,
+       CAST(p.user_id AS BIGINT) AS user_id,
+       p.ts_ns, p.value, i.incident_id, i.w_start, i.w_end
+FROM p JOIN i ON p.user_id = i.user_id
+              AND p.ts_ns BETWEEN i.w_start AND i.w_end"""

@@ -435,3 +435,33 @@ def q_asof_join(spark, sf_dir):
         "err_value",
         (F.col("ts") - F.col("ts_right")).alias("lag_ns"),
     )
+
+
+def q_interval_join(spark, sf_dir):
+    """Range join: purchases inside ±60-minute error-incident windows
+    of the same user. The Spark side is the bucketized interval join
+    (operators/temporal.interval_join — equi-join on (user, bucket) +
+    residual BETWEEN, never a nested-loop range join); the oracle is
+    the plain BETWEEN join DuckDB can afford at oracle scale."""
+    from sfa_spark.operators.temporal import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    one_hour = 3_600_000_000_000
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.col("ts").alias("ts_ns"), "value",
+    )
+    incidents = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"), "user_id",
+        (F.col("ts") - one_hour).alias("w_start"),
+        (F.col("ts") + one_hour).alias("w_end"),
+    )
+    j = interval_join(
+        purchases, incidents, by="user_id", t="ts_ns",
+        start="w_start", end="w_end", bucket_width=7_200_000_000_000,
+    )
+    return j.select(
+        "purchase_id",
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "ts_ns", "value", "incident_id", "w_start", "w_end",
+    )

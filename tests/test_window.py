@@ -177,3 +177,28 @@ def test_asof_join_plan_single_exchange(spark):
     assert "Join" not in plan, plan
     n_exchange = plan.count("Exchange hashpartitioning")
     assert n_exchange == 1, plan
+
+
+def test_interval_join_semantics_and_plan(spark):
+    """Bucketized range join: exact BETWEEN semantics (boundaries
+    inclusive, overlapping intervals multiply, cross-entity isolated)
+    with NO nested-loop join in the plan — equi-join on (by, bucket)
+    plus residual filter, each pair emitted exactly once even when an
+    interval spans many buckets."""
+    from sfa_spark.operators.temporal import interval_join
+
+    ev = spark.createDataFrame(
+        [(1, 1, 10), (2, 1, 20), (3, 1, 100), (4, 2, 20)],
+        "eid long, uid long, t long",
+    )
+    iv = spark.createDataFrame(
+        # second interval spans many buckets at width 8; two intervals
+        # overlap t=20
+        [(100, 1, 10, 20), (101, 1, 15, 95), (102, 2, 0, 50)],
+        "iid long, uid long, s long, e long",
+    )
+    out = interval_join(ev, iv, by="uid", t="t", start="s", end="e", bucket_width=8)
+    got = sorted((r["eid"], r["iid"]) for r in out.collect())
+    assert got == [(1, 100), (2, 100), (2, 101), (4, 102)]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
