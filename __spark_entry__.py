@@ -54,7 +54,7 @@ ROTATE_FIRST = [
     # (a0) new operators added in r4 (curation tier)
     "q_pii_redact", "q_lm_perplexity", "q_dup_spans", "q_mixture_sample",
     "q_stream_lm_gate", "q_quality_classifier", "q_asof_join",
-    "q_interval_join",
+    "q_interval_join", "q_funnel",
     # (a) newly-oracled in r4
     "q_dwt_coefs", "q_sfa_words_dft", "q_boss_ensemble_predict",
     "q_bossvs_predict", "q_boss_grid_predict", "q_shotgun_ensemble_predict",
@@ -69,9 +69,9 @@ ROTATE_FIRST = [
     "q_hash_top_n", "q_jaccard_topk", "q_lang_id", "q_lsh_pairs",
     "q_lsh_verified_dedup", "q_minhash_signatures", "q_ngram_topk",
     "q_pii_stats", "q_quality", "q_sessionize", "q_simhash", "q_sq_ann",
-    "q_stratified_sample", "q_token_estimate", "q_token_stats",
-    # fill to 50 with r3-gate rows worth re-recording (ML/spectral/
-    # index/streaming family adjacent to this round's changes)
+    "q_stratified_sample", "q_token_estimate",
+    # (gate is exactly 50; demoted queries keep their r2/r3 green rows
+    # and are replayed with tools/check_oracle.py — see COVERAGE.md)
 ]
 
 

@@ -120,3 +120,66 @@ def interval_join(
         .where(F.col(t).between(F.col(start), F.col(end)))
         .drop("_bkt")
     )
+
+
+def funnel(
+    events: DataFrame,
+    by: str,
+    t: str,
+    type_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Ordered funnel analysis: for each `by` entity, the earliest
+    completion time of every prefix of `steps` where step k must occur
+    AT OR AFTER the chosen occurrence of step k−1 (the standard
+    event-analytics conversion funnel; greedy earliest-completion is
+    optimal — taking the earliest valid occurrence of each step never
+    excludes a deeper prefix).
+
+    Output: (by, stage, step_ts) — one row per COMPLETED stage
+    (1-based), so max(stage) per entity is its funnel depth and
+    count(stage = k) / count(stage = 1) is the step-k conversion rate.
+
+    Shape: one shuffle on the entity key; per entity the greedy scan
+    is a sorted aggregate over ONLY that entity's step events
+    (min-of-filtered chain, computed as k running conditional minima
+    in one sort order). Implemented as k chained conditional window
+    minima — no join, no explode."""
+    d = events.where(F.col(type_col).isin(list(steps))).select(
+        by, F.col(t).alias("_t"), F.col(type_col).alias("_ty")
+    )
+    # tie-break equal timestamps by step order (earlier steps first) so
+    # a same-instant chain s_{k-1}, s_k still completes — the running
+    # minima below then see reach_{k-1} before evaluating step k
+    rank = F.lit(None).cast("int")
+    for i, s in reversed(list(enumerate(steps))):
+        rank = F.when(F.col("_ty") == F.lit(s), F.lit(i)).otherwise(rank)
+    d = d.withColumn("_rank", rank)
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col("_t").asc(), F.col("_rank").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # running earliest completion time of each prefix: reach_k at a row
+    # = min over rows ≤ current of (this row is step k AND reach_{k-1}
+    # already achieved at an earlier-or-equal time)
+    prev = None
+    for k, s in enumerate(steps):
+        cond = F.col("_ty") == F.lit(s)
+        if prev is not None:
+            cond = cond & F.col(prev).isNotNull() & (F.col(prev) <= F.col("_t"))
+        col = f"_reach{k}"
+        d = d.withColumn(col, F.min(F.when(cond, F.col("_t"))).over(w))
+        prev = col
+    agg = d.groupBy(by).agg(
+        *[F.min(f"_reach{k}").alias(f"_s{k}") for k in range(len(steps))]
+    )
+    stages = agg.select(
+        by,
+        F.posexplode(F.array(*[F.col(f"_s{k}") for k in range(len(steps))])).alias(
+            "_k", "step_ts"
+        ),
+    )
+    return stages.where(F.col("step_ts").isNotNull()).select(
+        by, (F.col("_k") + 1).cast("int").alias("stage"), "step_ts"
+    )

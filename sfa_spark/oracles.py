@@ -724,3 +724,28 @@ SELECT p.purchase_id,
        p.ts_ns, p.value, i.incident_id, i.w_start, i.w_end
 FROM p JOIN i ON p.user_id = i.user_id
               AND p.ts_ns BETWEEN i.w_start AND i.w_end"""
+
+
+# funnel: the greedy earliest-completion chain is three dependent
+# per-user minima — the oracle states it as chained CTEs
+ORACLES["q_funnel"] = """WITH s0 AS (
+  SELECT user_id, min(epoch_ns(ts)) AS r FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+s1 AS (
+  SELECT e.user_id, min(epoch_ns(e.ts)) AS r
+  FROM events e JOIN s0 ON e.user_id = s0.user_id
+  WHERE e.event_type = 'click' AND epoch_ns(e.ts) >= s0.r
+  GROUP BY e.user_id
+),
+s2 AS (
+  SELECT e.user_id, min(epoch_ns(e.ts)) AS r
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) >= s1.r
+  GROUP BY e.user_id
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, 1 AS stage, r AS step_ts_ns FROM s0
+UNION ALL
+SELECT CAST(user_id AS BIGINT), 2, r FROM s1
+UNION ALL
+SELECT CAST(user_id AS BIGINT), 3, r FROM s2"""

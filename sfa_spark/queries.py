@@ -465,3 +465,22 @@ def q_interval_join(spark, sf_dir):
         F.col("user_id").cast("bigint").alias("user_id"),
         "ts_ns", "value", "incident_id", "w_start", "w_end",
     )
+
+
+def q_funnel(spark, sf_dir):
+    """Ordered conversion funnel signup → click → purchase per user:
+    one row per completed stage with its greedy earliest completion
+    time (operators/temporal.funnel — one shuffle, k chained
+    conditional window minima, no join/explode)."""
+    from sfa_spark.operators.temporal import funnel
+
+    ev = load_table(spark, sf_dir, "events")
+    out = funnel(
+        ev, by="user_id", t="ts", type_col="event_type",
+        steps=["signup", "click", "purchase"],
+    )
+    return out.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "stage",
+        F.col("step_ts").alias("step_ts_ns"),
+    )

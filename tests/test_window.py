@@ -202,3 +202,30 @@ def test_interval_join_semantics_and_plan(spark):
     assert got == [(1, 100), (2, 100), (2, 101), (4, 102)]
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+
+
+def test_funnel_order_and_ties(spark):
+    """Greedy ordered funnel: out-of-order steps don't count, repeat
+    occurrences pick the earliest valid one, same-instant chains
+    complete (inclusive >=), depth per entity = completed prefix."""
+    from sfa_spark.operators.temporal import funnel
+
+    rows = [
+        # u1: full funnel, with a too-early click at t=1 (before signup)
+        (1, 1, "click"), (1, 2, "signup"), (1, 5, "click"), (1, 9, "purchase"),
+        # u2: purchase before click → depth 2 (signup, click) only
+        (2, 1, "signup"), (2, 3, "purchase"), (2, 4, "click"),
+        # u3: same-instant signup+click chain completes at t=7
+        (3, 7, "signup"), (3, 7, "click"),
+        # u4: never signs up
+        (4, 2, "click"), (4, 3, "purchase"),
+    ]
+    ev = spark.createDataFrame(rows, "uid long, t long, ty string")
+    out = funnel(ev, by="uid", t="t", type_col="ty",
+                 steps=["signup", "click", "purchase"])
+    got = {(r["uid"], r["stage"]): r["step_ts"] for r in out.collect()}
+    assert got == {
+        (1, 1): 2, (1, 2): 5, (1, 3): 9,
+        (2, 1): 1, (2, 2): 4,
+        (3, 1): 7, (3, 2): 7,
+    }
