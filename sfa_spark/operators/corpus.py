@@ -263,3 +263,43 @@ def sequence_pack(
         .cast("bigint")
         .alias("seq_last"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 32,
+    stride: int = 24,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """RAG-style overlapping chunking: split each document into
+    fixed-size token windows of `chunk_tokens`, starting every `stride`
+    tokens (stride < chunk_tokens ⇒ overlap of chunk_tokens − stride).
+    The final window may be short; every token is covered.
+
+    Output: (id, chunk_id, start_tok, chunk_len, chunk_text) — one row
+    per chunk, chunk_id = start_tok / stride.
+
+    Shape: fully row-local — tokenize, generate the start offsets with
+    `sequence`, explode, slice, re-join — zero shuffles, zero Python.
+    At 100 TB this is a pure map stage that pipelines into whatever
+    sink or embedding pass follows; output row count is
+    ~n_tokens/stride per doc, bounded and predictable."""
+    if not (0 < stride <= chunk_tokens):
+        raise ValueError("need 0 < stride <= chunk_tokens")
+    toks = F.split(F.col(text_col), " ")
+    d = docs.select(
+        id_col, toks.alias("_toks"), F.size(toks).alias("_n")
+    )
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.col("_n") - 1, F.lit(0)), F.lit(int(stride))
+    )
+    d = d.select(id_col, "_toks", F.explode(starts).alias("_start"))
+    chunk = F.slice(F.col("_toks"), F.col("_start") + 1, F.lit(int(chunk_tokens)))
+    return d.select(
+        id_col,
+        (F.col("_start") / stride).cast("int").alias("chunk_id"),
+        F.col("_start").cast("int").alias("start_tok"),
+        F.size(chunk).cast("int").alias("chunk_len"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )

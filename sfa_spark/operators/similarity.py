@@ -896,3 +896,44 @@ def ivfpq_topk(
     return scored.withColumn("rk", F.row_number().over(w).cast("int")).where(
         F.col("rk") <= k
     )
+
+
+def random_projection(
+    emb: DataFrame,
+    out_dim: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic random projection (sparse-JL / SimHash-style
+    dimensionality reduction to `out_dim` dims): y[k] = Σ_j x[j]·s(j,k)
+    with a ±1 sign matrix DERIVED, not stored — s(j,k) is bit 16 of the
+    Knuth multiplicative hash of the flat index j·out_dim+k, so any
+    engine (and the DuckDB oracle) reproduces the same matrix from the
+    formula alone. Cosine distances are preserved in expectation
+    (Johnson–Lindenstrauss); downstream LSH/clustering runs on the
+    16-dim sketch at 1/4 the bytes of the 64-dim float input.
+
+    Output: (id, k, val) exploded long-form, val = the k-th projected
+    coordinate (unrounded; round at the query edge).
+
+    Shape: fully row-local JVM codegen — nested higher-order functions
+    (transform over k, fold over j), zero shuffles, zero Python, no
+    broadcast (the matrix is a formula). At 100 TB this is a pure map
+    stage; projection cost is D·out_dim multiply-adds per row."""
+    K = int(out_dim)
+    # s(j,k) = 1 - 2·bit16((j·K + k) · 2654435761 mod 2^32): the low
+    # bits of a multiplicative hash alternate, bit 16 is well mixed
+    sign = (
+        f"(1 - 2 * ((((((j * {K}) + k) * 2654435761) % 4294967296) "
+        f"DIV 65536) % 2))"
+    )
+    proj = F.expr(
+        f"transform(sequence(0, {K - 1}), k -> "
+        f"  aggregate("
+        f"    zip_with({vec_col}, sequence(0, size({vec_col}) - 1), "
+        f"             (x, j) -> CAST(x AS DOUBLE) * {sign}), "
+        f"    CAST(0 AS DOUBLE), (acc, y) -> acc + y))"
+    )
+    return emb.select(
+        id_col, F.posexplode(proj).alias("k", "val")
+    ).select(id_col, F.col("k").cast("int").alias("k"), "val")

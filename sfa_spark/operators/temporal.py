@@ -122,6 +122,41 @@ def interval_join(
     )
 
 
+def retention(
+    events: DataFrame,
+    by: str,
+    t: str,
+    period: int,
+) -> DataFrame:
+    """Cohort retention: bucket activity into fixed `period`-width time
+    buckets (same unit as `t`; engine convention bigint ns), cohort
+    each entity by its FIRST active bucket, and count, for every
+    (cohort, offset) cell, the entities active `offset` periods after
+    their cohort bucket — the classic triangle retention matrix.
+    n_active at offset 0 is the cohort size, so retention rate is
+    n_active / first(n_active) per cohort row-wise downstream.
+
+    Shape: ONE wide shuffle — groupBy(entity) with collect_set of the
+    (small, bounded) distinct period set; map-side partial aggregation
+    dedups each entity's periods before the exchange, so shuffle
+    volume is ~|entities| × |distinct periods per entity|, not
+    |events|. The explode + (cohort, offset) re-agg shuffles only the
+    already-tiny cells. Skewed hot users cost nothing extra: their
+    period set is bounded by the calendar, not their event count."""
+    p = F.floor(F.col(t) / F.lit(int(period))).cast("long")
+    per_entity = events.groupBy(F.col(by)).agg(
+        F.collect_set(p).alias("_ps")
+    )
+    cells = per_entity.select(
+        F.array_min("_ps").alias("cohort"),
+        F.explode("_ps").alias("_p"),
+    )
+    return cells.groupBy(
+        "cohort",
+        (F.col("_p") - F.col("cohort")).cast("int").alias("day_offset"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
+
+
 def funnel(
     events: DataFrame,
     by: str,

@@ -749,3 +749,18 @@ UNION ALL
 SELECT CAST(user_id AS BIGINT), 2, r FROM s1
 UNION ALL
 SELECT CAST(user_id AS BIGINT), 3, r FROM s2"""
+
+# retention: ns-exact day bucketing mirrors the Spark floor-div
+ORACLES["q_retention"] = """WITH act AS (
+  SELECT DISTINCT user_id,
+         epoch_ns(ts) // 86400000000000 AS p
+  FROM events
+),
+c AS (
+  SELECT user_id, p, min(p) OVER (PARTITION BY user_id) AS cohort
+  FROM act
+)
+SELECT CAST(cohort AS BIGINT) AS cohort,
+       CAST(p - cohort AS INT) AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_active
+FROM c GROUP BY 1, 2"""

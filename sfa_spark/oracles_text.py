@@ -943,3 +943,72 @@ SELECT doc_id,
        round(exp(-a) + 1e-9, 4) + 0.0 AS ppl
 FROM per
 ) WHERE ppl <= 31.0"""
+
+ORACLES["q_doc_chunks"] = """WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+s AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, len(toks) - 1, 24)) AS start_tok
+  FROM t
+)
+SELECT doc_id,
+       CAST(start_tok // 24 AS INT) AS chunk_id,
+       CAST(start_tok AS INT) AS start_tok,
+       CAST(len(toks[start_tok + 1 : start_tok + 32]) AS INT) AS chunk_len,
+       array_to_string(toks[start_tok + 1 : start_tok + 32], ' ') AS chunk_text
+FROM s"""
+
+# random projection: the ±1 matrix is re-derived from the same integer
+# hash formula (bit 16 of Knuth multiplicative on the flat index)
+ORACLES["q_random_projection"] = """WITH e AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS j,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings
+),
+p AS (
+  SELECT vec_id, ks.k AS k,
+         sum(x * (1 - 2 * ((((j * 16 + ks.k) * 2654435761) % 4294967296
+                            // 65536) % 2))) AS val
+  FROM e CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS k) ks
+  GROUP BY 1, 2
+)
+SELECT vec_id, CAST(k AS INT) AS k, round(val + 1e-9, 4) + 0.0 AS val
+FROM p"""
+
+ORACLES["q_ann_recall"] = f"""WITH {_NORMED},
+{_BUCKETED},
+bp AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS nn_id,
+         (SELECT sum(q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)
+          FROM generate_series(1, 64) t(i)) / (q.nrm * c.nrm) AS cosine
+  FROM normed q CROSS JOIN normed c
+  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+),
+brute AS (
+  SELECT q_id, nn_id,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cosine DESC, nn_id ASC) AS rk
+  FROM bp QUALIFY rk <= 3
+),
+ip AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS nn_id,
+         (SELECT sum(q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)
+          FROM generate_series(1, 64) t(i)) / (q.nrm * c.nrm) AS cosine
+  FROM bucketed q JOIN bucketed c USING (bucket)
+  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+),
+ivf AS (
+  SELECT q_id, nn_id,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cosine DESC, nn_id ASC) AS rk
+  FROM ip QUALIFY rk <= 3
+),
+agg AS (
+  SELECT b.q_id, count(*) AS n, count(i.nn_id) AS h
+  FROM brute b LEFT JOIN ivf i USING (q_id, nn_id)
+  GROUP BY 1
+)
+SELECT q_id, CAST(h AS INT) AS n_hit,
+       round(h * 1.0 / n + 1e-9, 4) + 0.0 AS recall
+FROM agg"""

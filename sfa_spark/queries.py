@@ -484,3 +484,15 @@ def q_funnel(spark, sf_dir):
         "stage",
         F.col("step_ts").alias("step_ts_ns"),
     )
+
+
+def q_retention(spark, sf_dir):
+    """Cohort retention triangle over events: users cohorted by first
+    active day, n_active per (cohort, day_offset) cell
+    (operators/temporal.retention — one wide shuffle with map-side
+    period dedup, calendar-bounded per-user state)."""
+    from sfa_spark.operators.temporal import retention
+
+    ev = load_table(spark, sf_dir, "events")
+    day_ns = 86_400_000_000_000
+    return retention(ev, by="user_id", t="ts", period=day_ns)

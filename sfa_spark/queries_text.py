@@ -487,3 +487,44 @@ def q_quality_classifier(spark, sf_dir):
     return model.predict(docs.where(~train)).select(
         "doc_id", F.col("pred").cast("int").alias("pred")
     )
+
+
+def q_doc_chunks(spark, sf_dir):
+    """RAG chunking: 32-token windows every 24 tokens over documents
+    (operators/corpus.chunk_documents — zero-shuffle row-local map)."""
+    from sfa_spark.operators.corpus import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), chunk_tokens=32, stride=24)
+
+
+def q_random_projection(spark, sf_dir):
+    """64→16-dim deterministic JL sign projection of the embeddings
+    (operators/similarity.random_projection — formula-derived ±1
+    matrix, zero-shuffle JVM fold)."""
+    res = similarity.random_projection(_emb(spark, sf_dir), out_dim=16)
+    return res.select("vec_id", "k", rnd("val", 4).alias("val"))
+
+
+def q_ann_recall(spark, sf_dir):
+    """ANN recall@3 evaluation: sign-bucket IVF top-3 vs brute-force
+    cosine top-3 for each query — the standard index-quality metric a
+    100 TB embedding store tracks per build. Both sides are existing
+    oracle-backed operators; the join is on (q_id, nn_id) candidate
+    pairs only."""
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < COS_QUERIES)
+    brute = similarity.cosine_topk(q, emb, k=IVF_K).select(
+        "q_id", "nn_id", F.lit(1).alias("_b")
+    )
+    ivf = similarity.cosine_topk_bucketed(q, emb, k=IVF_K, n_bits=IVF_BITS).select(
+        "q_id", "nn_id", F.lit(1).alias("_i")
+    )
+    hits = brute.join(ivf, ["q_id", "nn_id"])
+    agg = brute.groupBy("q_id").agg(F.count(F.lit(1)).alias("_n")).join(
+        hits.groupBy("q_id").agg(F.count(F.lit(1)).alias("_h")), "q_id", "left"
+    )
+    return agg.select(
+        "q_id",
+        F.coalesce("_h", F.lit(0)).cast("int").alias("n_hit"),
+        rnd(F.coalesce("_h", F.lit(0)) / F.col("_n"), 4).alias("recall"),
+    )
