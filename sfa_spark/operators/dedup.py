@@ -380,3 +380,66 @@ def dup_span_stats(docs: DataFrame, span_len: int = 5) -> DataFrame:
             ).alias("dup_span_frac"),
         )
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    centroids: DataFrame,
+    tau: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    cluster the corpus, then inside EACH cluster drop every vector
+    that has a smaller-id neighbor with cosine ≥ tau — keeping one
+    representative per ε-neighborhood without ever scoring cross-
+    cluster pairs.
+
+    Shape: row-local centroid assignment (similarity.ivf_assign — no
+    shuffle), then a cluster-equality self-join; the cluster key bounds
+    the candidate set exactly like the sign buckets in
+    embedding_neardup, so cost is Σ|cluster|² not |corpus|². At 100 TB
+    the corpus is written partitionBy(centroid_id) once (the IVF
+    layout) and the join is co-located. min-id keep rule is
+    order-free and deterministic.
+
+    Output: (id, centroid_id, kept) — kept=1 iff no smaller-id
+    same-cluster neighbor at cosine ≥ tau."""
+    from sfa_spark.operators.similarity import dot_expr, ivf_assign, with_norm
+
+    assigned = ivf_assign(emb, centroids, n_probes=1).select(
+        id_col, "centroid_id"
+    )
+    v = with_norm(emb, vec_col).join(assigned, id_col).select(
+        F.col(id_col).alias("vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        "norm",
+        "centroid_id",
+    )
+    a = v.select(
+        "centroid_id", F.col("vid").alias("_a"), F.col("v").alias("va"),
+        F.col("norm").alias("na"),
+    )
+    b = v.select(
+        "centroid_id", F.col("vid").alias("_b"), F.col("v").alias("vb"),
+        F.col("norm").alias("nb"),
+    )
+    dups = (
+        a.join(b, "centroid_id")
+        .where(F.col("_a") < F.col("_b"))
+        .where(
+            dot_expr(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+            >= F.lit(tau)
+        )
+        .select(F.col("_b").alias("vid"))
+        .distinct()
+    )
+    return (
+        v.select("vid", "centroid_id")
+        .join(dups.select("vid", F.lit(0).alias("_dup")), "vid", "left")
+        .select(
+            F.col("vid").alias(id_col),
+            "centroid_id",
+            F.coalesce("_dup", F.lit(1)).cast("int").alias("kept"),
+        )
+    )

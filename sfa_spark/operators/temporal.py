@@ -218,3 +218,30 @@ def funnel(
     return stages.where(F.col("step_ts").isNotNull()).select(
         by, (F.col("_k") + 1).cast("int").alias("stage"), "step_ts"
     )
+
+
+def zscore_outliers(
+    events: DataFrame,
+    by: str,
+    value: str,
+    z: float = 3.0,
+) -> DataFrame:
+    """Group-wise z-score anomaly flagging: an event is an outlier if
+    its value is more than `z` population standard deviations from its
+    group's mean — the monitoring pass a pipeline runs over metric
+    streams before training-data cuts.
+
+    Shape: one aggregation shuffle for the tiny (group, mean, std)
+    table, broadcast back over the events — the corpus itself is never
+    re-shuffled (unlike the window-function formulation, which would
+    sort every group). Degenerate groups (std = 0) produce no
+    outliers."""
+    stats = events.groupBy(by).agg(
+        F.avg(value).alias("_mu"),
+        F.stddev_pop(value).alias("_sd"),
+    )
+    scored = events.join(F.broadcast(stats), by).where(F.col("_sd") > 0)
+    zcol = (F.col(value) - F.col("_mu")) / F.col("_sd")
+    return scored.where(F.abs(zcol) > F.lit(z)).select(
+        *events.columns, zcol.alias("zscore")
+    )

@@ -764,3 +764,19 @@ SELECT CAST(cohort AS BIGINT) AS cohort,
        CAST(p - cohort AS INT) AS day_offset,
        CAST(count(*) AS BIGINT) AS n_active
 FROM c GROUP BY 1, 2"""
+
+ORACLES["q_latency_quantiles"] = """SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(quantile_cont(value, 0.5) + 1e-9, 4) + 0.0 AS p50,
+       round(quantile_cont(value, 0.9) + 1e-9, 4) + 0.0 AS p90,
+       round(quantile_cont(value, 0.99) + 1e-9, 4) + 0.0 AS p99
+FROM events GROUP BY 1"""
+
+ORACLES["q_value_outliers"] = """WITH s AS (
+  SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sd
+  FROM events GROUP BY 1
+)
+SELECT e.event_id, e.event_type, e.value,
+       round((e.value - s.mu) / s.sd + 1e-9, 4) + 0.0 AS zscore
+FROM events e JOIN s USING (event_type)
+WHERE s.sd > 0 AND abs((e.value - s.mu) / s.sd) > 3"""

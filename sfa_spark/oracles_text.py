@@ -1012,3 +1012,36 @@ agg AS (
 SELECT q_id, CAST(h AS INT) AS n_hit,
        round(h * 1.0 / n + 1e-9, 4) + 0.0 AS recall
 FROM agg"""
+
+# SemDeDup: same cents/home CTEs as q_embed_clusters, then the
+# within-cluster min-id keep rule at cosine >= 0.35
+ORACLES["q_semantic_dedup"] = """WITH cents AS (
+  SELECT CAST(vec_id AS INT) AS centroid_id, embedding AS cvec
+  FROM embeddings WHERE vec_id < 8
+),
+a AS (
+  SELECT e.vec_id, c.centroid_id,
+         (SELECT sum((e.embedding[i]::DOUBLE - c.cvec[i]::DOUBLE)
+                     * (e.embedding[i]::DOUBLE - c.cvec[i]::DOUBLE))
+          FROM generate_series(1, 64) t(i)) AS d
+  FROM embeddings e CROSS JOIN cents c
+),
+home AS (
+  SELECT vec_id, centroid_id FROM a
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, centroid_id ASC) = 1
+),
+v AS (
+  SELECT h.vec_id, h.centroid_id, e.embedding,
+         sqrt((SELECT sum(e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)
+               FROM generate_series(1, 64) t(i))) AS nrm
+  FROM home h JOIN embeddings e USING (vec_id)
+),
+dups AS (
+  SELECT DISTINCT b.vec_id
+  FROM v a JOIN v b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  WHERE (SELECT sum(a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)
+         FROM generate_series(1, 64) t(i)) / (a.nrm * b.nrm) >= 0.35
+)
+SELECT v.vec_id, v.centroid_id,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+FROM v LEFT JOIN dups d USING (vec_id)"""

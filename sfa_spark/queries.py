@@ -496,3 +496,37 @@ def q_retention(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     day_ns = 86_400_000_000_000
     return retention(ev, by="user_id", t="ts", period=day_ns)
+
+
+def q_latency_quantiles(spark, sf_dir):
+    """Exact interpolated p50/p90/p99 of event value per event type —
+    the distribution summary a pipeline dashboard tracks. Spark's
+    `percentile` and DuckDB's `quantile_cont` share the linear-
+    interpolation definition, so the oracle matches to the ulp."""
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.groupBy("event_type").agg(
+        F.percentile("value", [0.5, 0.9, 0.99]).alias("_p"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    return q.select(
+        "event_type", "n",
+        rnd(F.col("_p")[0], 4).alias("p50"),
+        rnd(F.col("_p")[1], 4).alias("p90"),
+        rnd(F.col("_p")[2], 4).alias("p99"),
+    )
+
+
+def q_value_outliers(spark, sf_dir):
+    """Group-wise z-score anomalies (|z| > 3 within event type):
+    one tiny stats aggregate broadcast back over the corpus
+    (operators/temporal.zscore_outliers — the events are never
+    re-shuffled)."""
+    from sfa_spark.operators.temporal import zscore_outliers
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    out = zscore_outliers(ev, by="event_type", value="value", z=3.0)
+    return out.select(
+        "event_id", "event_type", "value", rnd("zscore", 4).alias("zscore")
+    )

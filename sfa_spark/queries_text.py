@@ -528,3 +528,13 @@ def q_ann_recall(spark, sf_dir):
         F.coalesce("_h", F.lit(0)).cast("int").alias("n_hit"),
         rnd(F.coalesce("_h", F.lit(0)) / F.col("_n"), 4).alias("recall"),
     )
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup: k-means clusters (iters=0
+    oracle contract) + within-cluster min-id keep rule at cosine ≥
+    0.35 (operators/dedup.semantic_dedup — row-local assignment, the
+    cluster key bounds the pair join)."""
+    emb = _emb(spark, sf_dir)
+    cents = similarity.kmeans_fit(emb, n_centroids=KMEANS_C, iters=0)
+    return dedup.semantic_dedup(emb, cents, tau=0.35)

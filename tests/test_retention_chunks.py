@@ -131,3 +131,43 @@ def test_ann_recall_bounds(spark):
     for r in rows:
         assert 0 <= r["n_hit"] <= 3
         assert r["recall"] == pytest.approx(r["n_hit"] / 3, abs=1e-3)
+
+
+def test_zscore_outliers_flags_only_extremes(spark):
+    from sfa_spark.operators.temporal import zscore_outliers
+
+    rows = [(i, "a", 1.0) for i in range(20)] + [
+        (100, "a", 500.0),        # extreme
+        (101, "b", 7.0),          # degenerate group (sd=0 after one row)
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, g string, value double")
+    out = zscore_outliers(ev, by="g", value="value", z=3.0).collect()
+    assert [r["event_id"] for r in out] == [100]
+    assert out[0]["zscore"] > 3
+
+
+def test_semantic_dedup_keeps_one_per_neighborhood(spark):
+    from sfa_spark.operators.dedup import semantic_dedup
+    from sfa_spark.operators.similarity import kmeans_fit
+
+    base = np.eye(4)
+    # iters=0 centroids = vecs 0 and 1 (e0, e1); vecs 2 and 3 are
+    # scalings of e0 → cluster 0, cosine 1.0 with vec 0 and each other;
+    # vec 4 (e2) ties in distance to both centroids → smallest
+    # centroid id wins (cluster 0) but is orthogonal to everything
+    vecs = [
+        base[0], base[1],
+        base[0] * 1.1, base[0] * 1.05,
+        base[2],
+    ]
+    emb = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = kmeans_fit(emb, n_centroids=2, iters=0)
+    out = {
+        r["vec_id"]: r["kept"]
+        for r in semantic_dedup(emb, cents, tau=0.9).collect()
+    }
+    # min-id keep rule: vec 0 survives its neighborhood, 2 and 3 drop
+    assert out == {0: 1, 1: 1, 2: 0, 3: 0, 4: 1}
