@@ -780,3 +780,34 @@ SELECT e.event_id, e.event_type, e.value,
        round((e.value - s.mu) / s.sd + 1e-9, 4) + 0.0 AS zscore
 FROM events e JOIN s USING (event_type)
 WHERE s.sd > 0 AND abs((e.value - s.mu) / s.sd) > 3"""
+
+# streaming session_window: same islands method as q_sessionize but at
+# the µs precision of event_time (ts // 1000); same-instant ties give
+# gap 0 < 30 min so the lag order within a tie cannot split a session.
+# session end = last event + gap. Session windows [t, t+gap] merge on
+# INCLUSIVE overlap (verified by test_stream_sessionize_matches_batch_
+# islands): an event exactly gap after the last still extends the
+# session, so a new island needs gap STRICTLY > 30 min — note this
+# differs from the batch q_sessionize convention (gap > 30 min there
+# too, so they agree).
+ORACLES["q_stream_sessionize"] = """WITH e AS (
+  SELECT user_id, epoch_ns(ts) // 1000 AS t, value FROM events
+),
+g AS (
+  SELECT user_id, t, value,
+         t - lag(t) OVER (PARTITION BY user_id ORDER BY t) AS gap
+  FROM e
+),
+s AS (
+  SELECT user_id, t, value,
+         CAST(sum(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS sid
+  FROM g
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(min(t) AS BIGINT) AS s_start_us,
+       CAST(max(t) + 1800000000 AS BIGINT) AS s_end_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value) + 1e-9, 4) + 0.0 AS sum_value
+FROM s GROUP BY user_id, sid"""

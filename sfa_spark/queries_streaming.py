@@ -149,3 +149,33 @@ def q_stream_lm_gate(spark, sf_dir):
     )
     q.awaitTermination(300)
     return spark.table(name).select("doc_id", "n_bigrams", "avg_logp", "ppl")
+
+
+def q_stream_sessionize(spark, sf_dir):
+    """Sessionization through the NATIVE streaming session_window
+    operator (30-minute gap), checked against the same islands-method
+    SQL the batch q_sessionize certifies — gap boundaries at the µs
+    precision of event_time."""
+    src = tempfile.mkdtemp(prefix="sfa_sess_src_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
+    name = f"ssess_{uuid.uuid4().hex[:8]}"
+    stream = scoring.events_stream(spark, src)
+    q = (
+        scoring.session_stats(stream, gap="30 minutes")
+        .writeStream.format("memory")
+        .queryName(name)
+        # session_window aggregation supports append (watermark-gated
+        # emission) or complete; complete emits every closed-over
+        # session in the availableNow run without sentinel batches
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "s_start_us",
+        "s_end_us",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        rnd("sum_value", 4).alias("sum_value"),
+    )

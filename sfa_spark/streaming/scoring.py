@@ -43,8 +43,11 @@ def events_stream(spark, path: str, schema=None) -> DataFrame:
     ensure_session_compat(spark)
     schema = schema or spark.read.parquet(path).schema
     raw = normalize_ts(spark.readStream.schema(schema).parquet(path))
+    # integer `div`, not `/`: double division of ~1.7e18 ns loses the
+    # last µs (53-bit mantissa), which shifts session/window boundaries
+    # off the ns-exact oracles by 1 µs
     return raw.withColumn(
-        "event_time", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        "event_time", F.timestamp_micros(F.expr("ts div 1000"))
     )
 
 
@@ -158,4 +161,34 @@ def teaser_accept(
         stateStructType=TEASER_STATE,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def session_stats(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Streaming sessionization via Spark's NATIVE session_window
+    aggregation — the dynamic-gap analogue of windowed_stats and the
+    streaming twin of the batch lag/cumsum sessionize (queries.py).
+    Two events share a session iff their gap is AT MOST `gap`
+    (session windows [t, t+gap] merge on inclusive overlap — asserted
+    by the stream==batch islands test), so window.start = first event,
+    window.end = last event + gap. In append mode, state for closed
+    sessions is evicted by the watermark."""
+    return (
+        stream.withWatermark("event_time", watermark)
+        .groupBy("user_id", F.session_window("event_time", gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("s_start_us"),
+            F.unix_micros(F.col("w.end")).alias("s_end_us"),
+            "n_events",
+            "sum_value",
+        )
     )

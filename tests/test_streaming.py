@@ -384,3 +384,70 @@ def test_stream_lm_gate_matches_batch(spark, tmp_path):
     # the in-model doc is far more predictable than the novel one
     by_id = {t[0]: t for t in got}
     assert by_id[10][3] < by_id[11][3]
+
+
+def test_stream_sessionize_matches_batch_islands(spark, tmp_path):
+    """Native session_window (streaming) == the batch lag/cumsum
+    islands computation at µs precision, across micro-batch splits."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    GAP_US = 1_800_000_000
+    rows = []
+    for u in range(6):
+        t = 1_700_000_000_000_000
+        for _ in range(30):
+            # mix sub-gap and super-gap jumps; include exact-gap edges
+            t += int(rng.choice([1_000, GAP_US - 1, GAP_US, GAP_US + 1]))
+            rows.append((u, t * 1000, float(u)))  # ts in ns
+    src = tmp_path / "ev"
+    src.mkdir()
+    df = spark.createDataFrame(rows, "user_id long, ts long, value double")
+    # two flat files → two micro-batches: sessions must merge across them
+    import glob
+    import shutil
+
+    for name, half in (("a", "user_id < 3"), ("b", "user_id >= 3")):
+        out = tmp_path / f"_{name}"
+        df.where(half).coalesce(1).write.parquet(str(out))
+        shutil.copy(glob.glob(str(out / "part-*.parquet"))[0],
+                    str(src / f"{name}.parquet"))
+
+    from sfa_spark.streaming import scoring
+
+    stream = scoring.events_stream(spark, str(src))
+    q = (
+        scoring.session_stats(stream, gap="30 minutes")
+        .writeStream.format("memory")
+        .queryName("sess_t")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(tuple(r) for r in spark.table("sess_t").collect())
+
+    from pyspark.sql import Window, functions as F
+
+    w = Window.partitionBy("user_id").orderBy("t")
+    batch = (
+        df.select("user_id", F.expr("ts div 1000").alias("t"), "value")
+        .withColumn("gap", F.col("t") - F.lag("t").over(w))
+        .withColumn(
+            "sid",
+            F.sum(
+                F.when(F.col("gap").isNull() | (F.col("gap") > GAP_US), 1)
+                .otherwise(0)
+            ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("t").alias("s_start_us"),
+            (F.max("t") + GAP_US).alias("s_end_us"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .drop("sid")
+    )
+    want = sorted(tuple(r) for r in batch.collect())
+    assert got == want
