@@ -303,3 +303,58 @@ def chunk_documents(
         F.size(chunk).cast("int").alias("chunk_len"),
         F.array_join(chunk, " ").alias("chunk_text"),
     )
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    divisor: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Content-defined chunking: chunk boundaries fall AFTER tokens
+    whose content hash ≡ 0 (mod `divisor`), so expected chunk length is
+    `divisor` tokens and — unlike fixed-stride chunking — boundaries
+    are stable under insertions/deletions elsewhere in the document
+    (the rsync/LBFS trick, token-granular). Identical chunk_hash across
+    documents ⇒ shared content, even at shifted offsets: the basis of
+    shift-robust dedup.
+
+    The token hash is an explicit polynomial fold over code points
+    ((acc·31 + code) mod 2³¹) rather than an engine hash builtin, so
+    any engine — and the DuckDB oracle — derives the SAME boundaries
+    from the formula alone.
+
+    Output: (id, cdc_id, start_tok, n_toks, chunk_hash) — chunk_hash =
+    md5 of the space-joined chunk.
+
+    Shape: tokenize + hash are row-local; the boundary scan is a lag +
+    running-sum window and the chunk rebuild a groupBy, both on the
+    SAME (doc) key — one Exchange total, reused by window and
+    aggregation alike. Per-doc state is bounded by document length."""
+    toks = F.split(F.col(text_col), " ")
+    d = docs.select(id_col, F.posexplode(toks).alias("pos", "tok"))
+    d = d.withColumn(
+        "_h",
+        F.expr(
+            "aggregate(split(tok, ''), 0L, "
+            "(acc, c) -> (acc * 31 + ascii(c)) % 2147483648)"
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    is_new = (F.col("pos") == 0) | (
+        F.lag((F.col("_h") % divisor == 0).cast("int")).over(w) == 1
+    )
+    d = d.withColumn(
+        "cdc_id",
+        F.sum(is_new.cast("int"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        - 1,
+    )
+    chunk_toks = F.transform(
+        F.sort_array(F.collect_list(F.struct("pos", "tok"))), lambda s: s.tok
+    )
+    return d.groupBy(id_col, F.col("cdc_id").cast("int").alias("cdc_id")).agg(
+        F.min("pos").cast("int").alias("start_tok"),
+        F.count(F.lit(1)).cast("int").alias("n_toks"),
+        F.md5(F.array_join(chunk_toks, " ")).alias("chunk_hash"),
+    )

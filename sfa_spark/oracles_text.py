@@ -1045,3 +1045,40 @@ dups AS (
 SELECT v.vec_id, v.centroid_id,
        CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
 FROM v LEFT JOIN dups d USING (vec_id)"""
+
+# content-defined chunking: same polynomial code-point fold
+# ((acc*31 + code) mod 2^31), boundary after tokens with h % 8 = 0
+ORACLES["q_cdc_chunks"] = """WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(ts) AS tok, generate_subscripts(ts, 1) - 1 AS pos
+  FROM t
+),
+h AS (
+  SELECT doc_id, pos, tok,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+                        list_transform(regexp_split_to_array(tok, ''),
+                                       c -> CAST(unicode(c) AS BIGINT))),
+           (acc, x) -> (acc * 31 + x) % 2147483648) AS hh
+  FROM tok
+),
+m AS (
+  SELECT doc_id, pos, tok,
+         CASE WHEN pos = 0
+              OR lag(hh % 8 = 0) OVER (PARTITION BY doc_id ORDER BY pos)
+              THEN 1 ELSE 0 END AS is_new
+  FROM h
+),
+c AS (
+  SELECT doc_id, pos, tok,
+         sum(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS UNBOUNDED PRECEDING) - 1 AS cdc_id
+  FROM m
+)
+SELECT doc_id, CAST(cdc_id AS INT) AS cdc_id,
+       CAST(min(pos) AS INT) AS start_tok,
+       CAST(count(*) AS INT) AS n_toks,
+       md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
+FROM c GROUP BY doc_id, cdc_id"""

@@ -538,3 +538,12 @@ def q_semantic_dedup(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     cents = similarity.kmeans_fit(emb, n_centroids=KMEANS_C, iters=0)
     return dedup.semantic_dedup(emb, cents, tau=0.35)
+
+
+def q_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking over documents (operators/corpus.
+    cdc_chunks — formula-derived boundaries, one Exchange shared by
+    the boundary window and the chunk rebuild)."""
+    from sfa_spark.operators.corpus import cdc_chunks
+
+    return cdc_chunks(_docs(spark, sf_dir), divisor=8)

@@ -171,3 +171,27 @@ def test_semantic_dedup_keeps_one_per_neighborhood(spark):
     }
     # min-id keep rule: vec 0 survives its neighborhood, 2 and 3 drop
     assert out == {0: 1, 1: 1, 2: 0, 3: 0, 4: 1}
+
+
+def test_cdc_chunks_boundaries_shift_stable(spark):
+    """The CDC property: inserting a token near the front changes only
+    the chunks up to the first boundary after the edit — later chunk
+    hashes are IDENTICAL (fixed-stride chunking would shift them all)."""
+    from sfa_spark.operators.corpus import cdc_chunks
+
+    rng = np.random.default_rng(5)
+    words = [f"w{int(x)}" for x in rng.integers(0, 1000, size=400)]
+    orig = " ".join(words)
+    edited = " ".join(words[:3] + ["INSERTED"] + words[3:])
+    docs = spark.createDataFrame(
+        [(0, orig), (1, edited)], "doc_id long, text string"
+    )
+    out = cdc_chunks(docs, divisor=8).collect()
+    h0 = {r["chunk_hash"] for r in out if r["doc_id"] == 0}
+    h1 = {r["chunk_hash"] for r in out if r["doc_id"] == 1}
+    shared = h0 & h1
+    # everything after the first post-edit boundary must re-align
+    assert len(shared) >= 0.8 * len(h0), (len(shared), len(h0), len(h1))
+    # and chunk lengths hover around the divisor
+    n = [r["n_toks"] for r in out]
+    assert 4 <= sum(n) / len(n) <= 16
