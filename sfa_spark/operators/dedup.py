@@ -407,10 +407,10 @@ def semantic_dedup(
     same-cluster neighbor at cosine ≥ tau."""
     from sfa_spark.operators.similarity import dot_expr, ivf_assign, with_norm
 
-    assigned = ivf_assign(emb, centroids, n_probes=1).select(
-        id_col, "centroid_id"
-    )
-    v = with_norm(emb, vec_col).join(assigned, id_col).select(
+    # ivf_assign is row-local and carries the vector column through, so
+    # assignment adds NO join/exchange — norms ride the same projection
+    assigned = ivf_assign(emb, centroids, vec_col=vec_col, id_col=id_col)
+    v = with_norm(assigned, vec_col).select(
         F.col(id_col).alias("vid"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
         "norm",
