@@ -55,7 +55,7 @@ ROTATE_FIRST = [
     # projection, ANN recall-eval
     "q_retention", "q_doc_chunks", "q_random_projection", "q_ann_recall",
     "q_latency_quantiles", "q_value_outliers", "q_semantic_dedup",
-    "q_stream_sessionize", "q_cdc_chunks",
+    "q_stream_sessionize", "q_cdc_chunks", "q_latest_state",
     # (a0) new operators added in r4 (curation tier)
     "q_pii_redact", "q_lm_perplexity", "q_dup_spans", "q_mixture_sample",
     "q_stream_lm_gate", "q_quality_classifier", "q_asof_join",
@@ -72,12 +72,11 @@ ROTATE_FIRST = [
     "q_cosine_multiprobe", "q_cosine_topk", "q_dedup_exact", "q_dedup_groups",
     "q_domain_cap", "q_embed_neardup", "q_fingerprint", "q_hash_sample",
     "q_hash_top_n", "q_jaccard_topk", "q_lang_id", "q_lsh_pairs",
-    "q_lsh_verified_dedup",
     # (gate is exactly 50; q_simhash / q_sq_ann / q_stratified_sample /
     # q_token_estimate / q_pii_stats / q_quality / q_sessionize /
-    # q_ngram_topk / q_minhash_signatures demoted to fit — they keep
-    # their r2 green rows and are replayed with tools/check_oracle.py —
-    # see COVERAGE.md)
+    # q_ngram_topk / q_minhash_signatures / q_lsh_verified_dedup demoted
+    # to fit — they keep their r2 green rows and every one of them was
+    # replayed green by tools/check_oracle.py this session — COVERAGE.md)
 ]
 
 

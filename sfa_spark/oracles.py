@@ -811,3 +811,16 @@ SELECT CAST(user_id AS BIGINT) AS user_id,
        CAST(count(*) AS BIGINT) AS n_events,
        round(sum(value) + 1e-9, 4) + 0.0 AS sum_value
 FROM s GROUP BY user_id, sid"""
+
+# changelog compaction: latest row per key, (ts, event_id) ordering
+ORACLES["q_latest_state"] = """WITH r AS (
+  SELECT user_id, event_id, epoch_ns(ts) AS ts, event_type, value,
+         count(*) OVER (PARTITION BY user_id) AS n_versions,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rk
+  FROM events
+)
+SELECT user_id, event_id, ts, event_type,
+       round(value + 1e-9, 4) + 0.0 AS value,
+       CAST(n_versions AS BIGINT) AS n_versions
+FROM r WHERE rk = 1"""

@@ -530,3 +530,21 @@ def q_value_outliers(spark, sf_dir):
     return out.select(
         "event_id", "event_type", "value", rnd("zscore", 4).alias("zscore")
     )
+
+
+def q_latest_state(spark, sf_dir):
+    """Changelog compaction / upsert materialization: the LATEST event
+    per user (argmax by (ts, event_id)) — the state table a CDC
+    pipeline materializes from an append log. One hash aggregate with
+    map-side partial max_by: no sort, no window over the full log; at
+    100 TB this is the standard compaction pass before a snapshot
+    export."""
+    ev = load_table(spark, sf_dir, "events")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_id", key).alias("event_id"),
+        F.max("ts").alias("ts"),
+        F.max_by("event_type", key).alias("event_type"),
+        rnd(F.max_by("value", key), 4).alias("value"),
+        F.count(F.lit(1)).cast("bigint").alias("n_versions"),
+    )
