@@ -451,3 +451,67 @@ def test_stream_sessionize_matches_batch_islands(spark, tmp_path):
     )
     want = sorted(tuple(r) for r in batch.collect())
     assert got == want
+
+
+def test_stream_sessionize_append_mode_watermark_eviction(spark, tmp_path):
+    """Production semantics: APPEND mode emits a session exactly once,
+    after the watermark passes its end — state for closed sessions is
+    evicted rather than held forever (the complete-mode gate query
+    trades this for sentinel-free bounded runs)."""
+    import glob
+    import shutil
+
+    US = 1_000_000
+    GAP_US = 60 * US  # 1-minute gap for a compact test
+    base = 1_700_000_000_000_000
+    # batch 1: two sessions for user 0 (split by > gap), batch 2: a far-
+    # future event that pushes the watermark beyond both session ends,
+    # batch 3: one more push so batch-2-closed state also flushes
+    batches = [
+        [(0, base + 0 * US), (0, base + 10 * US),        # session A
+         (0, base + 200 * US)],                           # session B
+        [(9, base + 100_000 * US)],
+        [(9, base + 200_000 * US)],
+    ]
+    src = tmp_path / "ev"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        out = tmp_path / f"_b{i}"
+        spark.createDataFrame(
+            [(u, t * 1000, 1.0) for u, t in rows],
+            "user_id long, ts long, value double",
+        ).coalesce(1).write.parquet(str(out))
+        shutil.copy(glob.glob(str(out / "part-*.parquet"))[0],
+                    str(src / f"b{i}.parquet"))
+
+    from sfa_spark.streaming import scoring
+
+    stream = (
+        spark.readStream.schema("user_id long, ts long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    from sfa_spark.sources.events import normalize_ts
+
+    stream = normalize_ts(stream).withColumn(
+        "event_time", F.expr("timestamp_micros(ts div 1000)")
+    )
+    q = (
+        scoring.session_stats(stream, gap="1 minute", watermark="0 seconds")
+        .writeStream.format("memory")
+        .queryName("sess_append")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["user_id"], r["s_start_us"], r["s_end_us"], r["n_events"])
+        for r in spark.table("sess_append").collect()
+        if r["user_id"] == 0
+    )
+    # both user-0 sessions emitted exactly once with merged bounds
+    assert got == [
+        (0, base, base + 10 * US + GAP_US, 2),
+        (0, base + 200 * US, base + 260 * US, 1),
+    ], got
