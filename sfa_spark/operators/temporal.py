@@ -103,15 +103,19 @@ def interval_join(
     to O(1) buckets each.
 
     `bucket_width` shares `t`'s unit (engine convention: bigint ns)."""
-    ev = events.withColumn(
-        "_bkt", F.floor(F.col(t) / F.lit(int(bucket_width))).cast("long")
-    )
+    # integer `div` (not floor of a double quotient): ns-scale bigints
+    # exceed the double mantissa, and a ±256 ns bucket error near a
+    # boundary could make an in-interval event miss every bucket the
+    # interval exploded to (timestamps are non-negative, so truncating
+    # div == floor div)
+    w = int(bucket_width)
+    ev = events.withColumn("_bkt", F.expr(f"`{t}` div {w}").cast("long"))
     iv = intervals.withColumn(
         "_bkt",
         F.explode(
             F.sequence(
-                F.floor(F.col(start) / F.lit(int(bucket_width))).cast("long"),
-                F.floor(F.col(end) / F.lit(int(bucket_width))).cast("long"),
+                F.expr(f"`{start}` div {w}").cast("long"),
+                F.expr(f"`{end}` div {w}").cast("long"),
             )
         ),
     )
@@ -143,7 +147,11 @@ def retention(
     |events|. The explode + (cohort, offset) re-agg shuffles only the
     already-tiny cells. Skewed hot users cost nothing extra: their
     period set is bounded by the calendar, not their event count."""
-    p = F.floor(F.col(t) / F.lit(int(period))).cast("long")
+    # integer `div`, not `/`: double division of ~1.7e18 ns loses the
+    # low bits (53-bit mantissa) and can shift a bucket boundary by a
+    # few hundred ns — the oracle's // is exact (t is non-negative, so
+    # truncating div == floor div)
+    p = F.expr(f"`{t}` div {int(period)}").cast("long")
     per_entity = events.groupBy(F.col(by)).agg(
         F.collect_set(p).alias("_ps")
     )
