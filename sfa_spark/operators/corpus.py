@@ -28,7 +28,7 @@ orders) and every operator has a DuckDB oracle in oracles_text.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from sfa_spark.operators.text import with_tokens, shingles
@@ -152,11 +152,85 @@ def gopher_filter(docs: DataFrame, **bounds) -> DataFrame:
     )
 
 
+def bloom_build(
+    keys: DataFrame,
+    key_col: str,
+    n_hashes: int = 7,
+    bits_per_item: int = 10,
+    max_bits: int = 1 << 27,
+) -> tuple[list[int], int]:
+    """Build a Bloom filter over a key column DISTRIBUTEDLY and return
+    it as (words, m_bits) where words is a list of m_bits/64 bigints.
+
+    Shape: each key explodes to n_hashes probe positions
+    (xxhash64(key, i) mod m), positions reduce to set bits via a
+    map-side-combinable bit_or grouped by 64-bit word index — the
+    driver only ever sees the FINISHED bitmap (m_bits/8 bytes, capped
+    at max_bits/8 = 16 MiB by default), never the keys. 10 bits/item
+    with 7 hashes gives ~1% false positives; false negatives are
+    impossible, so an exact verify step downstream keeps results exact.
+    """
+    n = keys.count()
+    m_bits = max(1024, n * bits_per_item)
+    m_bits = min(((m_bits + 63) // 64) * 64, max_bits)
+    probes = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(
+                        F.xxhash64(F.col(key_col), F.lit(i)), F.lit(m_bits)
+                    )
+                    for i in range(n_hashes)
+                ]
+            )
+        ).alias("p")
+    )
+    rows = (
+        probes.select(
+            F.floor(F.col("p") / F.lit(64.0)).cast("int").alias("w"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pmod(p, 64) AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(bit)").alias("bits"))
+        .collect()
+    )
+    words = [0] * (m_bits // 64)
+    for r in rows:
+        words[int(r["w"])] = int(r["bits"])
+    return words, m_bits
+
+
+def bloom_contains(
+    col: Column, words: list[int], m_bits: int, n_hashes: int = 7
+) -> Column:
+    """Membership test against a bloom_build() bitmap, as a row-local
+    codegen'd boolean column — no join, no shuffle. The bitmap rides
+    the plan as ONE array<bigint> literal (16 MiB max), the Spark
+    analogue of a broadcast semi-join reduction."""
+    arr = F.lit(words)
+    cond = F.lit(True)
+    for i in range(n_hashes):
+        p = F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m_bits))
+        word = F.element_at(arr, F.floor(p / F.lit(64.0)).cast("int") + 1)
+        bit = F.call_function(
+            "shiftleft",
+            F.lit(1).cast("long"),
+            F.pmod(p, F.lit(64)).cast("int"),
+        )
+        cond = cond & (word.bitwiseAND(bit) != 0)
+    return cond
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,
     k: int = 3,
     tau: float = 0.5,
+    bloom: bool = False,
+    n_hashes: int = 7,
+    bits_per_item: int = 10,
 ) -> DataFrame:
     """Flag corpus documents whose word k-gram shingles overlap a
     benchmark (eval) set — train/test decontamination (GPT-3 App. C /
@@ -169,14 +243,32 @@ def decontaminate(
     shuffle carries only shingles that actually match; no doc×doc
     pairing ever exists. With a small benchmark the join side
     broadcasts; Catalyst/AQE decides from stats.
+
+    bloom=True prepends a row-local Bloom prefilter (bloom_build over
+    the benchmark shingles, bloom_contains on the corpus side) BEFORE
+    the join: at 100 TB the corpus-side shuffle then carries only
+    (matching + ~1% false-positive) shingles instead of every corpus
+    shingle, and the exact join afterwards removes the false positives
+    — output is bit-identical to bloom=False. This is the explicit
+    form of Spark's runtime row-level bloom filtering, kept explicit
+    because it also prunes when the join degenerates to broadcast and
+    because the filter survives across reuses of the shingle stream.
     """
     cs = shingles(corpus, k=k)
     bs = shingles(benchmark, k=k).select("shingle").distinct()
     sizes = cs.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_shingles")
     )
+    probe = cs
+    if bloom:
+        words, m_bits = bloom_build(
+            bs, "shingle", n_hashes=n_hashes, bits_per_item=bits_per_item
+        )
+        probe = cs.where(
+            bloom_contains(F.col("shingle"), words, m_bits, n_hashes)
+        )
     hits = (
-        cs.join(bs, "shingle")
+        probe.join(bs, "shingle")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_contaminated"))
     )

@@ -583,17 +583,21 @@ def pq_fit(
             F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
         )
         .orderBy(F.xxhash64(F.col("id")), F.col("id"))
-        .limit(sample_limit)
+        .limit(sample_limit + 1)
         .collect()
     )
-    rows.sort(key=lambda r: r["id"])
     if iters == 0:
         # same oracle contract as kmeans_fit: code c of each subspace =
-        # the c-th smallest-id vector's subvector requires full coverage
-        assert len(rows) < sample_limit, (
+        # the c-th smallest-id vector's subvector requires full coverage.
+        # Probe with limit+1 so a table of exactly sample_limit rows
+        # (full coverage, valid contract) does not false-fail.
+        assert len(rows) <= sample_limit, (
             f"pq_fit(iters=0) needs the full table inside "
-            f"sample_limit={sample_limit}; got {len(rows)} rows"
+            f"sample_limit={sample_limit}; got more rows — raise "
+            f"sample_limit or use iters>0 (non-oracle path)"
         )
+    rows = rows[:sample_limit]
+    rows.sort(key=lambda r: r["id"])
     x = np.array([r["v"] for r in rows], dtype=np.float64)
     d = x.shape[1]
     assert d % m == 0, f"dim {d} not divisible by m={m}"

@@ -824,3 +824,21 @@ SELECT user_id, event_id, ts, event_type,
        round(value + 1e-9, 4) + 0.0 AS value,
        CAST(n_versions AS BIGINT) AS n_versions
 FROM r WHERE rk = 1"""
+
+# stream-stream attribution join: clicks × purchases per user within a
+# 6-hour horizon, at the µs resolution of event_time (ns div 1000)
+ORACLES["q_stream_attribution"] = """WITH c AS (
+  SELECT user_id, event_id AS click_id, epoch_ns(ts) // 1000 AS ct
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id, event_id AS purchase_id, epoch_ns(ts) // 1000 AS pt, value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT CAST(c.user_id AS BIGINT) AS user_id,
+       CAST(click_id AS BIGINT) AS click_id,
+       CAST(purchase_id AS BIGINT) AS purchase_id,
+       CAST(pt - ct AS BIGINT) AS gap_us,
+       round(value + 1e-9, 4) + 0.0 AS value
+FROM c JOIN p ON c.user_id = p.user_id
+ AND pt >= ct AND pt <= ct + 21600000000"""

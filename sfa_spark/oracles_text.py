@@ -625,6 +625,10 @@ SELECT s.doc_id, s.n_shingles,
        CAST(CASE WHEN coalesce(h.n_contaminated, 0) * 1.0 / s.n_shingles >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS flagged
 FROM sizes s LEFT JOIN hits h USING (doc_id)"""
 
+# bloom prefilter is exact-verified downstream, so the oracle is the
+# identical plain inverted join
+ORACLES["q_bloom_decontaminate"] = ORACLES["q_decontaminate"]
+
 # sequence packing: md5 hash shards ('pack:' salt), per-shard cumsum
 ORACLES["q_sequence_pack"] = f"""WITH t AS (
   SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens,

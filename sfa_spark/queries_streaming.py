@@ -179,3 +179,34 @@ def q_stream_sessionize(spark, sf_dir):
         F.col("n_events").cast("bigint").alias("n_events"),
         rnd("sum_value", 4).alias("sum_value"),
     )
+
+
+def q_stream_attribution(spark, sf_dir):
+    """Click→purchase attribution through a watermarked STREAM-STREAM
+    self-join (inner, append mode): every purchase within 6 hours
+    after a click by the same user. The range predicate rides the
+    watermarked event-time columns so join state is bounded by
+    watermark + horizon; output is µs-exact, so a plain batch SQL
+    range join is the oracle."""
+    from sfa_spark.streaming import joins
+
+    src = tempfile.mkdtemp(prefix="sfa_attr_src_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
+    name = f"sattr_{uuid.uuid4().hex[:8]}"
+    stream = scoring.events_stream(spark, src)
+    q = (
+        joins.attribution_join(stream, horizon="6 hours")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("click_id").cast("bigint").alias("click_id"),
+        F.col("purchase_id").cast("bigint").alias("purchase_id"),
+        F.col("gap_us").cast("bigint").alias("gap_us"),
+        rnd("value", 4).alias("value"),
+    )

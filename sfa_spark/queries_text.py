@@ -419,6 +419,24 @@ def q_decontaminate(spark, sf_dir):
     )
 
 
+def q_bloom_decontaminate(spark, sf_dir):
+    """Same decontamination semantics as q_decontaminate but with a
+    distributed-built Bloom bitmap prefiltering the corpus shingles
+    row-locally BEFORE the inverted join — the 100 TB shape (shuffle
+    carries matches + ~1% FPs only; exact verify keeps output
+    bit-identical, so the oracle is the plain exact join)."""
+    from sfa_spark.operators import corpus
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    train = docs.where(F.col("doc_id") % 20 != 0)
+    res = corpus.decontaminate(train, bench, k=3, tau=DECON_TAU, bloom=True)
+    return res.select(
+        "doc_id", "n_shingles", "n_contaminated",
+        rnd("contam_frac", 4).alias("contam_frac"), "flagged",
+    )
+
+
 PACK_CTX = 64
 PACK_SHARDS = 4
 

@@ -513,6 +513,80 @@ def test_decontaminate_flags_benchmark_overlap(spark):
     assert res[1]["flagged"] == 0 and res[1]["n_contaminated"] == 0
 
 
+def test_bloom_decontaminate_matches_exact(spark):
+    """bloom=True must be bit-identical to the exact path (the verify
+    join removes bloom false positives), and the prefilter must
+    actually prune non-overlapping corpus shingles."""
+    from pyspark.sql import functions as F
+
+    from sfa_spark.operators import corpus
+
+    bench = spark.createDataFrame(
+        [(100 + i, f"benchmark question number {i} about topic {i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [(0, "benchmark question number 3 about topic 3 verbatim leak")]
+        + [
+            (i, f"clean training document {i} with entirely fresh words {i * 7}")
+            for i in range(1, 40)
+        ],
+        "doc_id long, text string",
+    )
+    exact = sorted(
+        corpus.decontaminate(train, bench, tau=0.3).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    bloomed = sorted(
+        corpus.decontaminate(train, bench, tau=0.3, bloom=True).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert [tuple(r) for r in exact] == [tuple(r) for r in bloomed]
+    assert bloomed[0]["flagged"] == 1
+
+    # the prefilter prunes: ~1 contaminated doc of 40, so far fewer
+    # corpus shingles survive bloom_contains than exist
+    from sfa_spark.operators.text import shingles
+
+    bs = shingles(bench).select("shingle").distinct()
+    words, m_bits = corpus.bloom_build(bs, "shingle")
+    cs = shingles(train)
+    total = cs.count()
+    kept = cs.where(
+        corpus.bloom_contains(F.col("shingle"), words, m_bits)
+    ).count()
+    assert kept < 0.5 * total
+
+
+def test_bloom_tiny_bitmap_still_exact(spark):
+    """Force heavy false positives (2 bits/item, 1 hash): output must
+    STILL equal the exact path — only the pruning ratio degrades."""
+    from sfa_spark.operators import corpus
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta"),
+            (1, "one two three four five six seven eight nine"),
+        ],
+        "doc_id long, text string",
+    )
+    exact = sorted(
+        corpus.decontaminate(train, bench, tau=0.5).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    bloomed = sorted(
+        corpus.decontaminate(
+            train, bench, tau=0.5, bloom=True, n_hashes=1, bits_per_item=2
+        ).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert [tuple(r) for r in exact] == [tuple(r) for r in bloomed]
+
+
 def test_sequence_pack_invariants(spark):
     from sfa_spark.operators import corpus
 

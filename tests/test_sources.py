@@ -50,3 +50,57 @@ def test_read_arff_multivariate(spark, tmp_path):
     assert labs[sids[2]] == 2.0  # numeric label passes through
     # string classes mapped deterministically (sorted): bell=1, cylinder=2
     assert labs[sids[0]] == 2.0 and labs[sids[1]] == 1.0
+
+
+def test_write_bucketed_elides_exchange(spark, tmp_path):
+    """The PLANS.md 100 TB claim, executed: a table written bucketed
+    by series_id plans groupBy, window, and co-bucketed self-join on
+    that key with NO shuffle Exchange. Broadcast is disabled for the
+    join leg so the planner can't sidestep the co-location proof."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from sfa_spark.sources.sink import write_bucketed
+
+    df = spark.range(0, 400).select(
+        (F.col("id") % 20).alias("series_id"),
+        F.col("id").alias("pos"),
+        (F.col("id") * 7 % 13).cast("double").alias("value"),
+    )
+    t = write_bucketed(
+        df, "bkt_events", "series_id", 8,
+        sort_cols=["series_id", "pos"], path=str(tmp_path / "bkt"),
+    )
+    try:
+        def final_plan(d):
+            d.collect()
+            return d._jdf.queryExecution().executedPlan().toString()
+
+        agg = t.groupBy("series_id").agg(F.sum("value").alias("s"))
+        p = final_plan(agg)
+        assert "Exchange hashpartitioning" not in p, p
+
+        w = Window.partitionBy("series_id").orderBy("pos")
+        win = t.select("series_id", "pos", F.row_number().over(w).alias("rk"))
+        p = final_plan(win)
+        assert "Exchange hashpartitioning" not in p, p
+
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = t.alias("a").join(
+                spark.table("bkt_events").alias("b"), "series_id"
+            )
+            p = final_plan(j)
+            assert "Exchange" not in p, p
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+        # sanity: same answer as the unbucketed frame
+        want = {
+            (r["series_id"], r["s"])
+            for r in df.groupBy("series_id").agg(F.sum("value").alias("s")).collect()
+        }
+        assert {(r["series_id"], r["s"]) for r in agg.collect()} == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_events")

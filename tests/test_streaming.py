@@ -515,3 +515,80 @@ def test_stream_sessionize_append_mode_watermark_eviction(spark, tmp_path):
         (0, base, base + 10 * US + GAP_US, 2),
         (0, base + 200 * US, base + 260 * US, 1),
     ], got
+
+
+def test_stream_attribution_join_across_microbatches(spark, tmp_path):
+    """Stream-stream click→purchase join == the batch range join, with
+    clicks and their purchases split across micro-batch boundaries
+    (time-ordered files, one per micro-batch) — proves click state is
+    retained until watermark + horizon."""
+    import glob
+    import shutil
+
+    HOUR_US = 3_600_000_000
+    rows = []
+    eid = 0
+    base = 1_700_000_000_000_000
+    for u in range(4):
+        for k in range(6):
+            ct = base + k * 3 * HOUR_US + u * 17_000_000
+            rows.append((eid, ct * 1000, u, "click", 0.0)); eid += 1
+            # one purchase inside the 6h horizon, one outside
+            rows.append((eid, (ct + 2 * HOUR_US) * 1000, u, "purchase", 9.5)); eid += 1
+            rows.append((eid, (ct + 7 * HOUR_US) * 1000, u, "purchase", 1.5)); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, event_type string, value double"
+    )
+    cut = base + 9 * HOUR_US
+    src = tmp_path / "ev"
+    src.mkdir()
+    for name, half in (("a", f"ts div 1000 < {cut}"), ("b", f"ts div 1000 >= {cut}")):
+        out = tmp_path / f"_{name}"
+        df.where(half).coalesce(1).write.parquet(str(out))
+        shutil.copy(glob.glob(str(out / "part-*.parquet"))[0],
+                    str(src / f"{name}.parquet"))
+
+    from pyspark.sql import functions as F
+
+    from sfa_spark.sources.events import ensure_session_compat
+    from sfa_spark.streaming import joins
+
+    ensure_session_compat(spark)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(str(src)).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    q = (
+        joins.attribution_join(stream, horizon="6 hours")
+        .writeStream.format("memory")
+        .queryName("attr_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(tuple(r) for r in spark.table("attr_t").collect())
+
+    c = df.where("event_type = 'click'").select(
+        "user_id", F.col("event_id").alias("click_id"),
+        F.expr("ts div 1000").alias("ct"))
+    p = df.where("event_type = 'purchase'").select(
+        F.col("user_id").alias("p_key"), F.col("event_id").alias("purchase_id"),
+        F.expr("ts div 1000").alias("pt"), "value")
+    batch = c.join(
+        p, (F.col("user_id") == F.col("p_key")) & (F.col("pt") >= F.col("ct"))
+        & (F.col("pt") <= F.col("ct") + 6 * HOUR_US)
+    ).select("user_id", "click_id", "purchase_id",
+             (F.col("pt") - F.col("ct")).alias("gap_us"), "value")
+    want = sorted(tuple(r) for r in batch.collect())
+    assert got == want
+    assert len(got) > 0
+    # at least one pair must straddle the micro-batch cut (click in
+    # file a, purchase in file b) — the state-retention case
+    eid_ts = {r["event_id"]: r["ts"] // 1000 for r in df.collect()}
+    assert any(
+        eid_ts[click] < cut <= eid_ts[pur]
+        for (_, click, pur, _, _) in got
+    )
