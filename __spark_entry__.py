@@ -51,6 +51,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # prep). q_muse_predict_full (~270 s at sf0.01) stays out of the gate
 # by design — rows-only, certified by the PenDigits golden.
 ROTATE_FIRST = [
+    # (a000) added in the final r4 session: bloom-prefiltered
+    # decontamination (exact-verified) and the watermarked
+    # stream-stream attribution join. q_bpe_tokens (rows-only by
+    # design) stays out of the gate — replayed locally instead.
+    "q_bloom_decontaminate", "q_stream_attribution",
     # (a00) added late in r4: retention cohorts, RAG chunking, JL
     # projection, ANN recall-eval
     "q_retention", "q_doc_chunks", "q_random_projection", "q_ann_recall",
@@ -70,13 +75,15 @@ ROTATE_FIRST = [
     # (c) r2-only coverage, oldest first
     "q_bm25_search", "q_corpus_filter", "q_cosine_ivf", "q_cosine_kmeans",
     "q_cosine_multiprobe", "q_cosine_topk", "q_dedup_exact", "q_dedup_groups",
-    "q_domain_cap", "q_embed_neardup", "q_fingerprint", "q_hash_sample",
-    "q_hash_top_n", "q_jaccard_topk", "q_lang_id", "q_lsh_pairs",
-    # (gate is exactly 50; q_simhash / q_sq_ann / q_stratified_sample /
-    # q_token_estimate / q_pii_stats / q_quality / q_sessionize /
-    # q_ngram_topk / q_minhash_signatures / q_lsh_verified_dedup demoted
-    # to fit — they keep their r2 green rows and every one of them was
-    # replayed green by tools/check_oracle.py this session — COVERAGE.md)
+    "q_domain_cap", "q_embed_neardup", "q_fingerprint", "q_jaccard_topk",
+    "q_lang_id", "q_lsh_pairs",
+    # (gate is exactly 50; q_hash_sample / q_hash_top_n newly demoted to
+    # make room for the two (a000) additions, alongside q_simhash /
+    # q_sq_ann / q_stratified_sample / q_token_estimate / q_pii_stats /
+    # q_quality / q_sessionize / q_ngram_topk / q_minhash_signatures /
+    # q_lsh_verified_dedup — all keep earlier green rows and ALL
+    # registered queries were replayed green with tools/check_oracle.py
+    # at sf0.01 this session — COVERAGE.md round-4 replay record)
 ]
 
 

@@ -565,3 +565,22 @@ def q_cdc_chunks(spark, sf_dir):
     from sfa_spark.operators.corpus import cdc_chunks
 
     return cdc_chunks(_docs(spark, sf_dir), divisor=8)
+
+
+def q_bpe_tokens(spark, sf_dir):
+    """Real BPE tokenizer budget: fit 120 merges on the corpus's
+    distinct-word dictionary, then row-local distributed encode —
+    per-doc (n_words, n_bpe_tokens, bpe_per_word). Rows-only BY
+    DESIGN: the fit is an iterative global argmax (same class as
+    APCA's greedy merge); semantics are pinned by the published
+    worked-example golden, a sequential-reference cross-check, and
+    roundtrip/monotonicity tests in test_llm_ops.py."""
+    from sfa_spark.operators import bpe
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    merges = bpe.bpe_fit(docs, n_merges=120, min_freq=2)
+    enc = bpe.bpe_encode(docs, merges)
+    return enc.select(
+        "doc_id", "n_words", "n_bpe_tokens",
+        rnd("bpe_per_word", 4).alias("bpe_per_word"),
+    )

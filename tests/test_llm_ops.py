@@ -979,3 +979,90 @@ def test_mixture_sample_proportion_property(spark):
     for s, p in targets.items():
         assert got.get(s, 0) == math.floor(N * p + 1e-9), (s, got, N)
         assert got.get(s, 0) <= avail[s]
+
+
+def test_bpe_fit_classic_example(spark):
+    """Sennrich et al.'s worked example: low×5 lower×2 newest×6
+    widest×3. First five merges, hand-derived under the (count desc,
+    pair asc) tie rule: es, es+t</w>, l+o, e+w, ew+est</w>."""
+    from sfa_spark.operators import bpe
+
+    docs = spark.createDataFrame(
+        [(0, " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3))],
+        "doc_id long, text string",
+    )
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe.bpe_fit(docs, n_merges=5, min_freq=1).orderBy("rank").collect()
+    ]
+    assert merges == [
+        ("e", "s"), ("es", "t</w>"), ("l", "o"), ("e", "w"), ("ew", "est</w>"),
+    ]
+
+
+def test_bpe_encode_matches_sequential_reference(spark):
+    """Distributed encode (lowest-rank-first pair application) must
+    equal the reference procedure of applying each merge rule fully,
+    in rank order — and concatenating an encoded word's symbols must
+    reproduce the word (roundtrip)."""
+    import numpy as np
+
+    from sfa_spark.operators import bpe
+
+    rng = np.random.default_rng(7)
+    alphabet = list("abcde")
+    words = [
+        "".join(rng.choice(alphabet, size=rng.integers(1, 9)))
+        for _ in range(300)
+    ]
+    docs = spark.createDataFrame(
+        [(i, " ".join(words[i * 30 : (i + 1) * 30])) for i in range(10)],
+        "doc_id long, text string",
+    )
+    merges_df = bpe.bpe_fit(docs, n_merges=40, min_freq=1)
+    merges = [
+        (r["left"], r["right"])
+        for r in merges_df.orderBy("rank").collect()
+    ]
+    ranks = {m: i for i, m in enumerate(merges)}
+
+    def reference_encode(word):
+        sym = list(word[:-1]) + [word[-1] + "</w>"]
+        for a, b in merges:  # rank order, each rule applied fully
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            sym = out
+        return sym
+
+    for w in set(words):
+        got = bpe._encode_word(w, ranks)
+        assert got == reference_encode(w), w
+        assert "".join(got).replace("</w>", "") == w, w
+
+    enc = {r["doc_id"]: r for r in bpe.bpe_encode(docs, merges_df).collect()}
+    for i in range(10):
+        ws = words[i * 30 : (i + 1) * 30]
+        want = sum(len(reference_encode(w)) for w in ws)
+        assert enc[i]["n_words"] == 30
+        assert enc[i]["n_bpe_tokens"] == want
+
+
+def test_bpe_more_merges_fewer_tokens(spark):
+    from sfa_spark.operators import bpe
+
+    docs = spark.createDataFrame(
+        [(i, f"compression compressed compressing recompression {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    n10 = bpe.bpe_encode(docs, bpe.bpe_fit(docs, n_merges=10, min_freq=1))
+    n50 = bpe.bpe_encode(docs, bpe.bpe_fit(docs, n_merges=50, min_freq=1))
+    a = {r["doc_id"]: r["n_bpe_tokens"] for r in n10.collect()}
+    b = {r["doc_id"]: r["n_bpe_tokens"] for r in n50.collect()}
+    assert all(b[k] <= a[k] for k in a)
+    assert sum(b.values()) < sum(a.values())
