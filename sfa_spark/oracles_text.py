@@ -1086,3 +1086,62 @@ SELECT doc_id, CAST(cdc_id AS INT) AS cdc_id,
        CAST(count(*) AS INT) AS n_toks,
        md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
 FROM c GROUP BY doc_id, cdc_id"""
+
+# Count-Min grid + point queries: md5-derived buckets reproduce the
+# Spark grid bit-for-bit; rk via row_number under the same total order
+ORACLES["q_countmin_tokens"] = f"""WITH toks AS (
+  SELECT unnest({_TOKS}) AS token FROM documents
+),
+t AS (SELECT token FROM toks WHERE len(token) > 0),
+grid AS (
+  SELECT row, bucket, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT i AS row,
+           (('0x' || substr(md5('cm' || CAST(i AS VARCHAR) || ':' || token), 1, 8))::BIGINT % 512) AS bucket
+    FROM t, (SELECT unnest([0, 1, 2, 3]) AS i)
+  ) GROUP BY 1, 2
+),
+true_cnt AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS true_cnt FROM t GROUP BY 1
+),
+top AS (
+  SELECT token, true_cnt,
+         CAST(row_number() OVER (ORDER BY true_cnt DESC, token ASC) AS INT) AS rk
+  FROM true_cnt QUALIFY rk <= 20
+),
+probes AS (
+  SELECT token, i AS row,
+         (('0x' || substr(md5('cm' || CAST(i AS VARCHAR) || ':' || token), 1, 8))::BIGINT % 512) AS bucket
+  FROM top, (SELECT unnest([0, 1, 2, 3]) AS i)
+),
+est AS (
+  SELECT p.token, CAST(min(g.cnt) AS BIGINT) AS cm_est
+  FROM probes p JOIN grid g USING (row, bucket) GROUP BY 1
+)
+SELECT t.token, t.true_cnt, e.cm_est, t.rk FROM top t JOIN est e USING (token)"""
+
+# HyperLogLog m=64: integer rank via length(ltrim(bin(h),'0')) (== the
+# Spark 33 - length(bin(h)) form, and 33 for h=0); dyadic-exact sum
+ORACLES["q_hll_distinct"] = f"""WITH toks AS (
+  SELECT unnest({_TOKS}) AS token FROM documents
+),
+t AS (SELECT token FROM toks WHERE len(token) > 0),
+h AS (
+  SELECT (('0x' || substr(md5('hllb:' || token), 1, 8))::BIGINT % 64) AS bucket,
+         ('0x' || substr(md5('hllr:' || token), 9, 8))::BIGINT AS h2
+  FROM t
+),
+regs AS (
+  SELECT bucket, max(33 - length(ltrim(bin(h2), '0'))) AS mx FROM h GROUP BY 1
+),
+agg AS (
+  SELECT sum(power(2.0, -mx)) AS s_seen, count(*) AS n_seen FROM regs
+),
+est AS (
+  SELECT CASE WHEN (0.709 * 64 * 64) / (s_seen + (64 - n_seen)) <= 160.0
+                   AND (64 - n_seen) > 0
+              THEN 64.0 * ln(64.0 / (64 - n_seen))
+              ELSE (0.709 * 64 * 64) / (s_seen + (64 - n_seen)) END AS n_hll
+  FROM agg
+)
+SELECT (SELECT CAST(count(DISTINCT token) AS BIGINT) FROM t) AS n_exact,
+       round(n_hll + 1e-9, 4) + 0.0 AS n_hll FROM est"""

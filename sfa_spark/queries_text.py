@@ -584,3 +584,58 @@ def q_bpe_tokens(spark, sf_dir):
         "doc_id", "n_words", "n_bpe_tokens",
         rnd("bpe_per_word", 4).alias("bpe_per_word"),
     )
+
+
+CM_DEPTH, CM_WIDTH = 4, 512
+HLL_M = 64
+
+
+def q_countmin_tokens(spark, sf_dir):
+    """Count-Min heavy hitters: a 4×512 counter grid over all token
+    occurrences (one map-side-combinable groupBy, KB-sized), point-
+    queried for the 20 highest-true-count tokens. Emits true count
+    next to the sketch estimate — est ≥ true always; the md5-derived
+    buckets make the grid bit-reproducible in the SQL oracle."""
+    from sfa_spark.operators import sketch
+    from sfa_spark.operators.text import with_tokens
+    from sfa_spark.operators.topk import ranked_top_k
+
+    toks = (
+        with_tokens(_docs(spark, sf_dir))
+        .select(F.explode("toks").alias("token"))
+        .where(F.length("token") > 0)
+    )
+    grid = sketch.countmin_build(toks, "token", depth=CM_DEPTH, width=CM_WIDTH)
+    true = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_cnt")
+    )
+    top = ranked_top_k(true, [("true_cnt", True), ("token", False)], 20)
+    est = sketch.countmin_estimate(
+        top, grid, "token", depth=CM_DEPTH, width=CM_WIDTH
+    )
+    return top.join(est, top["token"] == est["item"]).select(
+        top["token"], "true_cnt", F.col("cm_est").cast("bigint").alias("cm_est"), "rk"
+    )
+
+
+def q_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct-token estimate (m=64 registers, one
+    groupBy) next to the exact distinct count — the bounded-memory
+    cardinality pass, estimator bit-reproducible in SQL because the
+    rank is integer (length(bin(h))) and Σ2^(−mx) is dyadic-exact."""
+    from sfa_spark.operators import sketch
+    from sfa_spark.operators.text import with_tokens
+
+    toks = (
+        with_tokens(_docs(spark, sf_dir))
+        .select(F.explode("toks").alias("token"))
+        .where(F.length("token") > 0)
+    )
+    regs = sketch.hll_registers(toks, "token", m=HLL_M)
+    est = sketch.hll_estimate(regs, m=HLL_M)
+    exact = toks.agg(
+        F.countDistinct("token").cast("bigint").alias("n_exact")
+    )
+    return exact.crossJoin(est).select(
+        "n_exact", rnd("n_hll", 4).alias("n_hll")
+    )

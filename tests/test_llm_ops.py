@@ -1066,3 +1066,54 @@ def test_bpe_more_merges_fewer_tokens(spark):
     b = {r["doc_id"]: r["n_bpe_tokens"] for r in n50.collect()}
     assert all(b[k] <= a[k] for k in a)
     assert sum(b.values()) < sum(a.values())
+
+
+def test_countmin_never_underestimates(spark):
+    """CMS guarantee: est ≥ true for EVERY item, and the grid is
+    depth×width-bounded regardless of item count. With width ≫
+    distinct items, estimates are exact."""
+    import numpy as np
+
+    from sfa_spark.operators import sketch
+
+    rng = np.random.default_rng(3)
+    # Zipf-ish: item i appears ~ 200/(i+1) times
+    occs = [(f"item{i}",) for i in range(40) for _ in range(200 // (i + 1))]
+    rng.shuffle(occs)
+    items = spark.createDataFrame(occs, "token string")
+    true = {r["token"]: r["cnt"] for r in
+            items.groupBy("token").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+
+    grid = sketch.countmin_build(items, "token", depth=4, width=32)
+    assert grid.count() <= 4 * 32
+    cand = items.select("token").distinct()
+    est = {r["item"]: r["cm_est"] for r in
+           sketch.countmin_estimate(cand, grid, "token", depth=4, width=32).collect()}
+    assert all(est[k] >= true[k] for k in true)
+
+    wide = sketch.countmin_build(items, "token", depth=4, width=4096)
+    est_w = {r["item"]: r["cm_est"] for r in
+             sketch.countmin_estimate(cand, wide, "token", depth=4, width=4096).collect()}
+    assert est_w == true  # no collisions at width ≫ items
+
+
+def test_hll_within_error_bound(spark):
+    """HLL estimate within ~3σ of 1.04/√m on a few thousand distinct
+    items, and the register table is ≤ m rows."""
+    from sfa_spark.operators import sketch
+
+    n = 5000
+    items = spark.createDataFrame(
+        [(f"token-{i}",) for i in range(n)], "token string"
+    )
+    regs = sketch.hll_registers(items, "token", m=64)
+    assert regs.count() <= 64
+    est = sketch.hll_estimate(regs, m=64).collect()[0]["n_hll"]
+    bound = 3 * sketch.hll_error_bound(64)  # ≈ 0.39
+    assert abs(est - n) / n <= bound, est
+    # duplicate-insensitivity: inserting everything 3× changes nothing
+    tripled = items.union(items).union(items)
+    est3 = sketch.hll_estimate(
+        sketch.hll_registers(tripled, "token", m=64), m=64
+    ).collect()[0]["n_hll"]
+    assert est3 == est
