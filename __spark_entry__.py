@@ -56,7 +56,7 @@ ROTATE_FIRST = [
     # stream-stream attribution join. q_bpe_tokens (rows-only by
     # design) stays out of the gate — replayed locally instead.
     "q_bloom_decontaminate", "q_stream_attribution",
-    "q_countmin_tokens", "q_hll_distinct",
+    "q_countmin_tokens", "q_hll_distinct", "q_salted_revenue",
     # (a00) added late in r4: retention cohorts, RAG chunking, JL
     # projection, ANN recall-eval
     "q_retention", "q_doc_chunks", "q_random_projection", "q_ann_recall",
@@ -76,10 +76,10 @@ ROTATE_FIRST = [
     # (c) r2-only coverage, oldest first
     "q_bm25_search", "q_corpus_filter", "q_cosine_ivf", "q_cosine_kmeans",
     "q_cosine_multiprobe", "q_cosine_topk", "q_dedup_exact", "q_dedup_groups",
-    "q_domain_cap", "q_embed_neardup", "q_fingerprint", "q_jaccard_topk",
+    "q_domain_cap", "q_embed_neardup", "q_fingerprint",
     # (gate is exactly 50; q_hash_sample / q_hash_top_n / q_lang_id /
-    # q_lsh_pairs newly demoted to make room for the four (a000)
-    # additions, alongside q_simhash /
+    # q_lsh_pairs / q_jaccard_topk newly demoted to make room for the
+    # five (a000) additions, alongside q_simhash /
     # q_sq_ann / q_stratified_sample / q_token_estimate / q_pii_stats /
     # q_quality / q_sessionize / q_ngram_topk / q_minhash_signatures /
     # q_lsh_verified_dedup — all keep earlier green rows and ALL

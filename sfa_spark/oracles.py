@@ -842,3 +842,10 @@ SELECT CAST(c.user_id AS BIGINT) AS user_id,
        round(value + 1e-9, 4) + 0.0 AS value
 FROM c JOIN p ON c.user_id = p.user_id
  AND pt >= ct AND pt <= ct + 21600000000"""
+
+# salted skew join output == the plain equi-join: plain SQL oracle
+ORACLES["q_salted_revenue"] = """SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) + 1e-9, 4) + 0.0 AS revenue
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1"""

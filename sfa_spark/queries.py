@@ -548,3 +548,26 @@ def q_latest_state(spark, sf_dir):
         rnd(F.max_by("value", key), 4).alias("value"),
         F.count(F.lit(1)).cast("bigint").alias("n_versions"),
     )
+
+
+def q_salted_revenue(spark, sf_dir):
+    """Events ⋈ customer on user_id = c_custkey through the SALTED
+    skew join (operators/skew.py — hot keys spread over 8 sub-keys),
+    aggregated to per-nation event revenue. Output is identical to
+    the plain equi-join, so the oracle is the unsalted SQL join."""
+    from sfa_spark.operators import skew
+    from sfa_spark.sources.events import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    j = skew.salted_join(ev, cust, "user_id", "c_custkey", n_salts=8)
+    return (
+        j.groupBy(F.col("c_nationkey").cast("bigint").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            dec_sum("value").alias("revenue"),
+        )
+        .select("nationkey", "n_events", rnd("revenue", 4).alias("revenue"))
+    )

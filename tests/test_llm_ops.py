@@ -1117,3 +1117,54 @@ def test_hll_within_error_bound(spark):
         sketch.hll_registers(tripled, "token", m=64), m=64
     ).collect()[0]["n_hll"]
     assert est3 == est
+
+
+def test_salted_join_equals_plain_join(spark):
+    """salted_join == plain equi-join (inner and left), with the salt
+    visible in the physical join keys and broadcast disabled so the
+    shuffle path is actually exercised."""
+    import numpy as np
+
+    from sfa_spark.operators import skew
+
+    rng = np.random.default_rng(9)
+    # extreme skew: key 0 holds 90% of left rows
+    keys = [0] * 900 + [int(k) for k in rng.integers(1, 20, 100)]
+    left = spark.createDataFrame(
+        [(k, i, float(i % 7)) for i, k in enumerate(keys)],
+        "uid long, row_id long, v double",
+    )
+    right = spark.createDataFrame(
+        [(k, f"dim{k}") for k in range(20)], "uid long, name string"
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for how in ("inner", "left"):
+            got = skew.salted_join(left, right, "uid", n_salts=4, how=how)
+            want = left.join(right, "uid", how)
+            assert sorted(got.columns) == sorted(want.columns)
+            g = sorted(tuple(r) for r in got.select(*sorted(got.columns)).collect())
+            w = sorted(tuple(r) for r in want.select(*sorted(got.columns)).collect())
+            assert g == w, how
+        plan = (
+            skew.salted_join(left, right, "uid", n_salts=4)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "_salt" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_salted_join_left_semantics_unmatched(spark):
+    from sfa_spark.operators import skew
+
+    left = spark.createDataFrame(
+        [(1, "a"), (99, "orphan")], "k long, s string"
+    )
+    right = spark.createDataFrame([(1, 10.0)], "k long, x double")
+    got = {
+        r["k"]: r["x"]
+        for r in skew.salted_join(left, right, "k", n_salts=3, how="left").collect()
+    }
+    assert got == {1: 10.0, 99: None}
