@@ -1145,3 +1145,9 @@ est AS (
 )
 SELECT (SELECT CAST(count(DISTINCT token) AS BIGINT) FROM t) AS n_exact,
        round(n_hll + 1e-9, 4) + 0.0 AS n_hll FROM est"""
+
+# jsonl roundtrip: the Spark side re-reads its own JSONL copy; a hash
+# match against the parquet-derived stats proves lossless transport
+ORACLES["q_jsonl_roundtrip"] = f"""SELECT doc_id, lang,
+       CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+FROM documents"""

@@ -639,3 +639,24 @@ def q_hll_distinct(spark, sf_dir):
     return exact.crossJoin(est).select(
         "n_exact", rnd("n_hll", 4).alias("n_hll")
     )
+
+
+def q_jsonl_roundtrip(spark, sf_dir):
+    """Corpus wire-format fidelity: documents → JSONL (the format text
+    pipelines actually exchange) → read back with an explicit schema
+    and quarantine split. Emits per-doc (doc_id, lang, n_tokens) from
+    the JSONL COPY; the oracle computes the same from the parquet, so
+    a hash match proves the roundtrip lost nothing (JSON escaping
+    covers quotes/newlines/unicode)."""
+    import tempfile
+
+    from sfa_spark.operators.text import with_tokens
+    from sfa_spark.sources.jsonl import read_documents_jsonl, write_jsonl
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+    tmp = tempfile.mkdtemp(prefix="sfa_jsonl_")
+    write_jsonl(docs, tmp, n_files=2)
+    clean, _quarantine = read_documents_jsonl(spark, tmp)
+    return with_tokens(clean).select(
+        "doc_id", "lang", F.size("toks").cast("bigint").alias("n_tokens")
+    )

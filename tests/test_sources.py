@@ -104,3 +104,42 @@ def test_write_bucketed_elides_exchange(spark, tmp_path):
         assert {(r["series_id"], r["s"]) for r in agg.collect()} == want
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_events")
+
+
+def test_jsonl_quarantine_and_roundtrip(spark, tmp_path):
+    """JSONL ingest: malformed lines land in the quarantine frame (not
+    silently null-padded), clean rows parse typed, and a parquet→jsonl
+    →parquet roundtrip preserves every document."""
+    from pyspark.sql import functions as F
+
+    from sfa_spark.sources.jsonl import read_documents_jsonl, write_jsonl
+
+    p = tmp_path / "docs"
+    p.mkdir()
+    (p / "a.jsonl").write_text(
+        '{"doc_id": 1, "text": "hello world", "lang": "en"}\n'
+        'this is not json at all\n'
+        '{"doc_id": "NOT_A_NUMBER", "text": "bad type", "lang": "en"}\n'
+        '{"doc_id": 2, "text": "zweite zeile", "lang": "de"}\n'
+    )
+    clean, quarantine = read_documents_jsonl(spark, str(p))
+    rows = {r["doc_id"]: r for r in clean.collect()}
+    assert set(rows) == {1, 2}
+    assert rows[2]["lang"] == "de"
+    bad = [r["raw"] for r in quarantine.collect()]
+    assert len(bad) == 2
+    assert any("not json" in b for b in bad)
+    assert any("NOT_A_NUMBER" in b for b in bad)
+
+    # roundtrip: every (doc_id, text, lang) survives parquet→jsonl→read
+    docs = spark.createDataFrame(
+        [(i, f"document number {i}", "en") for i in range(50)],
+        "doc_id bigint, text string, lang string",
+    )
+    out = tmp_path / "rt"
+    write_jsonl(docs, str(out), n_files=3)
+    back, q2 = read_documents_jsonl(spark, str(out))
+    assert q2.count() == 0
+    a = sorted(tuple(r) for r in docs.collect())
+    b = sorted(tuple(r) for r in back.select("doc_id", "text", "lang").collect())
+    assert a == b
