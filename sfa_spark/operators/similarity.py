@@ -941,3 +941,40 @@ def random_projection(
     return emb.select(
         id_col, F.posexplode(proj).alias("k", "val")
     ).select(id_col, F.col("k").cast("int").alias("k"), "val")
+
+
+# ------------------------------------------------------------------
+# On-disk IVF-PQ index lifecycle: write once, append increments, read
+# for search. The layout (parquet partitionBy centroid_id) is what
+# ivfpq_topk's probe join prunes against; append keeps it valid
+# because codebooks and centroids are FROZEN after fit — new vectors
+# encode row-locally against the same artifacts and land in their
+# list's partition as new files. Re-fit (drift) = rewrite, by design:
+# a changed codebook invalidates every stored code, same as FAISS.
+
+
+def ivfpq_write(encoded: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Materialize an ivfpq_encode() result as the partitioned index."""
+    encoded.write.partitionBy("centroid_id").mode(mode).parquet(path)
+
+
+def ivfpq_append(
+    new_vectors: DataFrame,
+    centroids: DataFrame,
+    codebook: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Encode a new vector batch with the FROZEN centroids/codebook
+    and append it to the on-disk index — a row-local map job plus a
+    partitioned write; the existing index files are untouched. Caller
+    contract: ids in the batch must be new (the index is append-only;
+    dedup upstream or compact with ivfpq_write(mode='overwrite'))."""
+    enc = ivfpq_encode(new_vectors, centroids, codebook, vec_col, id_col)
+    ivfpq_write(enc, path, mode="append")
+
+
+def ivfpq_read(spark, path: str) -> DataFrame:
+    """Scan of the on-disk index, partition-prunable on centroid_id."""
+    return spark.read.parquet(path)

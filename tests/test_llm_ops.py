@@ -1168,3 +1168,41 @@ def test_salted_join_left_semantics_unmatched(spark):
         for r in skew.salted_join(left, right, "k", n_salts=3, how="left").collect()
     }
     assert got == {1: 10.0, 99: None}
+
+
+def test_ivfpq_incremental_append_equals_bulk(spark, emb_small, tmp_path):
+    """Index lifecycle: bulk-write 2/3 of the corpus, append the rest
+    in two batches with the frozen centroids/codebook — search over
+    the read-back index must equal search over the bulk-encoded whole
+    corpus, and the appended files must keep partition pruning."""
+    from sfa_spark.operators import similarity as S
+
+    cents = S.kmeans_fit(emb_small, n_centroids=4, iters=3)
+    cb = S.ivfpq_fit(emb_small, cents, m=4, ksub=8, iters=3)
+    path = str(tmp_path / "ivfpq_inc")
+
+    part1 = emb_small.where("vec_id % 3 != 0")
+    part2 = emb_small.where("vec_id % 3 = 0 AND vec_id % 2 = 0")
+    part3 = emb_small.where("vec_id % 3 = 0 AND vec_id % 2 != 0")
+    S.ivfpq_write(S.ivfpq_encode(part1, cents, cb), path)
+    S.ivfpq_append(part2, cents, cb, path)
+    S.ivfpq_append(part3, cents, cb, path)
+
+    index = S.ivfpq_read(spark, path)
+    bulk = S.ivfpq_encode(emb_small, cents, cb)
+    assert index.count() == bulk.count()
+
+    q = emb_small.where("vec_id < 5")
+    got = sorted(
+        tuple(r)
+        for r in S.ivfpq_topk(q, index, cents, cb, k=3, n_probes=2).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in S.ivfpq_topk(q, bulk, cents, cb, k=3, n_probes=2).collect()
+    )
+    assert got == want
+
+    probed = index.where(F.col("centroid_id").isin([1]))
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "centroid_id" in plan, plan
