@@ -54,11 +54,12 @@ ROTATE_FIRST = [
     # (a000) added in the final r4 session: bloom-prefiltered
     # decontamination (exact-verified), the watermarked stream-stream
     # attribution join, Count-Min / HyperLogLog sketches, the salted
-    # skew join, and the JSONL ingest roundtrip. q_bpe_tokens
-    # (rows-only by design) stays out of the gate — replayed locally.
+    # skew join, the JSONL ingest roundtrip, and the TPC-H Q3/Q5-shape
+    # multi-join analytics. q_bpe_tokens (rows-only by design) stays
+    # out of the gate — replayed locally.
     "q_bloom_decontaminate", "q_stream_attribution",
     "q_countmin_tokens", "q_hll_distinct", "q_salted_revenue",
-    "q_jsonl_roundtrip",
+    "q_jsonl_roundtrip", "q_tpch_shipping", "q_tpch_local_supplier",
     # (a00) added late in r4: retention cohorts, RAG chunking, JL
     # projection, ANN recall-eval
     "q_retention", "q_doc_chunks", "q_random_projection", "q_ann_recall",
@@ -78,10 +79,10 @@ ROTATE_FIRST = [
     # (c) r2-only coverage, oldest first
     "q_bm25_search", "q_corpus_filter", "q_cosine_ivf", "q_cosine_kmeans",
     "q_cosine_multiprobe", "q_cosine_topk", "q_dedup_exact", "q_dedup_groups",
-    "q_domain_cap", "q_embed_neardup",
     # (gate is exactly 50; q_hash_sample / q_hash_top_n / q_lang_id /
-    # q_lsh_pairs / q_jaccard_topk / q_fingerprint newly demoted to make
-    # room for the six (a000) additions, alongside q_simhash /
+    # q_lsh_pairs / q_jaccard_topk / q_fingerprint / q_domain_cap /
+    # q_embed_neardup newly demoted to make room for the eight (a000)
+    # additions, alongside q_simhash /
     # q_sq_ann / q_stratified_sample / q_token_estimate / q_pii_stats /
     # q_quality / q_sessionize / q_ngram_topk / q_minhash_signatures /
     # q_lsh_verified_dedup — all keep earlier green rows and ALL

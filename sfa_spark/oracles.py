@@ -849,3 +849,28 @@ ORACLES["q_salted_revenue"] = """SELECT CAST(c_nationkey AS BIGINT) AS nationkey
        round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) + 1e-9, 4) + 0.0 AS revenue
 FROM events e JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY 1"""
+
+# TPC-H Q3 shape: pre-cutoff orders, post-cutoff shipments, top-10
+ORACLES["q_tpch_shipping"] = """WITH rev AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderpriority,
+         round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) + 1e-9, 4) + 0.0 AS revenue
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderdate < TIMESTAMP '1998-01-01'
+    AND l_shipdate > TIMESTAMP '1998-01-01'
+  GROUP BY 1, 2
+)
+SELECT o_orderkey, o_orderpriority, revenue,
+       CAST(row_number() OVER (ORDER BY revenue DESC, o_orderkey ASC) AS INT) AS rk
+FROM rev QUALIFY rk <= 10"""
+
+# TPC-H Q5 shape: local-supplier revenue per nation
+ORACLES["q_tpch_local_supplier"] = """SELECT n_name,
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) + 1e-9, 4) + 0.0 AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE c_nationkey = s_nationkey
+GROUP BY n_name"""

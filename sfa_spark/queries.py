@@ -571,3 +571,66 @@ def q_salted_revenue(spark, sf_dir):
         )
         .select("nationkey", "n_events", rnd("revenue", 4).alias("revenue"))
     )
+
+
+def q_tpch_shipping(spark, sf_dir):
+    """TPC-H Q3 shape (shipping priority): revenue of orders placed
+    before the cutoff whose lineitems shipped after it — orders dim
+    broadcast into the lineitem fact scan, top-10 via
+    TakeOrderedAndProject + the k×k rank join (no global window)."""
+    from sfa_spark.operators.topk import ranked_top_k
+
+    cut = F.lit("1998-01-01").cast("timestamp")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < cut
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate").cast("timestamp") > cut
+    )
+    rev = (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue"),
+        )
+    )
+    return ranked_top_k(
+        rev.select(
+            F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+            "o_orderpriority",
+            rnd("revenue", 4).alias("revenue"),
+        ),
+        [("revenue", True), ("o_orderkey", False)],
+        10,
+    )
+
+
+def q_tpch_local_supplier(spark, sf_dir):
+    """TPC-H Q5 shape (local supplier volume): lineitem ⋈ orders ⋈
+    customer ⋈ supplier ⋈ nation with the customer-nation ==
+    supplier-nation co-location filter — one fact scan, every dim
+    broadcast; revenue per nation."""
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    j = (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(
+            dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+        .select("n_name", rnd("revenue", 4).alias("revenue"), "n_items")
+    )

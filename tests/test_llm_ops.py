@@ -1206,3 +1206,16 @@ def test_ivfpq_incremental_append_equals_bulk(spark, emb_small, tmp_path):
     probed = index.where(F.col("centroid_id").isin([1]))
     plan = probed._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan and "centroid_id" in plan, plan
+
+
+def test_tpch_local_supplier_all_broadcast(spark):
+    """The Q5-shape 5-table join must plan as one fact scan + broadcast
+    hash joins for every dim — no SortMergeJoin, no fact shuffle before
+    the aggregate."""
+    from sfa_spark.queries import q_tpch_local_supplier
+
+    d = q_tpch_local_supplier(spark, "/root/testdata/sf0.001")
+    d.collect()
+    plan = d._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 4, plan
