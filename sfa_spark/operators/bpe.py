@@ -97,6 +97,7 @@ def bpe_fit(
     min_freq: int = 2,
     text_col: str = "text",
     max_vocab: int = 2_000_000,
+    min_count: int = 1,
 ) -> DataFrame:
     """Learn the merge table. Returns (rank int, left string,
     right string) with rank = merge order, a broadcast-sized artifact
@@ -104,11 +105,16 @@ def bpe_fit(
 
     The driver holds the distinct-word dictionary (≤ max_vocab
     entries, ~40 B each → ≤ ~100 MB at the default gate); above the
-    gate, raise it knowingly or pre-restrict the corpus — the merge
-    loop is inherently global-state-per-iteration, so there is no
-    shuffle-parallel form that preserves exact semantics.
+    gate, raise it knowingly or set min_count ≥ 2 — the standard
+    trainer move (SentencePiece/HF default to frequency cutoffs):
+    hapax words are ~half of a web-scale dictionary under Zipf, and
+    the cutoff applies DISTRIBUTEDLY before the collect. The merge
+    loop itself is inherently global-state-per-iteration, so there is
+    no shuffle-parallel form that preserves exact semantics.
     """
     wc = word_counts(docs, text_col=text_col)
+    if min_count > 1:
+        wc = wc.where(F.col("cnt") >= min_count)
     rows = wc.limit(max_vocab + 1).collect()
     assert len(rows) <= max_vocab, (
         f"bpe_fit: distinct words exceed max_vocab={max_vocab}; "

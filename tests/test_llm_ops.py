@@ -1219,3 +1219,25 @@ def test_tpch_local_supplier_all_broadcast(spark):
     plan = d._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("BroadcastHashJoin") >= 4, plan
+
+
+def test_bpe_min_count_prunes_hapax(spark):
+    """min_count drops hapax words from the fit dictionary BEFORE the
+    driver collect; frequent-word merges are unchanged."""
+    from sfa_spark.operators import bpe
+
+    docs = spark.createDataFrame(
+        [(0, " ".join(["sharing"] * 20 + [f"hapax{i}qz" for i in range(30)]))],
+        "doc_id long, text string",
+    )
+    full = [(r["left"], r["right"]) for r in
+            bpe.bpe_fit(docs, n_merges=6, min_freq=1).orderBy("rank").collect()]
+    cut = [(r["left"], r["right"]) for r in
+           bpe.bpe_fit(docs, n_merges=6, min_freq=1, min_count=2)
+           .orderBy("rank").collect()]
+    # with hapax gone, only 'sharing' drives merges: all pairs come
+    # from its character sequence
+    syms = set("sharing") | {"g</w>"}
+    for a, b in cut:
+        assert set(a) <= set("sharing") and (b in syms or set(b) <= syms | {"<", "/", ">", "w"})
+    assert cut != full
