@@ -154,15 +154,25 @@ def bpe_encode(
     closure as a rank dict (n_merges entries). Lowest-rank-first
     pair application per word — the standard BPE encode order, which
     reproduces the fit's final segmentation exactly."""
+    import re
+
     rank_rows = merges.collect()
     ranks = {(r["left"], r["right"]): int(r["rank"]) for r in rank_rows}
+    # Java \s = [ \t\n\x0B\f\r] ONLY — Python str.split() also splits
+    # on unicode whitespace (U+00A0 etc.), which would desynchronize
+    # encode from the fit dictionary built by the JVM-side tokenizer
+    java_ws = re.compile(r"[ \t\n\x0B\f\r]+")
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         memo: dict[str, int] = {}
         for pdf in batches:
             out_words, out_toks = [], []
             for text in pdf["text"]:
-                words = str(text).lower().split() if text is not None else []
+                words = (
+                    [w for w in java_ws.split(str(text).lower()) if w]
+                    if text is not None
+                    else []
+                )
                 total = 0
                 for w in words:
                     n = memo.get(w)

@@ -202,14 +202,23 @@ def bloom_build(
     return words, m_bits
 
 
+# Above this many 64-bit words the bitmap stops inlining as a literal:
+# PySpark builds list literals element-by-element over py4j (~0.15 ms
+# each), so a 2M-word bitmap would take ~5 min of driver time. Larger
+# bitmaps ride a broadcast ONE-ROW frame instead — fixed broadcast
+# cost, no per-element driver work.
+BLOOM_LIT_WORDS_CAP = 4096
+
+
 def bloom_contains(
-    col: Column, words: list[int], m_bits: int, n_hashes: int = 7
+    col: Column, words: list[int] | Column, m_bits: int, n_hashes: int = 7
 ) -> Column:
     """Membership test against a bloom_build() bitmap, as a row-local
-    codegen'd boolean column — no join, no shuffle. The bitmap rides
-    the plan as ONE array<bigint> literal (16 MiB max), the Spark
-    analogue of a broadcast semi-join reduction."""
-    arr = F.lit(words)
+    codegen'd boolean column — no shuffle. `words` is the bitmap as a
+    python list (inlined as one array literal — small bitmaps only,
+    see BLOOM_LIT_WORDS_CAP) or a Column referencing an array<bigint>
+    (the broadcast-frame path used by bloom_prefilter)."""
+    arr = F.lit(words) if isinstance(words, list) else words
     cond = F.lit(True)
     for i in range(n_hashes):
         p = F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m_bits))
@@ -221,6 +230,31 @@ def bloom_contains(
         )
         cond = cond & (word.bitwiseAND(bit) != 0)
     return cond
+
+
+def bloom_prefilter(
+    df: DataFrame,
+    col: str,
+    words: list[int],
+    m_bits: int,
+    n_hashes: int = 7,
+) -> DataFrame:
+    """Keep rows whose `col` MAY be in the bloom set (no false
+    negatives). Small bitmaps inline as a literal; above
+    BLOOM_LIT_WORDS_CAP the bitmap broadcasts as a one-row frame
+    (measured: one-time ~seconds broadcast at the 16 MiB cap,
+    row-count-independent — vs minutes of py4j literal construction)."""
+    if len(words) <= BLOOM_LIT_WORDS_CAP:
+        return df.where(bloom_contains(F.col(col), words, m_bits, n_hashes))
+    bdf = df.sparkSession.createDataFrame(
+        [(words,)], "_bloom_words array<bigint>"
+    )
+    cond = bloom_contains(
+        F.col(col), F.col("_bloom_words"), m_bits, n_hashes
+    )
+    return (
+        df.crossJoin(F.broadcast(bdf)).where(cond).drop("_bloom_words")
+    )
 
 
 def decontaminate(
@@ -261,12 +295,15 @@ def decontaminate(
     )
     probe = cs
     if bloom:
+        # the benchmark shingle set is consumed three times on this
+        # path (bitmap sizing count, probe-position scan, exact verify
+        # join): materialize it once. Eager localCheckpoint = the same
+        # mechanism dedup_groups uses; benchmark-sized, not corpus-sized.
+        bs = bs.localCheckpoint(eager=True)
         words, m_bits = bloom_build(
             bs, "shingle", n_hashes=n_hashes, bits_per_item=bits_per_item
         )
-        probe = cs.where(
-            bloom_contains(F.col("shingle"), words, m_bits, n_hashes)
-        )
+        probe = bloom_prefilter(cs, "shingle", words, m_bits, n_hashes)
     hits = (
         probe.join(bs, "shingle")
         .groupBy("doc_id")

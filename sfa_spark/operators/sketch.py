@@ -91,7 +91,10 @@ def countmin_estimate(
     """Point-query the grid: est(item) = min over d rows of the item's
     bucket counter. The sketch side is d·w rows → broadcast join;
     candidates can be any size. Guarantee: est ≥ true count, with
-    overshoot ≤ 2N/w at probability 1−2^−d."""
+    overshoot ≤ 2N/w at probability 1−2^−d. The grid is sparse (only
+    occupied cells have rows), so the probe is a LEFT join with
+    missing cells read as 0 — an item with any empty cell estimates
+    exactly 0, as CMS semantics require."""
     probes = candidates.select(
         F.col(item_col).alias("item"),
         F.explode(
@@ -108,8 +111,12 @@ def countmin_estimate(
             )
         ).alias("rb"),
     ).select("item", F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
-    joined = probes.join(F.broadcast(sketch), ["row", "bucket"])
-    return joined.groupBy("item").agg(F.min("cnt").alias("cm_est"))
+    joined = probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
+    return joined.groupBy("item").agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("bigint"))).alias(
+            "cm_est"
+        )
+    )
 
 
 HLL_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
@@ -148,7 +155,11 @@ def hll_estimate(registers: DataFrame, m: int = 64) -> DataFrame:
     exist — the standard Flajolet et al. estimator."""
     alpha = HLL_ALPHA.get(m, 0.7213 / (1 + 1.079 / m))
     agg = registers.agg(
-        F.sum(F.pow(F.lit(2.0), -F.col("mx"))).alias("s_seen"),
+        # coalesce: zero register rows (empty input) must estimate 0
+        # via the linear-counting branch, not propagate NULL
+        F.coalesce(
+            F.sum(F.pow(F.lit(2.0), -F.col("mx"))), F.lit(0.0)
+        ).alias("s_seen"),
         F.count(F.lit(1)).alias("n_seen"),
     )
     s = F.col("s_seen") + (F.lit(m) - F.col("n_seen"))  # unseen: 2^-0

@@ -6,11 +6,14 @@ the explicit form for the extreme case it cannot fix: ONE key so hot
 that even a split partition's build/probe for that key exceeds a
 task's memory, or a non-SMJ plan where AQE's splitter does not apply.
 
-Mechanics: every left row gets a deterministic salt in [0, n_salts)
-(xxhash64 of the whole row — any assignment is correct, content-hash
-makes reruns identical); the right side is replicated n_salts× with
-one copy per salt; the join key becomes (key, salt), so a hot key's
-rows spread over n_salts reducers instead of one. Cost: right-side
+Mechanics: every left row gets a salt in [0, n_salts) from its
+per-partition ROW POSITION (monotonically_increasing_id mod n) — any
+assignment is output-correct, and a positional salt spreads even a
+hot key made of IDENTICAL rows, where a content hash would send every
+copy to the same reducer (the exact pathology being mitigated); the
+right side is replicated n_salts× with one copy per salt; the join
+key becomes (key, salt), so a hot key's rows spread over n_salts
+reducers instead of one. Cost: right-side
 volume × n_salts — use when |right| ≪ |left| but too big to
 broadcast (the broadcast join needs no salt at all; groupBy needs
 none either, map-side partial aggregation already bounds reducer
@@ -41,9 +44,9 @@ def salted_join(
     exactly once — only the copy with its own salt survives)."""
     assert how in ("inner", "left"), f"unsupported how={how}"
     right_key = right_key or left_key
-    salt = F.pmod(
-        F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts)
-    ).cast("int")
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).cast(
+        "int"
+    )
     lhs = left.withColumn("_salt", salt)
     rhs = right.withColumn(
         "_salt", F.explode(F.array(*[F.lit(int(i)) for i in range(n_salts)]))

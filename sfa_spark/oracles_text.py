@@ -1114,8 +1114,8 @@ probes AS (
   FROM top, (SELECT unnest([0, 1, 2, 3]) AS i)
 ),
 est AS (
-  SELECT p.token, CAST(min(g.cnt) AS BIGINT) AS cm_est
-  FROM probes p JOIN grid g USING (row, bucket) GROUP BY 1
+  SELECT p.token, CAST(min(coalesce(g.cnt, 0)) AS BIGINT) AS cm_est
+  FROM probes p LEFT JOIN grid g USING (row, bucket) GROUP BY 1
 )
 SELECT t.token, t.true_cnt, e.cm_est, t.rk FROM top t JOIN est e USING (token)"""
 
@@ -1134,7 +1134,7 @@ regs AS (
   SELECT bucket, max(33 - length(ltrim(bin(h2), '0'))) AS mx FROM h GROUP BY 1
 ),
 agg AS (
-  SELECT sum(power(2.0, -mx)) AS s_seen, count(*) AS n_seen FROM regs
+  SELECT coalesce(sum(power(2.0, -mx)), 0.0) AS s_seen, count(*) AS n_seen FROM regs
 ),
 est AS (
   SELECT CASE WHEN (0.709 * 64 * 64) / (s_seen + (64 - n_seen)) <= 160.0

@@ -33,23 +33,34 @@ def read_documents_jsonl(
     clean: rows matching the schema, typed. quarantine: one string
     column ``raw`` per malformed line (bad JSON, or JSON whose types
     conflict with the schema). A row is quarantined — not silently
-    null-padded — whenever Spark captured its raw text.
+    null-padded — whenever the parser captured its raw text.
+
+    Implementation: a TEXT scan + ``from_json`` with a corrupt-record
+    field, not ``spark.read.json``. Same parser, same PERMISSIVE
+    semantics, but it sidesteps the engine's
+    QUERY_ONLY_CORRUPT_RECORD_COLUMN restriction — whose documented
+    workaround is caching the parsed frame, a storage-memory leak for
+    a library function. Blank lines are skipped, as the JSON source
+    does.
     """
-    df = (
-        spark.read.schema(f"{schema}, {_CR} string")
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", _CR)
-        .json(path)
-        # Spark forbids querying ONLY the corrupt column off a raw
-        # JSON scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — the engine's
-        # own prescription is to cache the parsed frame. At 100 TB,
-        # persist the parse to parquet once instead and split there.
-        .cache()
+    lines = spark.read.text(path).where(
+        F.length(F.trim(F.col("value"))) > 0
     )
-    clean = df.where(F.col(_CR).isNull()).drop(_CR)
-    quarantine = df.where(F.col(_CR).isNotNull()).select(
-        F.col(_CR).alias("raw")
+    parsed = lines.select(
+        F.col("value"),
+        F.from_json(
+            F.col("value"),
+            f"{schema}, {_CR} string",
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": _CR},
+        ).alias("j"),
     )
+    field_names = [f.strip().split()[0] for f in schema.split(",")]
+    clean = parsed.where(
+        F.col("j").isNotNull() & F.col(f"j.{_CR}").isNull()
+    ).select(*[F.col(f"j.{n}").alias(n) for n in field_names])
+    quarantine = parsed.where(
+        F.col("j").isNull() | F.col(f"j.{_CR}").isNotNull()
+    ).select(F.col("value").alias("raw"))
     return clean, quarantine
 
 

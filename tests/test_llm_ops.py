@@ -1241,3 +1241,80 @@ def test_bpe_min_count_prunes_hapax(spark):
     for a, b in cut:
         assert set(a) <= set("sharing") and (b in syms or set(b) <= syms | {"<", "/", ">", "w"})
     assert cut != full
+
+
+def test_countmin_unseen_candidate_estimates_zero(spark):
+    """A candidate that never occurred must estimate 0 (empty cell ⇒
+    true count 0), not be dropped or inherit collision counts."""
+    from sfa_spark.operators import sketch
+
+    items = spark.createDataFrame([("a",), ("b",), ("a",)], "token string")
+    grid = sketch.countmin_build(items, "token", depth=4, width=64)
+    cand = spark.createDataFrame(
+        [("a",), ("never-seen-item",)], "token string"
+    )
+    est = {r["item"]: r["cm_est"] for r in
+           sketch.countmin_estimate(cand, grid, "token", depth=4, width=64).collect()}
+    assert est["a"] == 2
+    assert est["never-seen-item"] == 0
+
+
+def test_hll_empty_input_estimates_zero(spark):
+    from sfa_spark.operators import sketch
+
+    empty = spark.createDataFrame([], "token string")
+    regs = sketch.hll_registers(empty, "token", m=64)
+    est = sketch.hll_estimate(regs, m=64).collect()[0]["n_hll"]
+    assert est == 0.0
+
+
+def test_bloom_prefilter_frame_path_matches_literal(spark, monkeypatch):
+    """Above BLOOM_LIT_WORDS_CAP the bitmap rides a broadcast one-row
+    frame; forced low, the frame path must keep the same rows as the
+    literal path."""
+    from pyspark.sql import functions as F
+
+    from sfa_spark.operators import corpus
+    from sfa_spark.operators.text import shingles
+
+    bench = spark.createDataFrame(
+        [(100 + i, f"sentence number {i} of the benchmark set") for i in range(8)],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [(0, "sentence number 3 of the benchmark set copied")]
+        + [(i, f"novel training text {i} nothing shared {i * 3}") for i in range(1, 20)],
+        "doc_id long, text string",
+    )
+    bs = shingles(bench).select("shingle").distinct()
+    words, m_bits = corpus.bloom_build(bs, "shingle")
+    cs = shingles(train)
+    lit_rows = sorted(
+        tuple(r)
+        for r in corpus.bloom_prefilter(cs, "shingle", words, m_bits).collect()
+    )
+    monkeypatch.setattr(corpus, "BLOOM_LIT_WORDS_CAP", 1)
+    frame_rows = sorted(
+        tuple(r)
+        for r in corpus.bloom_prefilter(cs, "shingle", words, m_bits).collect()
+    )
+    assert lit_rows == frame_rows and len(lit_rows) > 0
+
+
+def test_salted_join_spreads_identical_rows(spark):
+    """A hot key made of IDENTICAL rows must still spread across salts
+    (the content-hash pathology): with 200 identical rows and 4 salts,
+    every salt bucket must be hit."""
+    from pyspark.sql import functions as F
+
+    from sfa_spark.operators import skew
+
+    left = spark.createDataFrame([(7, 1.0)] * 200, "k long, v double")
+    salted = left.withColumn(
+        "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(4)).cast("int")
+    )
+    n_buckets = salted.select("_salt").distinct().count()
+    assert n_buckets == 4
+    right = spark.createDataFrame([(7, "x")], "k long, name string")
+    got = skew.salted_join(left, right, "k", n_salts=4).collect()
+    assert len(got) == 200 and all(r["name"] == "x" for r in got)
