@@ -1,0 +1,66 @@
+"""Physical-plan audit: execute each audited query at a small SF and
+count the plan operators that matter at 100 TB — shuffle Exchanges,
+join strategies, windows, Python boundaries.
+
+Usage: python tools/plan_audit.py [sf_dir] [query ...]
+Writes a markdown table to stdout; redirect into PLAN_AUDIT.md to
+record a round's plan shapes. A regression shows up as a diff in the
+counts (e.g. a new Exchange on a formerly shuffle-free query) without
+anyone having to eyeball full plan dumps.
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+
+# the bench headliners plus this round's scale-pattern queries
+DEFAULT = [
+    "q_bag_topk", "q_sfa_words", "q_boss_1nn", "q_tfidf_fit",
+    "q_tfidf_predict", "q_word_bigrams", "q_mft_sliding",
+    "q_sfa_words_dft", "q_dedup_exact", "q_jaccard_topk", "q_lsh_pairs",
+    "q_cosine_topk", "q_cosine_ivf", "q_bloom_decontaminate",
+    "q_countmin_tokens", "q_hll_distinct", "q_salted_revenue",
+    "q_tpch_shipping", "q_tpch_local_supplier", "q_semantic_dedup",
+    "q_ivfpq_ann", "q_decontaminate",
+]
+
+MARKS = [
+    ("shuffles", "Exchange hashpartitioning"),
+    ("bcast_join", "BroadcastHashJoin"),
+    ("smj", "SortMergeJoin"),
+    ("bnlj", "BroadcastNestedLoopJoin"),
+    ("window", "Window"),
+    ("python", "InPandas"),
+]
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    names = sys.argv[2:] or DEFAULT
+
+    import __spark_entry__ as E
+    from sfa_spark.session import get_spark
+
+    spark = get_spark("plan-audit")
+    qs = E.queries()
+    print(f"# Plan audit at {sf_dir}\n")
+    print("| query | " + " | ".join(m for m, _ in MARKS) + " |")
+    print("|---|" + "---|" * len(MARKS))
+    for name in names:
+        if name not in qs:
+            continue
+        try:
+            d = qs[name](spark, sf_dir)
+            d.count()  # materialize so AQE's final plan is inspected
+            plan = d._jdf.queryExecution().executedPlan().toString()
+            counts = [plan.count(pat) for _, pat in MARKS]
+            print(f"| {name} | " + " | ".join(str(c) for c in counts) + " |")
+        except Exception as exc:  # noqa: BLE001 — audit must not abort on one query
+            print(f"| {name} | ERROR: {str(exc)[:60]} |")
+        sys.stdout.flush()
+
+
+if __name__ == "__main__":
+    main()
