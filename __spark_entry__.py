@@ -60,6 +60,7 @@ ROTATE_FIRST = [
     "q_bloom_decontaminate", "q_stream_attribution",
     "q_countmin_tokens", "q_hll_distinct", "q_salted_revenue",
     "q_jsonl_roundtrip", "q_tpch_shipping", "q_tpch_local_supplier",
+    "q_stream_hll_distinct",
     # (a00) added late in r4: retention cohorts, RAG chunking, JL
     # projection, ANN recall-eval
     "q_retention", "q_doc_chunks", "q_random_projection", "q_ann_recall",
@@ -78,10 +79,10 @@ ROTATE_FIRST = [
     "q_embed_clusters", "q_cluster_balanced_sample", "q_pq_ann", "q_ivfpq_ann",
     # (c) r2-only coverage, oldest first
     "q_bm25_search", "q_corpus_filter", "q_cosine_ivf", "q_cosine_kmeans",
-    "q_cosine_multiprobe", "q_cosine_topk", "q_dedup_exact", "q_dedup_groups",
+    "q_cosine_multiprobe", "q_cosine_topk", "q_dedup_exact",
     # (gate is exactly 50; q_hash_sample / q_hash_top_n / q_lang_id /
     # q_lsh_pairs / q_jaccard_topk / q_fingerprint / q_domain_cap /
-    # q_embed_neardup newly demoted to make room for the eight (a000)
+    # q_embed_neardup / q_dedup_groups newly demoted for the nine (a000)
     # additions, alongside q_simhash /
     # q_sq_ann / q_stratified_sample / q_token_estimate / q_pii_stats /
     # q_quality / q_sessionize / q_ngram_topk / q_minhash_signatures /

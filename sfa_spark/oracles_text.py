@@ -1151,3 +1151,7 @@ SELECT (SELECT CAST(count(DISTINCT token) AS BIGINT) FROM t) AS n_exact,
 ORACLES["q_jsonl_roundtrip"] = f"""SELECT doc_id, lang,
        CAST(len({_TOKS}) AS BIGINT) AS n_tokens
 FROM documents"""
+
+# streaming HLL: registers are a commutative monoid, so the stream
+# reproduces the batch registers exactly — same oracle
+ORACLES["q_stream_hll_distinct"] = ORACLES["q_hll_distinct"]

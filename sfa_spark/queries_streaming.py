@@ -210,3 +210,45 @@ def q_stream_attribution(spark, sf_dir):
         F.col("gap_us").cast("bigint").alias("gap_us"),
         rnd("value", 4).alias("value"),
     )
+
+
+def q_stream_hll_distinct(spark, sf_dir):
+    """HyperLogLog over a document STREAM: the batch hll_registers
+    aggregate runs on the stream UNCHANGED (max-per-bucket is a
+    commutative monoid — order- and batching-insensitive), so the
+    streaming registers equal the batch ones exactly and the query
+    shares q_hll_distinct's SQL oracle. The bounded-memory streaming
+    cardinality pass: state = m registers, regardless of stream
+    length."""
+    from sfa_spark.operators import sketch
+    from sfa_spark.operators.text import with_tokens
+
+    src = tempfile.mkdtemp(prefix="sfa_shll_src_")
+    shutil.copy(f"{sf_dir}/documents.parquet", f"{src}/documents.parquet")
+    name = f"shll_{uuid.uuid4().hex[:8]}"
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    toks = (
+        with_tokens(stream)
+        .select(F.explode("toks").alias("token"))
+        .where(F.length("token") > 0)
+    )
+    q = (
+        sketch.hll_registers(toks, "token", m=64)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    est = sketch.hll_estimate(spark.table(name), m=64)
+    exact = (
+        with_tokens(spark.read.parquet(src))
+        .select(F.explode("toks").alias("token"))
+        .where(F.length("token") > 0)
+        .agg(F.countDistinct("token").cast("bigint").alias("n_exact"))
+    )
+    return exact.crossJoin(est).select(
+        "n_exact", rnd("n_hll", 4).alias("n_hll")
+    )

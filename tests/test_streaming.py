@@ -655,3 +655,52 @@ def test_stream_dedup_checkpoint_recovery_exactly_once(spark, tmp_path):
     # state recovered: 3 ("alpha doc") and 5 ("beta doc") are dups of
     # pre-restart docs and must be suppressed; 4 is new
     assert set(ids) == {0, 1, 4}
+
+
+def test_stream_sketches_equal_batch_across_microbatches(spark, tmp_path):
+    """The batch sketch aggregates (HLL registers, Count-Min grid) run
+    on a stream UNCHANGED and must produce bit-identical state across
+    micro-batch splits — max/sum per key are commutative monoids."""
+    from pyspark.sql import functions as F
+
+    from sfa_spark.operators import sketch
+
+    rows = [(i, f"tok{i % 57} tok{i % 31} tok{i}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    src = tmp_path / "docs"
+    src.mkdir()
+    import glob
+    import shutil
+
+    for name, half in (("a", "doc_id < 100"), ("b", "doc_id >= 100")):
+        out = tmp_path / f"_{name}"
+        df.where(half).coalesce(1).write.parquet(str(out))
+        shutil.copy(glob.glob(str(out / "part-*.parquet"))[0],
+                    str(src / f"{name}.parquet"))
+
+    def tokens(d):
+        return d.select(
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token")
+        ).where(F.length("token") > 0)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    for qname, agg_fn in (
+        ("shll_t", lambda d: sketch.hll_registers(d, "token", m=32)),
+        ("scms_t", lambda d: sketch.countmin_build(d, "token", depth=2, width=64)),
+    ):
+        q = (
+            agg_fn(tokens(stream))
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(tuple(r) for r in spark.table(qname).collect())
+        want = sorted(tuple(r) for r in agg_fn(tokens(df)).collect())
+        assert got == want and len(got) > 0, qname
