@@ -111,6 +111,42 @@ def domain_cap(
     )
 
 
+def split_assign(
+    df: DataFrame,
+    key_col: str,
+    splits: list[tuple[str, float]],
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row gets a named
+    split from an ordered (name, fraction) list partitioning [0, 1)
+    by its key's hash unit (last split takes the remainder, so the
+    fractions need not sum to exactly 1.0 under float error).
+
+    Properties that matter for a 100 TB corpus and that `df.sample`/
+    `randomSplit` cannot give: (a) the assignment is a pure row-local
+    projection — no shuffle, no RNG state, survives repartitioning and
+    re-runs bit-for-bit; (b) it is stable under corpus growth — a
+    document keeps its split forever because only its own key hashes,
+    which is what keeps eval sets uncontaminated across dataset
+    versions; (c) any engine with md5 reproduces it (the DuckDB oracle
+    runs the same CASE ladder). Disjoint salts give independent
+    re-splits.
+    """
+    assert splits and abs(sum(f for _, f in splits) - 1.0) < 1e-9, (
+        "splits must be (name, fraction) pairs summing to 1.0"
+    )
+    h = _hash_unit(key_col, salt)
+    expr = F.lit(splits[-1][0])  # remainder bucket
+    cum = 0.0
+    conds = []
+    for name, frac in splits[:-1]:
+        cum += frac
+        conds.append((cum, name))
+    for cum, name in reversed(conds):
+        expr = F.when(h < F.lit(cum), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
 def hash_top_n(df: DataFrame, key_col: str, n: int, salt: str = "s") -> DataFrame:
     """Exactly-n deterministic sample: the n rows with the smallest
     key hashes. Plans as TakeOrderedAndProject (parallel partial

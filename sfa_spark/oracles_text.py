@@ -1155,3 +1155,12 @@ FROM documents"""
 # streaming HLL: registers are a commutative monoid, so the stream
 # reproduces the batch registers exactly — same oracle
 ORACLES["q_stream_hll_distinct"] = ORACLES["q_hll_distinct"]
+
+
+_SPLIT_HUNIT = "(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0)"
+
+ORACLES["q_split_assign"] = f"""SELECT doc_id, lang,
+  CASE WHEN {_SPLIT_HUNIT} < 0.8 THEN 'train'
+       WHEN {_SPLIT_HUNIT} < 0.9 THEN 'val'
+       ELSE 'test' END AS split
+FROM documents"""

@@ -660,3 +660,17 @@ def q_jsonl_roundtrip(spark, sf_dir):
     return with_tokens(clean).select(
         "doc_id", "lang", F.size("toks").cast("bigint").alias("n_tokens")
     )
+
+
+def q_split_assign(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test assignment per document —
+    hash-gated so the split survives re-runs, repartitioning, and
+    corpus growth (a doc never migrates between eval and train across
+    dataset versions). Zero-shuffle row-local projection."""
+    from sfa_spark.operators import sample
+
+    return sample.split_assign(
+        _docs(spark, sf_dir).select("doc_id", "lang"),
+        "doc_id",
+        [("train", 0.8), ("val", 0.1), ("test", 0.1)],
+    )

@@ -1318,3 +1318,41 @@ def test_salted_join_spreads_identical_rows(spark):
     right = spark.createDataFrame([(7, "x")], "k long, name string")
     got = skew.salted_join(left, right, "k", n_salts=4).collect()
     assert len(got) == 200 and all(r["name"] == "x" for r in got)
+
+
+def test_split_assign_stable_partition_and_growth(spark):
+    """Assignment covers every row, hits the nominal rates, ignores
+    layout, and is growth-stable: a doc's split never changes when the
+    corpus doubles (eval-set contamination guard across versions)."""
+    from sfa_spark.operators import sample
+
+    splits = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    docs = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = {
+        r["doc_id"]: r["split"]
+        for r in sample.split_assign(docs, "doc_id", splits).collect()
+    }
+    assert len(a) == 2000 and set(a.values()) == {"train", "val", "test"}
+    n_train = sum(1 for v in a.values() if v == "train")
+    assert 0.74 < n_train / 2000 < 0.86
+    b = {
+        r["doc_id"]: r["split"]
+        for r in sample.split_assign(
+            docs.repartition(7), "doc_id", splits
+        ).collect()
+    }
+    assert a == b  # layout-independent
+    grown = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+    g = {
+        r["doc_id"]: r["split"]
+        for r in sample.split_assign(grown, "doc_id", splits).collect()
+    }
+    assert all(g[k] == v for k, v in a.items())  # growth-stable
+    # row-local: the plan has no Exchange
+    plan = (
+        sample.split_assign(docs, "doc_id", splits)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
