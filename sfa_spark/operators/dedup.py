@@ -443,3 +443,78 @@ def semantic_dedup(
             F.coalesce("_dup", F.lit(1)).cast("int").alias("kept"),
         )
     )
+
+
+def line_dedup(
+    docs: DataFrame,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str | None = "\n",
+    token_window: int | None = None,
+    keep: str = "first",
+) -> DataFrame:
+    """CCNet-style line-level dedup (Wenzek et al. 2020 §3.1): split
+    every document into units, drop each unit occurrence that
+    duplicates one appearing earlier in the corpus, and reassemble the
+    surviving text. This is the boilerplate-removal pass (headers,
+    cookie banners, nav menus repeat VERBATIM across pages, so exact
+    unit hashing catches what document-level near-dup cannot: the
+    duplicated PARTS of otherwise-distinct documents).
+
+    Units are either separator lines (`sep`, the CCNet original) or
+    disjoint `token_window`-sized word windows for corpora without
+    line structure. `keep="first"` retains the globally first
+    occurrence (corpus order = (doc_id, pos) — deterministic, layout-
+    independent); `keep="unique"` drops ALL occurrences of any
+    repeated unit (the aggressive variant).
+
+    Output: (doc_col, n_units, n_kept, dedup_text).
+
+    Scale shape: two keyed shuffles and nothing else — one Exchange on
+    the unit hash (count + winner via a single window pass; hot units
+    are exactly Zipf boilerplate → AQE skew handles them), one Exchange
+    on doc_col to reassemble. No join, no doc×doc pairs; state per
+    unit is O(1). At 100 TB the unit-hash aggregation is the same
+    shape as the exact-dedup groupBy.
+    """
+    assert keep in ("first", "unique")
+    if token_window:
+        toks = F.split(F.col(text_col), " ")
+        w = int(token_window)
+        nseg = F.ceil(F.size(toks) / F.lit(w)).cast("int")
+        units = F.transform(
+            F.sequence(F.lit(0), nseg - F.lit(1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i * w + 1, w)),
+        )
+    else:
+        units = F.split(F.col(text_col), sep)
+    ex = docs.select(doc_col, F.posexplode(units).alias("pos", "unit"))
+    uw = Window.partitionBy("unit")
+    ex = ex.withColumn(
+        "_min_occ", F.min(F.struct(doc_col, "pos")).over(uw)
+    ).withColumn("_cnt", F.count(F.lit(1)).over(uw))
+    if keep == "first":
+        kept_flag = F.col("_min_occ") == F.struct(doc_col, "pos")
+    else:
+        kept_flag = F.col("_cnt") == 1
+    return (
+        ex.withColumn("_keep", kept_flag)
+        .groupBy(doc_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_units"),
+            F.sum(F.col("_keep").cast("long")).cast("bigint").alias("n_kept"),
+            F.concat_ws(
+                " " if token_window else (sep or "\n"),
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_keep"), F.struct("pos", "unit")
+                            )
+                        )
+                    ),
+                    lambda s: s["unit"],
+                ),
+            ).alias("dedup_text"),
+        )
+    )

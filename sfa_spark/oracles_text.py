@@ -1164,3 +1164,30 @@ ORACLES["q_split_assign"] = f"""SELECT doc_id, lang,
        WHEN {_SPLIT_HUNIT} < 0.9 THEN 'val'
        ELSE 'test' END AS split
 FROM documents"""
+
+
+# q_line_dedup: same segmentation (disjoint 10-token windows over the
+# ' '-split tokens), same keep-first rule (global (doc_id, pos) order),
+# same reassembly (' '-joined kept units in position order)
+ORACLES["q_line_dedup"] = """WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+w AS (
+  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS idx
+  FROM t
+),
+u AS (
+  SELECT doc_id, CAST((idx - 1) // 10 AS INT) AS pos,
+         string_agg(tok, ' ' ORDER BY idx) AS unit
+  FROM w GROUP BY doc_id, CAST((idx - 1) // 10 AS INT)
+),
+k AS (
+  SELECT doc_id, pos, unit,
+         row_number() OVER (PARTITION BY unit ORDER BY doc_id, pos) = 1 AS keep
+  FROM u
+)
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_units,
+  CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+  coalesce(string_agg(unit, ' ' ORDER BY pos) FILTER (WHERE keep), '') AS dedup_text
+FROM k GROUP BY doc_id"""

@@ -674,3 +674,17 @@ def q_split_assign(spark, sf_dir):
         "doc_id",
         [("train", 0.8), ("val", 0.1), ("test", 0.1)],
     )
+
+
+def q_line_dedup(spark, sf_dir):
+    """CCNet-style boilerplate removal: corpus-wide exact dedup of
+    disjoint 10-token segments, keeping each repeated segment's first
+    occurrence and reassembling the surviving text. Catches the
+    duplicated PARTS of otherwise-distinct documents that doc-level
+    dedup misses."""
+    from sfa_spark.operators import dedup
+
+    return dedup.line_dedup(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        token_window=10,
+    )

@@ -1356,3 +1356,40 @@ def test_split_assign_stable_partition_and_growth(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_line_dedup_boilerplate_removal(spark):
+    """Repeated boilerplate lines vanish everywhere but their first
+    corpus occurrence; unique lines survive; keep='unique' drops all
+    copies including the first. Plan: two keyed Exchanges, no join."""
+    from sfa_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "COOKIE BANNER\nreal content one\nNAV MENU"),
+            (2, "COOKIE BANNER\nreal content two\nNAV MENU"),
+            (3, "NAV MENU\nunique thought"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.line_dedup(docs, sep="\n").collect()
+    }
+    assert out[1]["dedup_text"] == "COOKIE BANNER\nreal content one\nNAV MENU"
+    assert out[2]["dedup_text"] == "real content two"  # both banners gone
+    assert out[3]["dedup_text"] == "unique thought"
+    assert (out[2]["n_units"], out[2]["n_kept"]) == (3, 1)
+    uniq = {
+        r["doc_id"]: r["dedup_text"]
+        for r in dedup.line_dedup(docs, sep="\n", keep="unique").collect()
+    }
+    assert uniq[1] == "real content one"  # first copies dropped too
+    assert uniq[3] == "unique thought"
+    plan = (
+        dedup.line_dedup(docs, sep="\n")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 2 and "Join" not in plan
