@@ -874,3 +874,20 @@ JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation   ON c_nationkey = n_nationkey
 WHERE c_nationkey = s_nationkey
 GROUP BY n_name"""
+
+
+# q_json_props: same explicit-schema extraction (json_extract_string →
+# INT), same decimal-summed conditional aggregate, same rnd() mirror
+ORACLES["q_json_props"] = """WITH p AS (
+  SELECT event_type, value,
+         CAST(json_extract_string(props, '$.k') AS INT) AS k
+  FROM events
+)
+SELECT event_type,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+  CAST(count(DISTINCT k) AS BIGINT) AS n_k,
+  round(avg(k) + 1e-9, 4) + 0.0 AS avg_k,
+  CAST(sum(CASE WHEN k >= 50 THEN CAST(value AS DECIMAL(18,6))
+               ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS hi_value
+FROM p GROUP BY event_type"""

@@ -634,3 +634,27 @@ def q_tpch_local_supplier(spark, sf_dir):
         )
         .select("n_name", rnd("revenue", 4).alias("revenue"), "n_items")
     )
+
+
+def q_json_props(spark, sf_dir):
+    """Semi-structured extraction: parse the events `props` JSON column
+    with an EXPLICIT schema (`from_json` — no inference pass, malformed
+    rows become NULL instead of failing the job) and aggregate the
+    extracted field. The scale-safe pattern for JSON payload columns:
+    schema-on-read stays a row-local projection, the whole plan is one
+    map-side-combinable groupBy."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.withColumn("_p", F.from_json("props", "k INT"))
+    return p.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.col("_p.k").isNull().cast("long")).cast("bigint").alias("n_bad"),
+        F.countDistinct("_p.k").cast("bigint").alias("n_k"),
+        rnd(F.avg("_p.k")).alias("avg_k"),
+        F.sum(
+            F.when(F.col("_p.k") >= 50, F.col("value"))
+            .otherwise(F.lit(0.0))
+            .cast("decimal(18,6)")
+        )
+        .cast("double")
+        .alias("hi_value"),
+    )

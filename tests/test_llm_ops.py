@@ -1393,3 +1393,29 @@ def test_line_dedup_boilerplate_removal(spark):
         .toString()
     )
     assert plan.count("Exchange") == 2 and "Join" not in plan
+
+
+def test_json_props_malformed_rows_quarantine_not_fail(spark):
+    """Explicit-schema from_json: malformed payloads become NULL (and
+    are counted), never a job failure; valid rows extract normally."""
+    from pyspark.sql import functions as F
+
+    ev = spark.createDataFrame(
+        [
+            (1, "a", 10.0, '{"k": 60}'),
+            (2, "a", 5.0, "not json at all"),
+            (3, "a", 2.0, '{"k": 10}'),
+        ],
+        "event_id long, event_type string, value double, props string",
+    )
+    p = ev.withColumn("_p", F.from_json("props", "k INT"))
+    row = (
+        p.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("_p.k").isNull().cast("long")).alias("n_bad"),
+            F.sum(F.when(F.col("_p.k") >= 50, F.col("value")).otherwise(0.0)).alias("hi"),
+        )
+        .collect()[0]
+    )
+    assert (row["n"], row["n_bad"], row["hi"]) == (3, 1, 10.0)
