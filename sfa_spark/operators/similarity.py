@@ -978,3 +978,56 @@ def ivfpq_append(
 def ivfpq_read(spark, path: str) -> DataFrame:
     """Scan of the on-disk index, partition-prunable on centroid_id."""
     return spark.read.parquet(path)
+
+
+def hard_negatives(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Hard-negative mining for contrastive / retrieval training: for
+    each query, the k corpus vectors MOST similar by cosine that carry
+    a DIFFERENT label (same-label rows are positives, not negatives —
+    mining them would poison the loss). Output: (q_id, q_label,
+    neg_id, neg_label, cosine, rk).
+
+    Exact top-k via the same broadcast-query scan as cosine_topk (the
+    corpus is read once; the label filter prunes pairs before scoring
+    so positives never reach the window). At 100 TB swap the exact
+    scan for the IVF probe: ivf_assign both sides, join on
+    centroid_id, apply the same label filter — identical downstream
+    ranking, candidates ∝ list size."""
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("q_id"),
+        F.col(label_col).alias("q_label"),
+        _as_double(F.col(vec_col)).alias("qv"),
+        F.col("norm").alias("qn"),
+    )
+    c = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("neg_id"),
+        F.col(label_col).alias("neg_label"),
+        _as_double(F.col(vec_col)).alias("cv"),
+        F.col("norm").alias("cn"),
+    )
+    pairs = c.crossJoin(F.broadcast(q)).where(
+        (F.col("q_id") != F.col("neg_id"))
+        & (F.col("q_label") != F.col("neg_label"))
+    )
+    scored = pairs.select(
+        "q_id",
+        "q_label",
+        "neg_id",
+        "neg_label",
+        (dot_expr(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("neg_id").asc()
+    )
+    return scored.withColumn("rk", F.row_number().over(w).cast("int")).where(
+        F.col("rk") <= k
+    )

@@ -1191,3 +1191,23 @@ SELECT doc_id,
   CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
   coalesce(string_agg(unit, ' ' ORDER BY pos) FILTER (WHERE keep), '') AS dedup_text
 FROM k GROUP BY doc_id"""
+
+
+ORACLES["q_hard_negatives"] = """WITH nl AS (
+  SELECT vec_id, label, embedding,
+         sqrt((SELECT sum(embedding[i]::DOUBLE * embedding[i]::DOUBLE)
+               FROM generate_series(1, 64) t(i))) AS nrm
+  FROM embeddings
+),
+pairs AS (
+  SELECT q.vec_id AS q_id, q.label AS q_label,
+         c.vec_id AS neg_id, c.label AS neg_label,
+         (SELECT sum(q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)
+          FROM generate_series(1, 64) t(i)) / (q.nrm * c.nrm) AS cosine
+  FROM nl q CROSS JOIN nl c
+  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id AND q.label <> c.label
+)
+SELECT q_id, q_label, neg_id, neg_label,
+       round(cosine + 1e-9, 4) + 0.0 AS cosine,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neg_id ASC) AS INT) AS rk
+FROM pairs QUALIFY rk <= 5"""

@@ -688,3 +688,17 @@ def q_line_dedup(spark, sf_dir):
         _docs(spark, sf_dir).select("doc_id", "text"),
         token_window=10,
     )
+
+
+def q_hard_negatives(spark, sf_dir):
+    """Contrastive-training hard-negative mining: per query vector,
+    the 5 most-cosine-similar embeddings with a DIFFERENT label
+    (same-label rows are positives and are excluded before ranking)."""
+    emb = _emb(spark, sf_dir)
+    res = similarity.hard_negatives(
+        emb.where(F.col("vec_id") < COS_QUERIES), emb, k=COS_K
+    )
+    return res.select(
+        "q_id", "q_label", "neg_id", "neg_label",
+        rnd("cosine", 4).alias("cosine"), "rk",
+    )

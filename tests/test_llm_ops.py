@@ -1419,3 +1419,23 @@ def test_json_props_malformed_rows_quarantine_not_fail(spark):
         .collect()[0]
     )
     assert (row["n"], row["n_bad"], row["hi"]) == (3, 1, 10.0)
+
+
+def test_hard_negatives_excludes_positives_and_ranks(spark):
+    from sfa_spark.operators import similarity
+
+    rows = [
+        (0, [1.0, 0.0], 0),   # query
+        (1, [0.99, 0.14], 0),  # nearest overall but SAME label → excluded
+        (2, [0.9, 0.44], 1),   # hardest negative
+        (3, [0.0, 1.0], 1),    # easy negative
+        (4, [0.7, 0.71], 2),   # middle negative
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    got = similarity.hard_negatives(
+        emb.where("vec_id = 0"), emb, k=3
+    ).collect()
+    assert [r["neg_id"] for r in sorted(got, key=lambda r: r["rk"])] == [2, 4, 3]
+    assert all(r["neg_label"] != r["q_label"] for r in got)
