@@ -1211,3 +1211,8 @@ SELECT q_id, q_label, neg_id, neg_label,
        round(cosine + 1e-9, 4) + 0.0 AS cosine,
        CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neg_id ASC) AS INT) AS rk
 FROM pairs QUALIFY rk <= 5"""
+
+
+# streaming Count-Min: per-cell sums are a commutative monoid — the
+# stream reproduces the batch grid exactly, so the oracle is shared
+ORACLES["q_stream_countmin"] = ORACLES["q_countmin_tokens"]

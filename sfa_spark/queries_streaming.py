@@ -252,3 +252,53 @@ def q_stream_hll_distinct(spark, sf_dir):
     return exact.crossJoin(est).select(
         "n_exact", rnd("n_hll", 4).alias("n_hll")
     )
+
+
+def q_stream_countmin(spark, sf_dir):
+    """Count-Min grid built ON A STREAM: the batch countmin_build
+    aggregate (per-cell sum) is a commutative monoid, so complete-mode
+    streaming reproduces the batch grid bit-for-bit and the query
+    shares q_countmin_tokens' SQL oracle. This is the bounded-memory
+    streaming heavy-hitter pass: state = d×w counters regardless of
+    stream length."""
+    from sfa_spark.operators import sketch
+    from sfa_spark.operators.text import with_tokens
+    from sfa_spark.operators.topk import ranked_top_k
+    from sfa_spark.queries_text import CM_DEPTH, CM_WIDTH
+
+    src = tempfile.mkdtemp(prefix="sfa_scm_src_")
+    shutil.copy(f"{sf_dir}/documents.parquet", f"{src}/documents.parquet")
+    name = f"scm_{uuid.uuid4().hex[:8]}"
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    stoks = (
+        with_tokens(stream)
+        .select(F.explode("toks").alias("token"))
+        .where(F.length("token") > 0)
+    )
+    q = (
+        sketch.countmin_build(stoks, "token", depth=CM_DEPTH, width=CM_WIDTH)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    grid = spark.table(name)
+    toks = (
+        with_tokens(spark.read.parquet(src))
+        .select(F.explode("toks").alias("token"))
+        .where(F.length("token") > 0)
+    )
+    true = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_cnt")
+    )
+    top = ranked_top_k(true, [("true_cnt", True), ("token", False)], 20)
+    est = sketch.countmin_estimate(
+        top, grid, "token", depth=CM_DEPTH, width=CM_WIDTH
+    )
+    return top.join(est, top["token"] == est["item"]).select(
+        top["token"], "true_cnt",
+        F.col("cm_est").cast("bigint").alias("cm_est"), "rk",
+    )
