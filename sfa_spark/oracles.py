@@ -891,3 +891,8 @@ SELECT event_type,
   CAST(sum(CASE WHEN k >= 50 THEN CAST(value AS DECIMAL(18,6))
                ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS hi_value
 FROM p GROUP BY event_type"""
+
+
+# streaming upsert sink: incremental max_by merges are associative —
+# the final state equals the batch compaction, so the oracle is shared
+ORACLES["q_stream_latest_state"] = ORACLES["q_latest_state"]

@@ -302,3 +302,32 @@ def q_stream_countmin(spark, sf_dir):
         top["token"], "true_cnt",
         F.col("cm_est").cast("bigint").alias("cm_est"), "rk",
     )
+
+
+def q_stream_latest_state(spark, sf_dir):
+    """Latest-state table maintained INCREMENTALLY by the foreachBatch
+    upsert sink: the events changelog arrives over four micro-batches
+    (maxFilesPerTrigger=1) and each batch MERGEs into the live state
+    parquet (compact delta → max_by merge → atomic swap). The final
+    state must equal the batch changelog compaction, so it shares
+    q_latest_state's SQL oracle."""
+    from sfa_spark.sources.events import load_table
+    from sfa_spark.streaming import sinks
+
+    ev = load_table(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="sfa_upsert_src_")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    state_dir = tempfile.mkdtemp(prefix="sfa_upsert_state_")
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = sinks.upsert_latest(stream, state_dir)
+    q.awaitTermination(300)
+    st = sinks.read_state(spark, state_dir)
+    return st.select(
+        "user_id", "event_id", "ts", "event_type",
+        rnd("value", 4).alias("value"), "n_versions",
+    )
