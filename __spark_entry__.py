@@ -51,6 +51,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # prep). q_muse_predict_full (~270 s at sf0.01) stays out of the gate
 # by design — rows-only, certified by the PenDigits golden.
 ROTATE_FIRST = [
+    # (a0000) added in the last r4 session: the deterministic
+    # train/val/test split, CCNet line-level dedup, JSON-props
+    # analytics, hard-negative mining, the streaming Count-Min grid,
+    # and the foreachBatch upsert sink
+    "q_split_assign", "q_line_dedup", "q_json_props", "q_hard_negatives",
+    "q_stream_countmin", "q_stream_latest_state",
     # (a000) added in the final r4 session: bloom-prefiltered
     # decontamination (exact-verified), the watermarked stream-stream
     # attribution join, Count-Min / HyperLogLog sketches, the salted
@@ -78,12 +84,14 @@ ROTATE_FIRST = [
     "q_tfidf_fit", "q_tfidf_predict", "q_tfidf_accuracy", "q_shotgun_1nn",
     "q_embed_clusters", "q_cluster_balanced_sample", "q_pq_ann", "q_ivfpq_ann",
     # (c) r2-only coverage, oldest first
-    "q_bm25_search", "q_corpus_filter", "q_cosine_ivf", "q_cosine_kmeans",
-    "q_cosine_multiprobe", "q_cosine_topk", "q_dedup_exact",
-    # (gate is exactly 50; q_hash_sample / q_hash_top_n / q_lang_id /
+    "q_bm25_search",
+    # (gate is exactly 50; q_corpus_filter / q_cosine_ivf /
+    # q_cosine_kmeans / q_cosine_multiprobe / q_cosine_topk /
+    # q_dedup_exact newly demoted for the six (a0000) additions, and
+    # q_hash_sample / q_hash_top_n / q_lang_id /
     # q_lsh_pairs / q_jaccard_topk / q_fingerprint / q_domain_cap /
-    # q_embed_neardup / q_dedup_groups newly demoted for the nine (a000)
-    # additions, alongside q_simhash /
+    # q_embed_neardup / q_dedup_groups demoted earlier for the nine
+    # (a000) additions, alongside q_simhash /
     # q_sq_ann / q_stratified_sample / q_token_estimate / q_pii_stats /
     # q_quality / q_sessionize / q_ngram_topk / q_minhash_signatures /
     # q_lsh_verified_dedup — all keep earlier green rows and ALL
