@@ -253,3 +253,33 @@ def zscore_outliers(
     return scored.where(F.abs(zcol) > F.lit(z)).select(
         *events.columns, zcol.alias("zscore")
     )
+
+
+def scd2_history(
+    changelog: DataFrame,
+    key_col: str = "user_id",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history from an append
+    changelog: every version of every key gets a validity interval
+    [valid_from, valid_to) — valid_to is the NEXT version's timestamp
+    (NULL while current) — plus a version number and an is_current
+    flag. The companion of the latest-state compaction
+    (queries.q_latest_state): that keeps only the newest row, this
+    keeps them all, queryable as-of any time via
+    `valid_from <= t AND (valid_to IS NULL OR t < valid_to)`.
+
+    One shuffle on the key; the lag/lead pass is a single sorted
+    window over each key's own versions (bounded by versions-per-key,
+    not stream length). At 100 TB this is the standard dimension-
+    history build before an as-of join (asof_join above consumes it).
+    """
+    ob = [F.col(c).asc() for c in order_cols]
+    w = Window.partitionBy(key_col).orderBy(*ob)
+    ts0 = order_cols[0]
+    return (
+        changelog.withColumn("version", F.row_number().over(w).cast("int"))
+        .withColumn("valid_from", F.col(ts0))
+        .withColumn("valid_to", F.lead(ts0).over(w))
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )

@@ -896,3 +896,30 @@ FROM p GROUP BY event_type"""
 # streaming upsert sink: incremental max_by merges are associative —
 # the final state equals the batch compaction, so the oracle is shared
 ORACLES["q_stream_latest_state"] = ORACLES["q_latest_state"]
+
+
+# q_scd2_history: same ordered window — valid_to = next version's ts
+ORACLES["q_scd2_history"] = """WITH e AS (
+  SELECT user_id, event_id, event_type, value, epoch_ns(ts) AS ts
+  FROM events WHERE user_id < 20
+)
+SELECT user_id, event_id, event_type,
+  CAST(row_number() OVER w AS INT) AS version,
+  ts AS valid_from,
+  lead(ts) OVER w AS valid_to,
+  (lead(ts) OVER w IS NULL) AS is_current,
+  round(value + 1e-9, 4) + 0.0 AS value
+FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)"""
+
+
+# q_rollup_revenue: identical grouping sets; DuckDB's GROUPING() bits
+# are assembled in Spark's grouping_id order (n_name high bit)
+ORACLES["q_rollup_revenue"] = """SELECT n_name,
+  CAST(year(o_orderdate) AS INT) AS o_year,
+  CAST(2 * GROUPING(n_name) + GROUPING(year(o_orderdate)) AS INT) AS gid,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+  CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP (n_name, year(o_orderdate))"""

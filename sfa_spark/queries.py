@@ -658,3 +658,44 @@ def q_json_props(spark, sf_dir):
         .cast("double")
         .alias("hi_value"),
     )
+
+
+def q_scd2_history(spark, sf_dir):
+    """SCD2 dimension history from the events changelog: per-user
+    validity intervals [valid_from, valid_to) with version numbers and
+    an is_current flag — the as-of-queryable companion of the
+    latest-state compaction."""
+    from sfa_spark.operators.temporal import scd2_history
+
+    ev = load_table(spark, sf_dir, "events")
+    h = scd2_history(ev.where(F.col("user_id") < 20))
+    return h.select(
+        "user_id", "event_id", "event_type", "version",
+        "valid_from", "valid_to", "is_current",
+        rnd("value", 4).alias("value"),
+    )
+
+
+def q_rollup_revenue(spark, sf_dir):
+    """Hierarchical totals in ONE pass: revenue by (nation, order
+    year) with ROLLUP — per-(nation, year) rows, per-nation subtotals,
+    and the grand total, distinguished by grouping_id. Spark computes
+    all levels in a single shuffle (partial aggregation covers every
+    grouping set); the naive alternative is three jobs and three scans."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    j = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .withColumn("o_year", F.year("o_orderdate").cast("int"))
+    )
+    return (
+        j.rollup("n_name", "o_year")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            dec_sum("o_totalprice").alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        )
+        .select("n_name", "o_year", "gid", "revenue", "n_orders")
+    )

@@ -96,3 +96,49 @@ def test_funnel_random_vs_bruteforce(spark):
             reach = min(cand)
             want[(u, k + 1)] = reach
     assert got == want and len(want) > 0
+
+
+def test_scd2_asof_reconstruction_matches_prefix_latest(spark):
+    """For random as-of probe times, the SCD2 interval lookup
+    (valid_from <= t < valid_to) returns exactly the latest changelog
+    row at or before t — the defining property of a type-2 history."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from sfa_spark.operators.temporal import scd2_history
+
+    rng = random.Random(7)
+    rows = []
+    eid = 0
+    for u in range(6):
+        for _ in range(rng.randint(1, 8)):
+            rows.append((eid, rng.randint(0, 1000), u, f"s{rng.randint(0,3)}", 1.0))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, event_type string, value double"
+    )
+    hist = scd2_history(ev).collect()
+    data = sorted(
+        [(r["user_id"], r["ts"], r["event_id"], r["event_type"]) for r in ev.collect()]
+    )
+    for t in [0, 100, 437, 999, 1001]:
+        asof = {
+            r["user_id"]: r["event_id"]
+            for r in hist
+            if r["valid_from"] <= t
+            and (r["valid_to"] is None or t < r["valid_to"])
+        }
+        for u in range(6):
+            prefix = [x for x in data if x[0] == u and x[1] <= t]
+            want = max(prefix, key=lambda x: (x[1], x[2]))[2] if prefix else None
+            assert asof.get(u) == want, (u, t)
+    # intervals tile: per user, version k's valid_to == version k+1's valid_from
+    by_user = {}
+    for r in hist:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for u, vs in by_user.items():
+        vs.sort(key=lambda r: r["version"])
+        assert vs[-1]["is_current"] and vs[-1]["valid_to"] is None
+        for a, b in zip(vs, vs[1:]):
+            assert a["valid_to"] == b["valid_from"]
