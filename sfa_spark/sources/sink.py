@@ -60,3 +60,78 @@ def write_bucketed(
         writer = writer.option("path", path)
     writer.saveAsTable(table)
     return df.sparkSession.table(table)
+
+
+def zorder_key(cols: list[str], stats: dict, bits: int = 8):
+    """Morton (Z-order) key expression over ``cols``: each column is
+    scaled to a ``bits``-bit integer against its (min, max) from
+    ``stats``, then the bits are interleaved (cols[0] highest). Pure
+    codegen arithmetic — no UDF."""
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    scaled = []
+    for c in cols:
+        lo, hi = stats[c]
+        span = float(hi - lo) or 1.0
+        code = F.least(
+            F.lit((1 << bits) - 1),
+            F.floor(
+                (F.col(c).cast("double") - F.lit(float(lo)))
+                / F.lit(span)
+                * F.lit(float(1 << bits))
+            ).cast("long"),
+        )
+        scaled.append(F.greatest(F.lit(0), code))
+    z = F.lit(0).cast("long")
+    for i in range(bits - 1, -1, -1):  # msb first
+        for j, s in enumerate(scaled):
+            shift = i * n + (n - 1 - j)
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(s, i).bitwiseAND(F.lit(1)), shift)
+            )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 8,
+    n_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as parquet laid out along a Z-order curve over
+    ``cols`` — the multi-column data-skipping layout.
+
+    A single-column sort gives parquet row groups tight min/max stats
+    on THAT column only; predicates on any other column can prune
+    nothing. Z-ordering interleaves the bits of all ``cols``, so each
+    row group covers a small hyper-rectangle and footer stats stay
+    narrow on EVERY z-column — a pushed-down predicate on any of them
+    skips most row groups (test_sources asserts this from the actual
+    parquet footers). This is the same layout trick lakehouse OPTIMIZE
+    ZORDER applies; here it is one range-shuffle + in-partition sort.
+
+    Scaling uses global (min, max) per column (one tiny agg job). For
+    heavily skewed columns substitute equi-depth codes (approxQuantile
+    cuts) before interleaving — the key expression is unchanged.
+    At 100 TB: n_files ≈ table bytes / 1 GB; the range shuffle is the
+    only wide stage and AQE balances the z-ranges.
+    """
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}")]
+    row = df.agg(*aggs).collect()[0]
+    stats = {c: (row[f"_lo_{c}"], row[f"_hi_{c}"]) for c in cols}
+    z = zorder_key(cols, stats, bits=bits)
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode)
+        .parquet(path)
+    )

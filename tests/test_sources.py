@@ -143,3 +143,59 @@ def test_jsonl_quarantine_and_roundtrip(spark, tmp_path):
     a = sorted(tuple(r) for r in docs.collect())
     b = sorted(tuple(r) for r in back.select("doc_id", "text", "lang").collect())
     assert a == b
+
+
+def test_zorder_layout_skips_on_every_dimension(spark, tmp_path):
+    """Evidence from the actual parquet footers: with a Z-order layout
+    every z-column's per-file min/max stays narrow, so a point
+    predicate on ANY of them can skip most files; a single-column sort
+    only ever skips on its sort column."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from sfa_spark.sources.sink import write_zordered
+
+    df = (
+        spark.range(0, 20000)
+        .selectExpr(
+            "cast(id % 141 as long) as x",
+            "cast((id div 141) % 141 as long) as y",
+            "id as payload",
+        )
+    )
+    zdir, ldir = str(tmp_path / "z"), str(tmp_path / "linear")
+    write_zordered(df, zdir, ["x", "y"], bits=8, n_files=16)
+    (
+        df.repartitionByRange(16, "x")
+        .sortWithinPartitions("x")
+        .write.parquet(ldir)
+    )
+
+    def skip_fraction(d, col, probe):
+        files = [f for f in glob.glob(f"{d}/*.parquet")]
+        assert len(files) >= 6
+        skipped = 0
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(col)
+            hit = False
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st.min <= probe <= st.max:
+                    hit = True
+            if not hit:
+                skipped += 1
+        return skipped / len(files)
+
+    # a point predicate on either z-column prunes most files
+    assert skip_fraction(zdir, "x", 3) >= 0.6
+    assert skip_fraction(zdir, "y", 3) >= 0.6
+    # the linear layout prunes on its sort column but NOT on y
+    assert skip_fraction(ldir, "x", 3) >= 0.5
+    assert skip_fraction(ldir, "y", 3) == 0.0
+    # layout changes nothing about the data itself
+    assert (
+        spark.read.parquet(zdir).agg({"payload": "sum"}).collect()[0][0]
+        == df.agg({"payload": "sum"}).collect()[0][0]
+    )
