@@ -56,7 +56,8 @@ ROTATE_FIRST = [
     # analytics, hard-negative mining, the streaming Count-Min grid,
     # and the foreachBatch upsert sink
     "q_split_assign", "q_line_dedup", "q_json_props", "q_hard_negatives",
-    "q_stream_countmin", "q_stream_latest_state",
+    "q_stream_countmin", "q_stream_latest_state", "q_scd2_history",
+    "q_rollup_revenue",
     # (a000) added in the final r4 session: bloom-prefiltered
     # decontamination (exact-verified), the watermarked stream-stream
     # attribution join, Count-Min / HyperLogLog sketches, the salted
@@ -83,9 +84,10 @@ ROTATE_FIRST = [
     "q_anova_f",  # decimal-summed sufficient statistics (determinism)
     "q_tfidf_fit", "q_tfidf_predict", "q_tfidf_accuracy", "q_shotgun_1nn",
     "q_embed_clusters", "q_cluster_balanced_sample", "q_pq_ann", "q_ivfpq_ann",
-    # (c) r2-only coverage, oldest first
-    "q_bm25_search",
-    # (gate is exactly 50; q_corpus_filter / q_cosine_ivf /
+    # (gate is exactly 50: q_ivfpq_ann is listed 51st and falls out —
+    # it keeps its green r3 driver-gate row and is replayed locally
+    # (see COVERAGE.md replay records) — and q_bm25_search /
+    # q_corpus_filter / q_cosine_ivf /
     # q_cosine_kmeans / q_cosine_multiprobe / q_cosine_topk /
     # q_dedup_exact newly demoted for the six (a0000) additions, and
     # q_hash_sample / q_hash_top_n / q_lang_id /
