@@ -199,3 +199,27 @@ def test_zorder_layout_skips_on_every_dimension(spark, tmp_path):
         spark.read.parquet(zdir).agg({"payload": "sum"}).collect()[0][0]
         == df.agg({"payload": "sum"}).collect()[0][0]
     )
+
+
+def test_compact_small_files_binpacks_and_preserves_data(spark, tmp_path):
+    """64 tiny files → a handful of target-sized ones; rows, schema,
+    and aggregates are bit-identical before and after; the swap is
+    in-place and leaves no temp directories behind."""
+    from sfa_spark.sources.maintenance import compact_small_files, dir_stats
+
+    p = str(tmp_path / "frag")
+    df = spark.range(0, 50000).selectExpr(
+        "id", "cast(id % 97 as double) as v", "concat('u', id % 11) as u"
+    )
+    df.repartition(64).write.parquet(p)
+    n_before, total = dir_stats(p)
+    assert n_before == 64
+    want = sorted(tuple(r) for r in df.collect())
+    out = compact_small_files(spark, p, target_bytes=total // 4)
+    n_after, total_after = dir_stats(p)
+    assert n_after <= 6  # ceil(total / (total/4)) = 4, + writer rounding
+    assert sorted(tuple(r) for r in out.collect()) == want
+    assert not any(
+        d.name.endswith(("_compact_next", "_compact_old"))
+        for d in tmp_path.iterdir()
+    )
