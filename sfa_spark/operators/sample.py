@@ -257,3 +257,19 @@ def mixture_sample(
     )
     drop_cols = ["_N", "_k", "_h", "_b", "_whole", "_take"]
     return whole.drop(*drop_cols).unionByName(boundary.drop(*drop_cols))
+
+
+def weighted_sample(
+    df: DataFrame, key_col: str, weight_col: str, n: int, salt: str = "w"
+) -> DataFrame:
+    """Exactly-n WEIGHTED sample without replacement (Efraimidis &
+    Spirakis 2006): each row draws u = hash-unit(key) and ranks by
+    u^(1/weight); the top n ranks are the sample. Inclusion
+    probability is proportional to weight (the A-ES reservoir scheme),
+    but — unlike a reservoir — fully deterministic, layout-independent
+    and engine-portable, because the "randomness" is the row's own key
+    hash. Plans as TakeOrderedAndProject (parallel partial top-n, no
+    global sort). Weights must be > 0."""
+    u = _hash_unit(key_col, salt)
+    rank = F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
+    return df.orderBy(rank.desc(), F.col(key_col).asc()).limit(n)

@@ -1216,3 +1216,11 @@ FROM pairs QUALIFY rk <= 5"""
 # streaming Count-Min: per-cell sums are a commutative monoid — the
 # stream reproduces the batch grid exactly, so the oracle is shared
 ORACLES["q_stream_countmin"] = ORACLES["q_countmin_tokens"]
+
+
+_W_HUNIT = "(('0x' || substr(md5('w:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0)"
+
+ORACLES["q_weighted_sample"] = f"""SELECT doc_id, lang, n_chars
+FROM documents
+ORDER BY pow({_W_HUNIT}, 1.0 / CAST(n_chars AS DOUBLE)) DESC, doc_id ASC
+LIMIT 100"""

@@ -702,3 +702,15 @@ def q_hard_negatives(spark, sf_dir):
         "q_id", "q_label", "neg_id", "neg_label",
         rnd("cosine", 4).alias("cosine"), "rk",
     )
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Exactly-100 length-weighted document sample (Efraimidis-
+    Spirakis hash ranks — longer docs proportionally likelier, fully
+    deterministic)."""
+    from sfa_spark.operators import sample
+
+    return sample.weighted_sample(
+        _docs(spark, sf_dir).select("doc_id", "lang", "n_chars"),
+        "doc_id", "n_chars", 100,
+    )

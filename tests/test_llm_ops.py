@@ -1439,3 +1439,33 @@ def test_hard_negatives_excludes_positives_and_ranks(spark):
     ).collect()
     assert [r["neg_id"] for r in sorted(got, key=lambda r: r["rk"])] == [2, 4, 3]
     assert all(r["neg_label"] != r["q_label"] for r in got)
+
+
+def test_weighted_sample_proportional_and_deterministic(spark):
+    """Inclusion tracks weight (Efraimidis-Spirakis): rows with 9×
+    weight are sampled ~9× as often; result is exact-size, layout-
+    independent, and plans as a partial top-n (no global sort)."""
+    from sfa_spark.operators import sample
+
+    docs = spark.range(0, 4000).selectExpr(
+        "id as doc_id",
+        "case when id % 10 = 0 then 90.0 else 10.0 end as wt",
+    )
+    got = sample.weighted_sample(docs, "doc_id", "wt", 400).collect()
+    assert len(got) == 400
+    heavy = sum(1 for r in got if r["wt"] == 90.0)
+    # 400 of 4000 rows carry 9× weight = half the total mass, so the
+    # without-replacement sample is ≈45-50% heavy; a uniform sample
+    # would give 10%. Wide band for hash variance.
+    assert 0.30 < heavy / 400 < 0.65
+    again = sample.weighted_sample(
+        docs.repartition(7), "doc_id", "wt", 400
+    ).collect()
+    assert {r["doc_id"] for r in got} == {r["doc_id"] for r in again}
+    plan = (
+        sample.weighted_sample(docs, "doc_id", "wt", 400)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
