@@ -175,3 +175,70 @@ def hll_estimate(registers: DataFrame, m: int = 64) -> DataFrame:
 def hll_error_bound(m: int) -> float:
     """Standard error 1.04/√m — callers size m from their tolerance."""
     return 1.04 / math.sqrt(m)
+
+
+def hll_registers_by(
+    items: DataFrame,
+    group_cols: list[str],
+    item_col: str,
+    m: int = 64,
+    salt: str = "hll",
+) -> DataFrame:
+    """Per-GROUP HLL registers: (group_cols..., bucket, mx). One
+    map-side-combinable groupBy; each group's sketch is m counters
+    regardless of its item count — the per-dimension distinct-count
+    pass (distinct tokens per language, URLs per domain, …) at
+    sketch cost instead of a count(DISTINCT) per group."""
+    assert m in HLL_ALPHA or m >= 128, f"unsupported m={m}"
+    it = items.select(
+        *group_cols, F.col(item_col).alias("item")
+    ).where(F.col("item").isNotNull())
+    h1 = _h32(F.col("item"), f"{salt}b")
+    h2 = _h32(F.col("item"), f"{salt}r", off=9)
+    rank = F.when(h2 == 0, F.lit(33)).otherwise(
+        F.lit(33) - F.length(F.bin(h2))
+    )
+    return (
+        it.select(
+            *group_cols,
+            F.pmod(h1, F.lit(m)).cast("int").alias("bucket"),
+            rank.cast("int").alias("rank"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rank").alias("mx"))
+    )
+
+
+def hll_merge(registers: DataFrame, group_cols: list[str] = ()) -> DataFrame:
+    """Merge partial sketches by per-bucket max — HLL's defining
+    property: registers built on any partition of the data merge to
+    EXACTLY the registers of the whole (max is the monoid). This is
+    what makes the sketch distributable: per-shard/per-day sketches
+    stored KB-sized, unioned and merged at query time instead of
+    rescanning the corpus."""
+    return (
+        registers.groupBy(*group_cols, "bucket")
+        .agg(F.max("mx").alias("mx"))
+    )
+
+
+def hll_estimate_by(
+    registers: DataFrame, group_cols: list[str], m: int = 64
+) -> DataFrame:
+    """Per-group estimates (group_cols..., n_hll) from grouped
+    registers — same estimator as hll_estimate, one row per group."""
+    alpha = HLL_ALPHA.get(m, 0.7213 / (1 + 1.079 / m))
+    agg = registers.groupBy(*group_cols).agg(
+        F.coalesce(
+            F.sum(F.pow(F.lit(2.0), -F.col("mx"))), F.lit(0.0)
+        ).alias("s_seen"),
+        F.count(F.lit(1)).alias("n_seen"),
+    )
+    s = F.col("s_seen") + (F.lit(m) - F.col("n_seen"))
+    v = F.lit(m) - F.col("n_seen")
+    raw = F.lit(alpha * m * m) / s
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v),
+    ).otherwise(raw)
+    return agg.select(*group_cols, est.alias("n_hll"))

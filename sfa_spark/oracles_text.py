@@ -1224,3 +1224,40 @@ ORACLES["q_weighted_sample"] = f"""SELECT doc_id, lang, n_chars
 FROM documents
 ORDER BY pow({_W_HUNIT}, 1.0 / CAST(n_chars AS DOUBLE)) DESC, doc_id ASC
 LIMIT 100"""
+
+
+# q_hll_by_lang: the q_hll_distinct pipeline grouped by lang — same
+# md5 bucket/rank hashing, same estimator with per-group registers
+ORACLES["q_hll_by_lang"] = f"""WITH toks AS (
+  SELECT lang, unnest({_TOKS}) AS token FROM documents
+),
+t AS (SELECT lang, token FROM toks WHERE len(token) > 0),
+h AS (
+  SELECT lang,
+         (('0x' || substr(md5('hllb:' || token), 1, 8))::BIGINT % 64) AS bucket,
+         ('0x' || substr(md5('hllr:' || token), 9, 8))::BIGINT AS h2
+  FROM t
+),
+regs AS (
+  SELECT lang, bucket, max(33 - length(ltrim(bin(h2), '0'))) AS mx
+  FROM h GROUP BY 1, 2
+),
+agg AS (
+  SELECT lang, coalesce(sum(power(2.0, -mx)), 0.0) AS s_seen,
+         count(*) AS n_seen
+  FROM regs GROUP BY lang
+),
+est AS (
+  SELECT lang,
+         CASE WHEN (0.709 * 64 * 64) / (s_seen + (64 - n_seen)) <= 160.0
+                   AND (64 - n_seen) > 0
+              THEN 64.0 * ln(64.0 / (64 - n_seen))
+              ELSE (0.709 * 64 * 64) / (s_seen + (64 - n_seen)) END AS n_hll
+  FROM agg
+),
+exact AS (
+  SELECT lang, CAST(count(DISTINCT token) AS BIGINT) AS n_exact
+  FROM t GROUP BY lang
+)
+SELECT e.lang, e.n_exact, round(s.n_hll + 1e-9, 4) + 0.0 AS n_hll
+FROM exact e JOIN est s ON e.lang = s.lang"""

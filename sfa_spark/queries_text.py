@@ -714,3 +714,26 @@ def q_weighted_sample(spark, sf_dir):
         _docs(spark, sf_dir).select("doc_id", "lang", "n_chars"),
         "doc_id", "n_chars", 100,
     )
+
+
+def q_hll_by_lang(spark, sf_dir):
+    """Per-language distinct-token estimates from GROUPED HLL sketches
+    (m=64 registers per language, one map-side-combinable groupBy)
+    next to the exact counts — the per-dimension cardinality profile
+    at sketch cost."""
+    from sfa_spark.operators import sketch
+    from sfa_spark.operators.text import with_tokens
+
+    toks = (
+        with_tokens(_docs(spark, sf_dir))
+        .select("lang", F.explode("toks").alias("token"))
+        .where(F.length("token") > 0)
+    )
+    regs = sketch.hll_registers_by(toks, ["lang"], "token", m=HLL_M)
+    est = sketch.hll_estimate_by(regs, ["lang"], m=HLL_M)
+    exact = toks.groupBy("lang").agg(
+        F.countDistinct("token").cast("bigint").alias("n_exact")
+    )
+    return exact.join(est, "lang").select(
+        "lang", "n_exact", rnd("n_hll", 4).alias("n_hll")
+    )

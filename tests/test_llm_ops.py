@@ -1469,3 +1469,35 @@ def test_weighted_sample_proportional_and_deterministic(spark):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_hll_merge_of_partial_sketches_is_register_exact(spark):
+    """HLL's distributability: sketches built on any partition of the
+    data max-merge to EXACTLY the whole-corpus registers (same final
+    estimate, no re-scan) — per-shard sketches are first-class."""
+    from pyspark.sql import functions as F
+
+    from sfa_spark.operators import sketch
+
+    items = spark.range(0, 5000).selectExpr(
+        "concat('tok', id % 701) as token", "cast(id % 2 as int) as shard"
+    )
+    whole = {
+        (r["bucket"], r["mx"])
+        for r in sketch.hll_registers(items, "token", m=64).collect()
+    }
+    per_shard = sketch.hll_registers_by(items, ["shard"], "token", m=64)
+    merged = {
+        (r["bucket"], r["mx"])
+        for r in sketch.hll_merge(per_shard.drop("shard")).collect()
+    }
+    assert merged == whole
+    # grouped estimates: one estimate per shard, both within the
+    # 3·(1.04/sqrt(64)) bound of the true 701 distinct (701 is odd, so
+    # either parity class of 5000 ids covers every residue)
+    ests = {
+        r["shard"]: r["n_hll"]
+        for r in sketch.hll_estimate_by(per_shard, ["shard"], m=64).collect()
+    }
+    for v in ests.values():
+        assert abs(v - 701) / 701 < 3 * sketch.hll_error_bound(64)
