@@ -923,3 +923,25 @@ FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY ROLLUP (n_name, year(o_orderdate))"""
+
+
+# q_corr_pricing: identical decimal-summed moments + identical closed
+# form (never the engines' own corr(), whose accumulation order differs)
+ORACLES["q_corr_pricing"] = """WITH m AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+    CAST(sum(CAST(l_quantity AS DECIMAL(38,12))) AS DOUBLE) AS sq,
+    CAST(sum(CAST(l_extendedprice AS DECIMAL(38,12))) AS DOUBLE) AS sp,
+    CAST(sum(CAST(l_discount AS DECIMAL(38,12))) AS DOUBLE) AS sd,
+    CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,12))) AS DOUBLE) AS sqq,
+    CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,12))) AS DOUBLE) AS spp,
+    CAST(sum(CAST(l_discount * l_discount AS DECIMAL(38,12))) AS DOUBLE) AS sdd,
+    CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,12))) AS DOUBLE) AS sqp,
+    CAST(sum(CAST(l_quantity * l_discount AS DECIMAL(38,12))) AS DOUBLE) AS sqd,
+    CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,12))) AS DOUBLE) AS spd
+  FROM lineitem
+)
+SELECT CAST(n AS BIGINT) AS n_rows,
+  round((n*sqp - sq*sp) / (sqrt(n*sqq - sq*sq) * sqrt(n*spp - sp*sp)) + 1e-9, 4) + 0.0 AS corr_qty_price,
+  round((n*sqd - sq*sd) / (sqrt(n*sqq - sq*sq) * sqrt(n*sdd - sd*sd)) + 1e-9, 4) + 0.0 AS corr_qty_disc,
+  round((n*spd - sp*sd) / (sqrt(n*spp - sp*sp) * sqrt(n*sdd - sd*sd)) + 1e-9, 4) + 0.0 AS corr_price_disc
+FROM m"""

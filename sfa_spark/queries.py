@@ -699,3 +699,40 @@ def q_rollup_revenue(spark, sf_dir):
         )
         .select("n_name", "o_year", "gid", "revenue", "n_orders")
     )
+
+
+def q_corr_pricing(spark, sf_dir):
+    """Pairwise Pearson correlations over the lineitem numerics in ONE
+    scan: every moment (Σx, Σx², Σxy) is a decimal-summed aggregate of
+    the same pass, and the correlation is assembled from the exact
+    moments with the identical closed form in both engines — the
+    multi-statistic profiling pass of a feature-engineering pipeline,
+    without per-pair jobs."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def dsum(c):
+        return F.sum(c.cast("decimal(38,12)")).cast("double")
+
+    q, p, d = F.col("l_quantity"), F.col("l_extendedprice"), F.col("l_discount")
+    m = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(q).alias("sq"), dsum(p).alias("sp"), dsum(d).alias("sd"),
+        dsum(q * q).alias("sqq"), dsum(p * p).alias("spp"),
+        dsum(d * d).alias("sdd"), dsum(q * p).alias("sqp"),
+        dsum(q * d).alias("sqd"), dsum(p * d).alias("spd"),
+    )
+
+    def corr(sxy, sx, sy, sxx, syy):
+        n = F.col("n")
+        num = n * F.col(sxy) - F.col(sx) * F.col(sy)
+        den = F.sqrt(n * F.col(sxx) - F.col(sx) * F.col(sx)) * F.sqrt(
+            n * F.col(syy) - F.col(sy) * F.col(sy)
+        )
+        return num / den
+
+    return m.select(
+        F.col("n").cast("bigint").alias("n_rows"),
+        rnd(corr("sqp", "sq", "sp", "sqq", "spp")).alias("corr_qty_price"),
+        rnd(corr("sqd", "sq", "sd", "sqq", "sdd")).alias("corr_qty_disc"),
+        rnd(corr("spd", "sp", "sd", "spp", "sdd")).alias("corr_price_disc"),
+    )
