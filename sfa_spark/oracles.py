@@ -945,3 +945,12 @@ SELECT CAST(n AS BIGINT) AS n_rows,
   round((n*sqd - sq*sd) / (sqrt(n*sqq - sq*sq) * sqrt(n*sdd - sd*sd)) + 1e-9, 4) + 0.0 AS corr_qty_disc,
   round((n*spd - sp*sd) / (sqrt(n*spp - sp*sp) * sqrt(n*sdd - sd*sd)) + 1e-9, 4) + 0.0 AS corr_price_disc
 FROM m"""
+
+
+# q_observed_quality: the observation must report exactly what the job
+# consumed — recomputed directly
+ORACLES["q_observed_quality"] = """SELECT
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_event_type,
+  CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_value
+FROM events"""

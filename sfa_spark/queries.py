@@ -736,3 +736,28 @@ def q_corr_pricing(spark, sf_dir):
         rnd(corr("sqd", "sq", "sd", "sqq", "sdd")).alias("corr_qty_disc"),
         rnd(corr("spd", "sp", "sd", "spp", "sdd")).alias("corr_price_disc"),
     )
+
+
+def q_observed_quality(spark, sf_dir):
+    """Data-quality metrics harvested from an Observation riding the
+    analytics job itself (df.observe — no second scan): row count and
+    per-column null counts over events, returned as a one-row frame.
+    The oracle recomputes the same counts in SQL, so a hash match
+    proves the instrumentation reports exactly what the job consumed."""
+    from sfa_spark.operators.audit import with_observation
+
+    ev = load_table(spark, sf_dir, "events")
+    inst, obs = with_observation(ev, "ev_quality", ["event_type", "value"])
+    # the action the pipeline was running anyway — here, the daily agg
+    inst.groupBy("event_type").count().collect()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_rows"]),
+                int(m["nulls_event_type"]),
+                int(m["nulls_value"]),
+            )
+        ],
+        "n_rows bigint, nulls_event_type bigint, nulls_value bigint",
+    )

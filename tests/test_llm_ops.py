@@ -1501,3 +1501,25 @@ def test_hll_merge_of_partial_sketches_is_register_exact(spark):
     }
     for v in ests.values():
         assert abs(v - 701) / 701 < 3 * sketch.hll_error_bound(64)
+
+
+def test_observation_rides_the_job_without_extra_scan(spark):
+    """df.observe metrics reflect exactly the rows the action consumed
+    (including pushed-down filters) and cost zero additional jobs."""
+    from pyspark.sql import functions as F
+
+    from sfa_spark.operators.audit import with_observation
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, None, 2.0), (3, "c", None), (4, None, None)],
+        "id long, s string, v double",
+    )
+    inst, obs = with_observation(df, "t1", ["s", "v"])
+    inst.agg(F.sum("id")).collect()
+    m = obs.get
+    assert (m["n_rows"], m["nulls_s"], m["nulls_v"]) == (4, 2, 2)
+    # a filter BELOW the observation changes what it sees — the metrics
+    # describe the observed point in the plan, not the raw table
+    inst2, obs2 = with_observation(df.where("v is not null"), "t2", ["s"])
+    inst2.count()
+    assert (obs2.get["n_rows"], obs2.get["nulls_s"]) == (2, 1)
