@@ -478,8 +478,12 @@ def line_dedup(
     shape as the exact-dedup groupBy.
     """
     assert keep in ("first", "unique")
+    # NULL text must not drop the document from the output (posexplode
+    # of a NULL array emits no rows) — treat it as the empty string,
+    # which yields one empty unit and keeps the row-per-doc contract
+    txt = F.coalesce(F.col(text_col), F.lit(""))
     if token_window:
-        toks = F.split(F.col(text_col), " ")
+        toks = F.split(txt, " ")
         w = int(token_window)
         nseg = F.ceil(F.size(toks) / F.lit(w)).cast("int")
         units = F.transform(
@@ -487,7 +491,7 @@ def line_dedup(
             lambda i: F.concat_ws(" ", F.slice(toks, i * w + 1, w)),
         )
     else:
-        units = F.split(F.col(text_col), sep)
+        units = F.split(txt, sep)
     ex = docs.select(doc_col, F.posexplode(units).alias("pos", "unit"))
     uw = Window.partitionBy("unit")
     ex = ex.withColumn(

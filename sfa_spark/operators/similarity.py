@@ -41,6 +41,54 @@ def dot_expr(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
 
+def _brute_cosine_rank(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    vec_col: str,
+    id_col: str,
+    nn_id: str = "nn_id",
+    q_carry: list[str] = (),
+    c_carry: list[str] = (),
+    pair_filter=None,
+) -> DataFrame:
+    """Shared exact-scan core: broadcast the (small) query side, scan
+    the corpus once, score cosine, rank per query. ``q_carry``/
+    ``c_carry`` pass extra columns through; ``pair_filter`` prunes
+    pairs BEFORE scoring (e.g. hard_negatives' label exclusion)."""
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("q_id"),
+        _as_double(F.col(vec_col)).alias("qv"),
+        F.col("norm").alias("qn"),
+        *q_carry,
+    )
+    c = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias(nn_id),
+        _as_double(F.col(vec_col)).alias("cv"),
+        F.col("norm").alias("cn"),
+        *c_carry,
+    )
+    pairs = c.crossJoin(F.broadcast(q)).where(F.col("q_id") != F.col(nn_id))
+    if pair_filter is not None:
+        pairs = pairs.where(pair_filter)
+    scored = pairs.select(
+        "q_id",
+        *q_carry,
+        nn_id,
+        *c_carry,
+        (dot_expr(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col(nn_id).asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= k)
+    )
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -52,29 +100,7 @@ def cosine_topk(
 
     Output: (q_id, nn_id, cosine, rk). Skips self-matches. The query
     side is broadcast — the corpus is scanned exactly once."""
-    q = with_norm(queries, vec_col).select(
-        F.col(id_col).alias("q_id"),
-        _as_double(F.col(vec_col)).alias("qv"),
-        F.col("norm").alias("qn"),
-    )
-    c = with_norm(corpus, vec_col).select(
-        F.col(id_col).alias("nn_id"),
-        _as_double(F.col(vec_col)).alias("cv"),
-        F.col("norm").alias("cn"),
-    )
-    pairs = c.crossJoin(F.broadcast(q)).where(F.col("q_id") != F.col("nn_id"))
-    scored = pairs.select(
-        "q_id",
-        "nn_id",
-        (dot_expr(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias(
-            "cosine"
-        ),
-    )
-    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("nn_id").asc())
-    return (
-        scored.withColumn("rk", F.row_number().over(w).cast("int"))
-        .where(F.col("rk") <= k)
-    )
+    return _brute_cosine_rank(queries, corpus, k, vec_col, id_col)
 
 
 def scalar_quantize(
@@ -1000,34 +1026,14 @@ def hard_negatives(
     scan for the IVF probe: ivf_assign both sides, join on
     centroid_id, apply the same label filter — identical downstream
     ranking, candidates ∝ list size."""
-    q = with_norm(queries, vec_col).select(
-        F.col(id_col).alias("q_id"),
-        F.col(label_col).alias("q_label"),
-        _as_double(F.col(vec_col)).alias("qv"),
-        F.col("norm").alias("qn"),
-    )
-    c = with_norm(corpus, vec_col).select(
-        F.col(id_col).alias("neg_id"),
-        F.col(label_col).alias("neg_label"),
-        _as_double(F.col(vec_col)).alias("cv"),
-        F.col("norm").alias("cn"),
-    )
-    pairs = c.crossJoin(F.broadcast(q)).where(
-        (F.col("q_id") != F.col("neg_id"))
-        & (F.col("q_label") != F.col("neg_label"))
-    )
-    scored = pairs.select(
-        "q_id",
-        "q_label",
-        "neg_id",
-        "neg_label",
-        (dot_expr(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias(
-            "cosine"
-        ),
-    )
-    w = Window.partitionBy("q_id").orderBy(
-        F.col("cosine").desc(), F.col("neg_id").asc()
-    )
-    return scored.withColumn("rk", F.row_number().over(w).cast("int")).where(
-        F.col("rk") <= k
-    )
+    return _brute_cosine_rank(
+        queries.withColumn("q_label", F.col(label_col)),
+        corpus.withColumn("neg_label", F.col(label_col)),
+        k,
+        vec_col,
+        id_col,
+        nn_id="neg_id",
+        q_carry=["q_label"],
+        c_carry=["neg_label"],
+        pair_filter=F.col("q_label") != F.col("neg_label"),
+    ).select("q_id", "q_label", "neg_id", "neg_label", "cosine", "rk")

@@ -129,23 +129,7 @@ def hll_registers(
     the leftmost 1-bit in the 32-bit rank hash = 33 − length(bin(h)),
     integer-exact in both engines; unseen buckets are implicit
     (rank 0) and reconstructed by the estimator."""
-    assert m in HLL_ALPHA or m >= 128, f"unsupported m={m}"
-    it = items.select(F.col(item_col).alias("item")).where(
-        F.col("item").isNotNull()
-    )
-    h1 = _h32(F.col("item"), f"{salt}b")
-    h2 = _h32(F.col("item"), f"{salt}r", off=9)
-    rank = F.when(h2 == 0, F.lit(33)).otherwise(
-        F.lit(33) - F.length(F.bin(h2))
-    )
-    return (
-        it.select(
-            F.pmod(h1, F.lit(m)).cast("int").alias("bucket"),
-            rank.cast("int").alias("rank"),
-        )
-        .groupBy("bucket")
-        .agg(F.max("rank").alias("mx"))
-    )
+    return hll_registers_by(items, [], item_col, m=m, salt=salt)
 
 
 def hll_estimate(registers: DataFrame, m: int = 64) -> DataFrame:
@@ -153,23 +137,7 @@ def hll_estimate(registers: DataFrame, m: int = 64) -> DataFrame:
     dyadic-exact; unseen buckets contribute 2^0 = 1 each. Small-range
     correction (linear counting) when E ≤ 2.5m and empty buckets
     exist — the standard Flajolet et al. estimator."""
-    alpha = HLL_ALPHA.get(m, 0.7213 / (1 + 1.079 / m))
-    agg = registers.agg(
-        # coalesce: zero register rows (empty input) must estimate 0
-        # via the linear-counting branch, not propagate NULL
-        F.coalesce(
-            F.sum(F.pow(F.lit(2.0), -F.col("mx"))), F.lit(0.0)
-        ).alias("s_seen"),
-        F.count(F.lit(1)).alias("n_seen"),
-    )
-    s = F.col("s_seen") + (F.lit(m) - F.col("n_seen"))  # unseen: 2^-0
-    v = F.lit(m) - F.col("n_seen")  # empty buckets
-    raw = F.lit(alpha * m * m) / s
-    est = F.when(
-        (raw <= F.lit(2.5 * m)) & (v > 0),
-        F.lit(float(m)) * F.log(F.lit(float(m)) / v),
-    ).otherwise(raw)
-    return agg.select(est.alias("n_hll"))
+    return hll_estimate_by(registers, [], m=m)
 
 
 def hll_error_bound(m: int) -> float:

@@ -880,7 +880,9 @@ GROUP BY n_name"""
 # INT), same decimal-summed conditional aggregate, same rnd() mirror
 ORACLES["q_json_props"] = """WITH p AS (
   SELECT event_type, value,
-         CAST(json_extract_string(props, '$.k') AS INT) AS k
+         CASE WHEN json_valid(props)
+              THEN CAST(json_extract_string(props, '$.k') AS INT)
+              ELSE NULL END AS k
   FROM events
 )
 SELECT event_type,

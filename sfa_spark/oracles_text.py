@@ -1170,7 +1170,7 @@ FROM documents"""
 # ' '-split tokens), same keep-first rule (global (doc_id, pos) order),
 # same reassembly (' '-joined kept units in position order)
 ORACLES["q_line_dedup"] = """WITH t AS (
-  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks FROM documents
 ),
 w AS (
   SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS idx

@@ -46,17 +46,30 @@ def compact_small_files(
 
     ``in_place=True`` swaps the compacted data into ``path`` itself
     (two-phase rename); otherwise writes to ``out_path``. Row contents
-    and schema are untouched — only the file layout changes. On an
-    object store the rename pair becomes the table-format commit; the
-    bin-packing math is identical.
+    and schema are untouched — only the file layout changes.
+
+    Crash behavior of the in-place swap: a previous run that died
+    mid-swap is REPAIRED on entry — a stranded ``_compact_old`` with no
+    live ``path`` is renamed back, and leftover temp directories are
+    cleared, so no manual cleanup is ever needed and data is never
+    lost (every byte exists at ``path`` or ``_compact_old`` at all
+    times). The one residual race — a reader listing ``path`` in the
+    instant between the two renames — is inherent to plain
+    directories; production tables take the pointer-file route
+    (streaming/sinks.py) or a table format's commit instead.
     """
+    nxt = path.rstrip("/") + "_compact_next"
+    old = path.rstrip("/") + "_compact_old"
+    # repair a crashed previous swap, then clear temp leftovers
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+    shutil.rmtree(nxt, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
     _, total = dir_stats(path)
     n_out = max(1, math.ceil(total / target_bytes))
     df = spark.read.parquet(path)
     if in_place:
-        nxt = path.rstrip("/") + "_compact_next"
         df.repartition(n_out).write.mode("overwrite").parquet(nxt)
-        old = path.rstrip("/") + "_compact_old"
         os.rename(path, old)
         os.rename(nxt, path)
         shutil.rmtree(old, ignore_errors=True)

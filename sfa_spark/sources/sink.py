@@ -98,7 +98,7 @@ def write_zordered(
     path: str,
     cols: list[str],
     bits: int = 8,
-    n_files: int = 8,
+    n_cells: int = 16,
     mode: str = "overwrite",
 ) -> None:
     """Write ``df`` as parquet laid out along a Z-order curve over
@@ -107,20 +107,33 @@ def write_zordered(
     A single-column sort gives parquet row groups tight min/max stats
     on THAT column only; predicates on any other column can prune
     nothing. Z-ordering interleaves the bits of all ``cols``, so each
-    row group covers a small hyper-rectangle and footer stats stay
-    narrow on EVERY z-column — a pushed-down predicate on any of them
-    skips most row groups (test_sources asserts this from the actual
-    parquet footers). This is the same layout trick lakehouse OPTIMIZE
-    ZORDER applies; here it is one range-shuffle + in-partition sort.
+    cell covers a small hyper-rectangle and its stats stay narrow on
+    EVERY z-column — a pushed-down predicate on any of them skips most
+    of the table (test_sources asserts this from the actual parquet
+    footers). The same layout trick as lakehouse OPTIMIZE ZORDER.
+
+    The table is split at the top log2(n_cells) bits of the key —
+    cell-ALIGNED, never mid-cell, via a hive ``partitionBy(zcell)``
+    directory per cell. Alignment matters: parquet min/max is
+    insensitive to row counts, so even a one-row sliver from a
+    neighboring cell (which a sampled range-split produces) blows a
+    file's range open on the off-axis columns. The directory form is
+    also deterministic end-to-end (no range-boundary sampling) and
+    gives partition PRUNING on z-range predicates for free, on top of
+    the footer stats; rows are z-sorted within each cell so row groups
+    nest the same property at finer grain.
 
     Scaling uses global (min, max) per column (one tiny agg job). For
     heavily skewed columns substitute equi-depth codes (approxQuantile
     cuts) before interleaving — the key expression is unchanged.
-    At 100 TB: n_files ≈ table bytes / 1 GB; the range shuffle is the
-    only wide stage and AQE balances the z-ranges.
+    At 100 TB: n_cells ≈ table bytes / 1 GB, rounded to a power of
+    two; one hash shuffle on the cell id is the only wide stage.
     """
     from pyspark.sql import functions as F
 
+    n = len(cols)
+    assert n * bits <= 62, "n_cols * bits must fit a positive long"
+    k = max(1, (n_cells - 1).bit_length())  # ceil(log2), ≥ 2 cells
     aggs = []
     for c in cols:
         aggs += [F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}")]
@@ -129,9 +142,11 @@ def write_zordered(
     z = zorder_key(cols, stats, bits=bits)
     (
         df.withColumn("_z", z)
-        .repartitionByRange(n_files, "_z")
-        .sortWithinPartitions("_z")
+        .withColumn("zcell", F.shiftright("_z", n * bits - k).cast("int"))
+        .repartition(F.col("zcell"))
+        .sortWithinPartitions("zcell", "_z")
         .drop("_z")
         .write.mode(mode)
+        .partitionBy("zcell")
         .parquet(path)
     )

@@ -3,24 +3,33 @@ append changelog stream (the CDC compaction q_latest_state performs in
 batch, maintained incrementally).
 
 Structured Streaming has no built-in MERGE sink, so the standard
-pattern is `foreachBatch`: each micro-batch is compacted map-side
-(max_by per key — commutative, so replays and batch boundaries cannot
-change the result), merged with the current state table, and the new
-state is swapped in atomically. On a lakehouse table format this
-`_merge` body becomes a single MERGE INTO; on plain parquet we write
-next to the live state and rename — the same two-phase publish.
+pattern is ``foreachBatch``: each micro-batch is compacted map-side
+(max_by per key — commutative, so batch boundaries cannot change the
+result), merged with the current state table, and the new state is
+published. On a lakehouse table format the ``_merge`` body becomes a
+single MERGE INTO; here the publish is a VERSIONED-DIRECTORY + pointer
+file protocol:
+
+  * each merge writes a fresh ``v<batch_id>`` directory (never touches
+    the live one);
+  * the ``CURRENT`` pointer file is swapped with ``os.replace`` — an
+    atomic single-file rename, so readers resolve either the old or
+    the new version, never a half state (the crash-safe property a
+    directory-rename pair does NOT have: dying between two renames
+    would leave no live directory at all);
+  * the applied batch id is stored IN the pointer, so a replayed
+    micro-batch (checkpoint recovery re-delivers the last uncommitted
+    batch) is detected and skipped — exactly-once for every column,
+    including the accumulated ``n_versions`` count, without
+    transactional storage.
 
 Scale/state notes:
   * state size = one row per key — independent of stream length; the
     merge joins state with a compacted DELTA (≤ one row per key seen
     this batch), not with the raw batch.
-  * the merge function is IDEMPOTENT: re-delivering a micro-batch
-    (checkpoint replay after failure) re-applies max_by over rows the
-    state already absorbed — a no-op. That is what makes the sink
-    effectively exactly-once without transactional storage.
   * at 100 TB state, partition the state table by bucket(key) and
-    merge per-bucket; the parquet swap below is the single-node
-    stand-in for that.
+    merge per-bucket; the versioned-parquet protocol is the
+    single-node stand-in for a table-format commit.
 """
 
 from __future__ import annotations
@@ -28,11 +37,10 @@ from __future__ import annotations
 import os
 import shutil
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-STATE = "state"
-NEXT = "_next"
+CURRENT = "CURRENT"
 
 
 def _compact(df: DataFrame, key_col: str) -> DataFrame:
@@ -53,33 +61,46 @@ def _compact(df: DataFrame, key_col: str) -> DataFrame:
     )
 
 
+def _read_pointer(state_dir: str) -> tuple[str | None, int]:
+    """(live version dir name, last applied batch id)."""
+    ptr = os.path.join(state_dir, CURRENT)
+    if not os.path.exists(ptr):
+        return None, -1
+    vname, batch = open(ptr).read().strip().split(":")
+    return vname, int(batch)
+
+
 def upsert_latest(
     stream: DataFrame,
     state_dir: str,
     key_col: str = "user_id",
     checkpoint_dir: str | None = None,
 ):
-    """Start the upsert stream; returns the StreamingQuery. The live
-    state table is always readable at `{state_dir}/state`."""
+    """Start the upsert stream; returns the StreamingQuery. Read the
+    live state with ``read_state(spark, state_dir)``."""
+    os.makedirs(state_dir, exist_ok=True)
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        live, applied = _read_pointer(state_dir)
+        if batch_id <= applied:
+            return  # checkpoint replay of an already-published batch
         delta = _compact(batch_df, key_col)
-        live = os.path.join(state_dir, STATE)
-        nxt = os.path.join(state_dir, NEXT)
-        if os.path.exists(live):
-            cur = spark.read.parquet(live)
+        if live is not None:
+            cur = spark.read.parquet(os.path.join(state_dir, live))
             merged = _compact(cur.unionByName(delta), key_col)
         else:
             merged = delta
-        merged.write.mode("overwrite").parquet(nxt)
-        # two-phase publish: the fully-written next version replaces
-        # the live directory in one rename pair
-        old = live + ".old"
-        if os.path.exists(live):
-            os.rename(live, old)
-        os.rename(nxt, live)
-        shutil.rmtree(old, ignore_errors=True)
+        vname = f"v{batch_id}"
+        merged.write.mode("overwrite").parquet(
+            os.path.join(state_dir, vname)
+        )
+        tmp = os.path.join(state_dir, CURRENT + ".tmp")
+        with open(tmp, "w") as f:
+            f.write(f"{vname}:{batch_id}")
+        os.replace(tmp, os.path.join(state_dir, CURRENT))  # atomic
+        if live is not None and live != vname:
+            shutil.rmtree(os.path.join(state_dir, live), ignore_errors=True)
 
     writer = stream.writeStream.foreachBatch(_merge).trigger(availableNow=True)
     if checkpoint_dir:
@@ -87,5 +108,7 @@ def upsert_latest(
     return writer.start()
 
 
-def read_state(spark, state_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(state_dir, STATE))
+def read_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    vname, _ = _read_pointer(state_dir)
+    assert vname is not None, f"no published state under {state_dir}"
+    return spark.read.parquet(os.path.join(state_dir, vname))

@@ -739,10 +739,11 @@ def test_upsert_sink_multibatch_parity_and_idempotent(spark, tmp_path):
         for r in sinks.read_state(spark, state_dir).collect()
     }
     assert got == {10: (4, "c", 3), 11: (5, "b", 2), 12: (6, "a", 1)}
-    # replay: re-run the whole stream into the SAME state dir (no
-    # checkpoint → full redelivery); the max_by merge must absorb it
-    # without changing any latest-row field (n_versions counts the
-    # redelivered rows, so compare the value fields only)
+    # replay: re-deliver the whole stream into the SAME state dir (no
+    # checkpoint → batch ids restart at 0). The pointer's applied-batch
+    # watermark detects every batch as already published and skips it —
+    # state is bit-identical INCLUDING the accumulated n_versions
+    # (the exactly-once property checkpoint recovery relies on)
     stream2 = (
         spark.readStream.schema(spark.read.parquet(src).schema)
         .parquet(src)
@@ -750,7 +751,14 @@ def test_upsert_sink_multibatch_parity_and_idempotent(spark, tmp_path):
     q2 = sinks.upsert_latest(stream2, state_dir)
     q2.awaitTermination(120)
     after = {
-        r["user_id"]: (r["event_id"], r["event_type"])
+        r["user_id"]: (r["event_id"], r["event_type"], r["n_versions"])
         for r in sinks.read_state(spark, state_dir).collect()
     }
-    assert after == {k: v[:2] for k, v in got.items()}
+    assert after == got
+    # crash-safety shape: state is reachable via the atomic CURRENT
+    # pointer, and only the one live version directory remains
+    import os
+
+    names = sorted(os.listdir(state_dir))
+    assert sinks.CURRENT in names
+    assert sum(1 for n in names if n.startswith("v")) == 1
