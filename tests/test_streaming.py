@@ -762,3 +762,41 @@ def test_upsert_sink_multibatch_parity_and_idempotent(spark, tmp_path):
     names = sorted(os.listdir(state_dir))
     assert sinks.CURRENT in names
     assert sum(1 for n in names if n.startswith("v")) == 1
+
+
+def test_observation_metrics_on_stream(spark, tmp_path):
+    """The audit operator's claim that df.observe also instruments
+    streams: quality metrics arrive per micro-batch in
+    StreamingQueryProgress.observedMetrics — an ingest gate reports
+    drop/null rates with zero extra scans."""
+    from pyspark.sql import functions as F
+
+    from sfa_spark.operators.audit import quality_metrics
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, "a", 1.0), (2, None, 2.0), (3, "c", None)],
+        "id long, s string, v double",
+    ).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .parquet(src)
+        .observe("ingest", *quality_metrics(["s", "v"]))
+    )
+    name = "obs_stream_sink"
+    q = (
+        stream.groupBy().agg(F.count(F.lit(1)).alias("n"))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    seen = {}
+    for p in q.recentProgress:
+        m = p["observedMetrics"].get("ingest")
+        if m:
+            for k in ("n_rows", "nulls_s", "nulls_v"):
+                seen[k] = seen.get(k, 0) + m[k]
+    assert seen == {"n_rows": 3, "nulls_s": 1, "nulls_v": 1}
