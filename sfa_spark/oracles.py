@@ -956,3 +956,39 @@ ORACLES["q_observed_quality"] = """SELECT
   CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_event_type,
   CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_value
 FROM events"""
+
+
+ORACLES["q_event_cooccurrence"] = """WITH ut AS (
+  SELECT DISTINCT user_id, event_type FROM events
+),
+singles AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS cnt FROM ut GROUP BY 1
+),
+nu AS (SELECT CAST(count(DISTINCT user_id) AS DOUBLE) AS n_users FROM ut),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS support
+  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, support,
+       sa.cnt AS cnt_a, sb.cnt AS cnt_b,
+       round(support * nu.n_users / (sa.cnt * sb.cnt) + 1e-9, 4) + 0.0 AS lift
+FROM pairs
+JOIN singles sa ON sa.event_type = type_a
+JOIN singles sb ON sb.event_type = type_b
+CROSS JOIN nu"""
+
+
+# q_twap: identical lead(dt) intervals (ns integers) and decimal sums
+ORACLES["q_twap"] = """WITH d AS (
+  SELECT user_id, value,
+         lead(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+           - epoch_ns(ts) AS dt
+  FROM events
+)
+SELECT user_id,
+  CAST(count(*) AS BIGINT) AS n_intervals,
+  round(CAST(sum(CAST(value * (dt / 1e9) AS DECIMAL(38,12))) AS DOUBLE)
+        / CAST(sum(CAST(dt / 1e9 AS DECIMAL(38,12))) AS DOUBLE) + 1e-9, 4) + 0.0 AS twap
+FROM d WHERE dt IS NOT NULL GROUP BY user_id"""

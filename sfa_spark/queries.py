@@ -761,3 +761,69 @@ def q_observed_quality(spark, sf_dir):
         ],
         "n_rows bigint, nulls_event_type bigint, nulls_value bigint",
     )
+
+
+def q_event_cooccurrence(spark, sf_dir):
+    """Market-basket association mining over the event log: for every
+    unordered pair of event types, the number of users exhibiting both
+    (support) and the lift vs independence. Shapes that scale: the
+    corpus collapses to DISTINCT (user, type) first (map-side dedup),
+    the pair join is keyed on user_id, and the per-type counts
+    broadcast back — pair volume is bounded by users × (types per
+    user choose 2), never |events|²."""
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    n_users = ut.select("user_id").distinct().count()
+    singles = ut.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(singles.select(F.col("event_type").alias("type_a"),
+                                       F.col("cnt").alias("cnt_a"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(singles.select(F.col("event_type").alias("type_b"),
+                                       F.col("cnt").alias("cnt_b"))),
+            "type_b",
+        )
+        .select(
+            "type_a", "type_b", "support", "cnt_a", "cnt_b",
+            rnd(
+                F.col("support") * F.lit(float(n_users))
+                / (F.col("cnt_a") * F.col("cnt_b"))
+            ).alias("lift"),
+        )
+    )
+
+
+def q_twap(spark, sf_dir):
+    """Time-weighted average value per user (TWAP): each event's value
+    is weighted by the time it was 'in effect' (until the next event).
+    One keyed shuffle + one sorted window; dt stays integer
+    nanoseconds and the weighted sums are decimal-exact, so the oracle
+    reproduces it bit-for-bit."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = ev.withColumn("dt", F.lead("ts").over(w) - F.col("ts")).where(
+        F.col("dt").isNotNull()
+    )
+    # value × seconds as decimal: dt ≤ days (≪ 1e6 s), value ~1e2 →
+    # products fit decimal(38,12) comfortably at any event count
+    num = F.sum(
+        (F.col("value") * (F.col("dt") / F.lit(1e9))).cast("decimal(38,12)")
+    ).cast("double")
+    den = F.sum((F.col("dt") / F.lit(1e9)).cast("decimal(38,12)")).cast("double")
+    return d.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+        rnd(num / den).alias("twap"),
+    )

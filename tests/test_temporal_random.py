@@ -142,3 +142,33 @@ def test_scd2_asof_reconstruction_matches_prefix_latest(spark):
         assert vs[-1]["is_current"] and vs[-1]["valid_to"] is None
         for a, b in zip(vs, vs[1:]):
             assert a["valid_to"] == b["valid_from"]
+
+
+def test_twap_hand_computed_and_cooccurrence_lift(spark, tmp_path):
+    """TWAP weights each value by its holding time (last event carries
+    none); co-occurrence lift is support·N/(cnt_a·cnt_b)."""
+    import sfa_spark.queries as Q
+
+    ev = spark.createDataFrame(
+        [
+            (1, 0, 7, "a", 10.0),
+            (2, 10_000_000_000, 7, "b", 20.0),
+            (3, 30_000_000_000, 7, "a", 99.0),  # terminal: no weight
+            (4, 0, 8, "a", 5.0),
+            (5, 5_000_000_000, 8, "c", 5.0),
+        ],
+        "event_id long, ts long, user_id long, event_type string, value double",
+    )
+    sf = str(tmp_path)
+    ev.write.parquet(f"{sf}/events.parquet")
+    twap = {r["user_id"]: r["twap"] for r in Q.q_twap(spark, sf).collect()}
+    # user 7: (10·10 + 20·20) / 30 = 16.6667 ; user 8: 5·5/5 = 5
+    assert twap == {7: 16.6667, 8: 5.0}
+    co = {
+        (r["type_a"], r["type_b"]): (r["support"], r["lift"])
+        for r in Q.q_event_cooccurrence(spark, sf).collect()
+    }
+    # 2 users; a∩b in 1 of them, cnt_a=2, cnt_b=1 → lift = 1·2/(2·1)=1
+    assert co[("a", "b")] == (1, 1.0)
+    assert co[("a", "c")] == (1, 1.0)
+    assert ("b", "c") not in co  # never co-occur
