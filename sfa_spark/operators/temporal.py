@@ -283,3 +283,64 @@ def scd2_history(
         .withColumn("valid_to", F.lead(ts0).over(w))
         .withColumn("is_current", F.col("valid_to").isNull())
     )
+
+
+def pattern_detect(
+    events: DataFrame,
+    start: str,
+    then: str,
+    without: str | None = None,
+    entity_col: str = "user_id",
+    type_col: str = "event_type",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence pattern over an event log:
+    every `start` event matched to the NEXT `then` event of the same
+    entity, optionally requiring NO `without` event strictly between
+    them (the negative condition funnels cannot express — e.g.
+    "click then purchase with no error in between").
+
+    One keyed shuffle; the 'next then' and 'next without' timestamps
+    are two conditional minima over the SAME sorted window spec, so
+    Catalyst plans one Exchange + one Sort + WindowExec passes — no
+    self-join, no explode. A `without` tied to the exact instant of
+    the `then` event does NOT block the match (strictly-between
+    semantics; the oracle mirrors the same `<`).
+
+    Output: (entity, start_ts, start_id, then_ts, then_id).
+    """
+    ob = [F.col(c).asc() for c in order_cols]
+    w = (
+        Window.partitionBy(entity_col)
+        .orderBy(*ob)
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    ts0, id0 = order_cols[0], order_cols[1]
+    nxt = F.min(
+        F.when(
+            F.col(type_col) == then, F.struct(F.col(ts0), F.col(id0))
+        )
+    ).over(w)
+    blk = F.min(
+        F.when(
+            F.col(type_col) == without, F.struct(F.col(ts0), F.col(id0))
+        )
+    ).over(w) if without else F.lit(None)
+    d = (
+        events.withColumn("_nxt", nxt)
+        .withColumn("_blk", blk)
+        .where(F.col(type_col) == start)
+        .where(F.col("_nxt").isNotNull())
+    )
+    if without:
+        d = d.where(
+            F.col("_blk").isNull()
+            | (F.col("_blk")[ts0] >= F.col("_nxt")[ts0])
+        )
+    return d.select(
+        entity_col,
+        F.col(ts0).alias("start_ts"),
+        F.col(id0).alias("start_id"),
+        F.col("_nxt")[ts0].alias("then_ts"),
+        F.col("_nxt")[id0].alias("then_id"),
+    )

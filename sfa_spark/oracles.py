@@ -992,3 +992,28 @@ SELECT user_id,
   round(CAST(sum(CAST(value * (dt / 1e9) AS DECIMAL(38,12))) AS DOUBLE)
         / CAST(sum(CAST(dt / 1e9 AS DECIMAL(38,12))) AS DOUBLE) + 1e-9, 4) + 0.0 AS twap
 FROM d WHERE dt IS NOT NULL GROUP BY user_id"""
+
+
+# q_pattern_click_purchase: the 'next purchase' composite (ts, id) min
+# is encoded as a fixed-width string so its lexicographic min equals
+# Spark's struct min; the error block compares plain min ts
+ORACLES["q_pattern_click_purchase"] = """WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_ns(ts) AS ts FROM events
+),
+x AS (
+  SELECT user_id, event_id, event_type, ts,
+    min(CASE WHEN event_type = 'purchase'
+             THEN lpad(CAST(ts AS VARCHAR), 20, '0') || ':' ||
+                  lpad(CAST(event_id AS VARCHAR), 12, '0') END)
+      OVER w AS nxt,
+    min(CASE WHEN event_type = 'error' THEN ts END) OVER w AS blk_ts
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, ts AS start_ts, event_id AS start_id,
+  CAST(substr(nxt, 1, 20) AS BIGINT) AS then_ts,
+  CAST(substr(nxt, 22) AS BIGINT) AS then_id
+FROM x
+WHERE event_type = 'click' AND nxt IS NOT NULL
+  AND (blk_ts IS NULL OR blk_ts >= CAST(substr(nxt, 1, 20) AS BIGINT))"""

@@ -827,3 +827,14 @@ def q_twap(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
         rnd(num / den).alias("twap"),
     )
+
+
+def q_pattern_click_purchase(spark, sf_dir):
+    """Sequence-pattern detection (MATCH_RECOGNIZE-style): every click
+    matched to the user's NEXT purchase with NO error strictly between
+    — the negative condition a funnel cannot express. One shuffle, two
+    conditional window minima."""
+    from sfa_spark.operators.temporal import pattern_detect
+
+    ev = load_table(spark, sf_dir, "events")
+    return pattern_detect(ev, start="click", then="purchase", without="error")

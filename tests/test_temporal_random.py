@@ -172,3 +172,70 @@ def test_twap_hand_computed_and_cooccurrence_lift(spark, tmp_path):
     assert co[("a", "b")] == (1, 1.0)
     assert co[("a", "c")] == (1, 1.0)
     assert ("b", "c") not in co  # never co-occur
+
+
+def test_pattern_detect_negative_condition_semantics(spark):
+    """click→purchase with no error between: an error strictly between
+    blocks the match; errors before the click, after the purchase, or
+    tied to the purchase instant do not."""
+    from sfa_spark.operators.temporal import pattern_detect
+
+    rows = [
+        # user 1: click(10) → error(20) → purchase(30): BLOCKED
+        (1, 10, 1, "click"), (2, 20, 1, "error"), (3, 30, 1, "purchase"),
+        # user 2: error(5) → click(10) → purchase(30): matches
+        (4, 5, 2, "error"), (5, 10, 2, "click"), (6, 30, 2, "purchase"),
+        # user 3: click(10) → purchase(30) tied with error(30): matches
+        (7, 10, 3, "click"), (8, 30, 3, "error"), (9, 30, 3, "purchase"),
+        # user 4: click with no purchase at all: no row
+        (10, 10, 4, "click"), (11, 20, 4, "error"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, event_type string"
+    )
+    got = {
+        r["user_id"]: (r["start_ts"], r["then_ts"])
+        for r in pattern_detect(
+            ev, start="click", then="purchase", without="error"
+        ).collect()
+    }
+    assert got == {2: (10, 30), 3: (10, 30)}
+    # brute cross-check on random logs: for each click, scan forward
+    import random
+
+    rng = random.Random(3)
+    rows2, eid = [], 0
+    for u in range(8):
+        t = 0
+        for _ in range(rng.randint(3, 14)):
+            t += rng.randint(1, 5)
+            rows2.append((eid, t, u, rng.choice(["click", "purchase", "error", "view"])))
+            eid += 1
+    ev2 = spark.createDataFrame(
+        rows2, "event_id long, ts long, user_id long, event_type string"
+    )
+    got2 = {
+        (r["user_id"], r["start_id"]): r["then_id"]
+        for r in pattern_detect(
+            ev2, start="click", then="purchase", without="error"
+        ).collect()
+    }
+    want = {}
+    by_user = {}
+    for e in rows2:
+        by_user.setdefault(e[2], []).append(e)
+    for u, es in by_user.items():
+        es.sort(key=lambda e: (e[1], e[0]))
+        for i, e in enumerate(es):
+            if e[3] != "click":
+                continue
+            nxt = next(((j, f) for j, f in enumerate(es[i + 1:], i + 1) if f[3] == "purchase"), None)
+            if nxt is None:
+                continue
+            j, p = nxt
+            blocked = any(
+                f[3] == "error" and f[1] < p[1] for f in es[i + 1:j]
+            )
+            if not blocked:
+                want[(u, e[0])] = p[0]
+    assert got2 == want
