@@ -1017,3 +1017,14 @@ SELECT user_id, ts AS start_ts, event_id AS start_id,
 FROM x
 WHERE event_type = 'click' AND nxt IS NOT NULL
   AND (blk_ts IS NULL OR blk_ts >= CAST(substr(nxt, 1, 20) AS BIGINT))"""
+
+
+ORACLES["q_pivot_activity"] = """SELECT user_id,
+  CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+  CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error,
+  CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+  CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
+  CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view,
+  CAST(count(*) FILTER (WHERE event_type IN
+       ('click','error','purchase','signup','view')) AS BIGINT) AS n_total
+FROM events GROUP BY user_id"""

@@ -838,3 +838,26 @@ def q_pattern_click_purchase(spark, sf_dir):
 
     ev = load_table(spark, sf_dir, "events")
     return pattern_detect(ev, start="click", then="purchase", without="error")
+
+
+def q_pivot_activity(spark, sf_dir):
+    """Wide-format activity report: per-user event counts PIVOTed into
+    one column per event type (values enumerated explicitly — at scale
+    an unpivoted groupBy is one pass either way, but enumerating skips
+    Spark's distinct-values pre-job), plus the per-user total. The
+    crosstab/reporting surface over the same single shuffle as a plain
+    groupBy."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, types)
+    )
+    total = sum((F.col(t) for t in types), F.lit(0))
+    return wide.select(
+        "user_id",
+        *[F.col(t).cast("bigint").alias(f"n_{t}") for t in types],
+        total.cast("bigint").alias("n_total"),
+    )
