@@ -344,3 +344,40 @@ def pattern_detect(
         F.col("_nxt")[ts0].alias("then_ts"),
         F.col("_nxt")[id0].alias("then_id"),
     )
+
+
+def mad_outliers(
+    events: DataFrame,
+    by: str = "event_type",
+    value: str = "value",
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust outlier flagging by median absolute deviation: flag rows
+    with |v − median| > k · 1.4826 · MAD per group. Unlike the z-score
+    variant (zscore_outliers above), the cutoff itself is immune to
+    the outliers it hunts — one extreme row cannot widen its own gate
+    (the classic breakdown failure of mean/σ).
+
+    Two exact-median aggregation passes (Spark `percentile` ==
+    DuckDB `quantile_cont` to the ulp — same bridge q_latency_quantiles
+    certifies) with the group stats broadcast back; the corpus is
+    filtered in place, never re-shuffled. Groups are category-sized
+    (event types, domains), so the per-group exact median is a bounded
+    sort within the aggregate."""
+    med = events.groupBy(by).agg(
+        F.expr(f"percentile({value}, 0.5)").alias("_med")
+    )
+    j1 = events.join(F.broadcast(med), by)
+    mad = j1.groupBy(by).agg(
+        F.expr(f"percentile(abs({value} - _med), 0.5)").alias("_mad"),
+        F.first("_med").alias("_med2"),
+    )
+    scored = events.join(F.broadcast(mad), by).where(F.col("_mad") > 0)
+    dev = F.abs(F.col(value) - F.col("_med2"))
+    return (
+        scored.where(dev > F.lit(k * 1.4826) * F.col("_mad"))
+        .select(
+            *events.columns,
+            (dev / (F.lit(1.4826) * F.col("_mad"))).alias("mad_score"),
+        )
+    )

@@ -1028,3 +1028,17 @@ ORACLES["q_pivot_activity"] = """SELECT user_id,
   CAST(count(*) FILTER (WHERE event_type IN
        ('click','error','purchase','signup','view')) AS BIGINT) AS n_total
 FROM events GROUP BY user_id"""
+
+
+# q_mad_outliers: exact medians (quantile_cont == Spark percentile)
+ORACLES["q_mad_outliers"] = """WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS m FROM events GROUP BY 1
+),
+mad AS (
+  SELECT e.event_type, quantile_cont(abs(e.value - med.m), 0.5) AS mad, any_value(med.m) AS m
+  FROM events e JOIN med USING (event_type) GROUP BY e.event_type
+)
+SELECT event_id, e.event_type, value,
+       round(abs(value - mad.m) / (1.4826 * mad.mad) + 1e-9, 4) + 0.0 AS mad_score
+FROM events e JOIN mad USING (event_type)
+WHERE mad.mad > 0 AND abs(value - mad.m) > 3 * 1.4826 * mad.mad"""

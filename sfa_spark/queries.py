@@ -861,3 +861,18 @@ def q_pivot_activity(spark, sf_dir):
         *[F.col(t).cast("bigint").alias(f"n_{t}") for t in types],
         total.cast("bigint").alias("n_total"),
     )
+
+
+def q_mad_outliers(spark, sf_dir):
+    """Robust per-type outliers: |v − median| > 3 · 1.4826 · MAD — the
+    cutoff is immune to the outliers it hunts (unlike z-scores)."""
+    from sfa_spark.operators.temporal import mad_outliers
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    res = mad_outliers(ev, k=3.0)
+    return res.select(
+        "event_id", "event_type", "value",
+        rnd("mad_score", 4).alias("mad_score"),
+    )

@@ -239,3 +239,32 @@ def test_pattern_detect_negative_condition_semantics(spark):
             if not blocked:
                 want[(u, e[0])] = p[0]
     assert got2 == want
+
+
+def test_mad_outliers_breakdown_resistant(spark):
+    """MAD's defining property vs z-scores: a massive outlier cannot
+    widen its own cutoff. One 1000.0 among values ~N(10, 1) is flagged
+    by MAD; the same row drags the stddev enough that a 3σ z-score
+    misses moderate secondary outliers MAD still catches."""
+    from sfa_spark.operators.temporal import mad_outliers, zscore_outliers
+
+    vals = [10.0, 9.5, 10.5, 9.8, 10.2, 9.9, 10.1, 10.3, 9.7, 10.0,
+            18.0,      # moderate outlier
+            1000.0]    # extreme outlier
+    ev = spark.createDataFrame(
+        [(i, "a", v) for i, v in enumerate(vals)],
+        "event_id long, event_type string, value double",
+    )
+    mad_ids = {
+        r["event_id"]
+        for r in mad_outliers(ev, by="event_type", k=3.0).collect()
+    }
+    assert {10, 11} <= mad_ids  # both outliers flagged
+    assert not mad_ids & set(range(10))  # inliers untouched
+    z_ids = {
+        r["event_id"]
+        for r in zscore_outliers(
+            ev, by="event_type", value="value", z=3.0
+        ).collect()
+    }
+    assert 10 not in z_ids  # σ blown up by the 1000 → 18 slips through
