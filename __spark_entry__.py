@@ -51,20 +51,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # prep). q_muse_predict_full (~270 s at sf0.01) stays out of the gate
 # by design — rows-only, certified by the PenDigits golden.
 ROTATE_FIRST = [
-    # (a0000) the seventeen queries added in the last r4 session: the
+    # (a0000) the eighteen queries added in the last r4 session: the
     # deterministic train/val/test split, CCNet line-level dedup,
     # JSON-props analytics, hard-negative mining, the streaming
     # Count-Min grid, the foreachBatch upsert sink, SCD2 history,
     # ROLLUP totals, weighted sampling, grouped HLL, the single-pass
     # correlation matrix, Observation-based quality metrics,
     # co-occurrence lift, TWAP, sequence-pattern detection, and
-    # pivot crosstab reporting and MAD robust outliers
+    # pivot/unpivot reporting and MAD robust outliers
     "q_split_assign", "q_line_dedup", "q_json_props", "q_hard_negatives",
     "q_stream_countmin", "q_stream_latest_state", "q_scd2_history",
     "q_rollup_revenue", "q_weighted_sample", "q_hll_by_lang",
     "q_corr_pricing", "q_observed_quality", "q_event_cooccurrence",
     "q_twap", "q_pattern_click_purchase", "q_pivot_activity",
-    "q_mad_outliers",
+    "q_mad_outliers", "q_unpivot_metrics",
     # (a000) added in the final r4 session: bloom-prefiltered
     # decontamination (exact-verified), the watermarked stream-stream
     # attribution join, Count-Min / HyperLogLog sketches, the salted
@@ -91,8 +91,8 @@ ROTATE_FIRST = [
     "q_anova_f",  # decimal-summed sufficient statistics (determinism)
     "q_tfidf_fit", "q_tfidf_predict", "q_tfidf_accuracy", "q_shotgun_1nn",
     "q_embed_clusters", "q_cluster_balanced_sample", "q_pq_ann", "q_ivfpq_ann",
-    # (gate is exactly 50: the ten r4-touched queries listed past
-    # position 50 (q_shotgun_ensemble_predict, q_anova_f,
+    # (gate is exactly 50: the eleven r4-touched queries listed past
+    # position 50 (q_boss_grid_predict, q_shotgun_ensemble_predict, q_anova_f,
     # q_tfidf_fit/predict/accuracy, q_shotgun_1nn, q_embed_clusters,
     # q_cluster_balanced_sample, q_pq_ann, q_ivfpq_ann) fall out — each keeps a green r3 driver-gate row
     # and was replayed green in THIS session's full sf0.01 replay

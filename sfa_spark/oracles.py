@@ -1042,3 +1042,18 @@ SELECT event_id, e.event_type, value,
        round(abs(value - mad.m) / (1.4826 * mad.mad) + 1e-9, 4) + 0.0 AS mad_score
 FROM events e JOIN mad USING (event_type)
 WHERE mad.mad > 0 AND abs(value - mad.m) > 3 * 1.4826 * mad.mad"""
+
+
+# q_unpivot_metrics: the same decimal sums, melted via UNION ALL
+ORACLES["q_unpivot_metrics"] = """WITH w AS (
+  SELECT l_returnflag,
+    CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty,
+    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS price,
+    CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS disc_price
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, metric, round(total + 1e-9, 4) + 0.0 AS total FROM (
+  SELECT l_returnflag, 'qty' AS metric, qty AS total FROM w
+  UNION ALL SELECT l_returnflag, 'price', price FROM w
+  UNION ALL SELECT l_returnflag, 'disc_price', disc_price FROM w
+)"""

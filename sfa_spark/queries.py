@@ -876,3 +876,24 @@ def q_mad_outliers(spark, sf_dir):
         "event_id", "event_type", "value",
         rnd("mad_score", 4).alias("mad_score"),
     )
+
+
+def q_unpivot_metrics(spark, sf_dir):
+    """Melt (unpivot) wide aggregates back to long form: per-returnflag
+    totals of three lineitem measures as (flag, metric, total) rows —
+    the wide↔long reporting bridge (pivot's inverse); unpivot is a
+    row-local Expand, no extra shuffle beyond the aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        dec_sum("l_quantity").alias("qty"),
+        dec_sum("l_extendedprice").alias("price"),
+        dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "disc_price"
+        ),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["qty", "price", "disc_price"],
+        variableColumnName="metric",
+        valueColumnName="total",
+    ).select("l_returnflag", "metric", rnd("total", 4).alias("total"))
