@@ -1057,3 +1057,13 @@ SELECT l_returnflag, metric, round(total + 1e-9, 4) + 0.0 AS total FROM (
   UNION ALL SELECT l_returnflag, 'price', price FROM w
   UNION ALL SELECT l_returnflag, 'disc_price', disc_price FROM w
 )"""
+
+
+ORACLES["q_value_histogram"] = """WITH r AS (
+  SELECT min(value) AS lo, max(value) AS hi FROM events
+)
+SELECT event_type,
+  CAST(least(15, floor((value - lo) / ((hi - lo) / 16.0))) AS INT) AS bucket,
+  CAST(count(*) AS BIGINT) AS cnt
+FROM events CROSS JOIN r
+GROUP BY 1, 2"""

@@ -897,3 +897,25 @@ def q_unpivot_metrics(spark, sf_dir):
         variableColumnName="metric",
         valueColumnName="total",
     ).select("l_returnflag", "metric", rnd("total", 4).alias("total"))
+
+
+def q_value_histogram(spark, sf_dir):
+    """Equi-width value histogram per event type (16 fixed buckets over
+    the global [min, max]) — the numeric-profiling pass before range
+    partitioning or quality cuts. Two tiny aggregates: the global range
+    broadcast back, then one map-side-combinable bucket count."""
+    ev = load_table(spark, sf_dir, "events")
+    r = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    b = ev.crossJoin(F.broadcast(r)).select(
+        "event_type",
+        F.least(
+            F.lit(15),
+            F.floor(
+                (F.col("value") - F.col("lo"))
+                / ((F.col("hi") - F.col("lo")) / F.lit(16.0))
+            ).cast("int"),
+        ).alias("bucket"),
+    )
+    return b.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
