@@ -28,7 +28,7 @@ HEADLINE = [
     "q_mft_sliding",     # pandas-UDF sliding DFT
     "q_sfa_words_dft",   # full SFA (DFT + equi-depth) pipeline
     "q_dedup_exact",
-    "q_jaccard_topk",
+    "q_jaccard_topk_capped",  # df-capped inverted-index join (the 100 TB mode)
     "q_lsh_pairs",
     "q_simhash",
     "q_cosine_topk",
@@ -55,21 +55,31 @@ def main() -> None:
     except Exception:  # noqa: BLE001
         pass
 
+    load_before = os.getloadavg()
     timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     for name in HEADLINE:
         if name not in qs:
             continue
-        # min of 2 runs: the box is shared, single-shot timings swing
-        # ±20%; min-of-N is the standard noise-robust point estimate
+        # min of 3 runs: the box is shared, single-shot timings swing
+        # ±20-50% under load; min-of-N is the standard noise-robust
+        # point estimate, and the per-run spread + load averages are
+        # recorded so round-over-round regressions are falsifiable
+        # (r4 lesson: a uniform 1.3-1.5× inflation across untouched
+        # queries turned out to be box load, not plans).
         best, n = None, 0
-        for _ in range(2):
+        samples: list[float] = []
+        for _ in range(3):
             t0 = time.time()
             n = qs[name](spark, sf_dir).count()  # force full execution
             dt = time.time() - t0
+            samples.append(round(dt, 3))
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        runs[name] = samples
+        print(f"# {name}: {timings[name]}s ({n} rows) runs={samples}", file=sys.stderr)
 
+    load_after = os.getloadavg()
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -79,6 +89,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "runs_per_query": 3,
+                "all_runs": runs,
+                "loadavg_before": [round(x, 2) for x in load_before],
+                "loadavg_after": [round(x, 2) for x in load_after],
             }
         )
     )

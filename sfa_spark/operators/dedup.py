@@ -79,6 +79,58 @@ def jaccard_pairs(
     )
 
 
+def jaccard_verify(
+    docs: DataFrame,
+    cand: DataFrame,
+    k: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard computed for the given candidate pairs ONLY
+    — the verify phase of two-phase (LSH → verify) near-dedup.
+
+    Scale shape (the point of LSH): the shingle table is first
+    restricted by a LEFT SEMI join on candidate doc-ids, then the
+    candidate pair list is expanded by doc_a's shingle set and matched
+    on (doc_b, shingle). Cost is O(Σ_cand |shingles(doc_a)|) — linear
+    in the candidate list — never the all-pairs inverted-index
+    self-join of `jaccard_pairs`, which is quadratic on hot shingles.
+
+    Input `cand`: (doc_a, doc_b[, ...]) with doc_a < doc_b.
+    Output: (doc_a, doc_b, inter, union_sz, jaccard) for candidates
+    sharing ≥1 shingle (zero-intersection candidates drop out, matching
+    an inner join against the exact pair set)."""
+    sh = shingles(docs, k)
+    pairs = cand.select("doc_a", "doc_b")
+    cand_ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_c = sh.join(cand_ids, "doc_id", "left_semi")
+    sizes = sh_c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh_c.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh_c.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        pairs.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("inter").cast("bigint").alias("inter"),
+            (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("bigint").alias("union_sz"),
+            (
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+    )
+
+
 def minhash_signatures(docs: DataFrame, n_seeds: int = 8, k: int = 3) -> DataFrame:
     """(doc_id, seed, minhash): per-seed min over md5(seed|shingle).
 

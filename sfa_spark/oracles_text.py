@@ -117,6 +117,32 @@ SELECT doc_a, doc_b, inter, union_sz,
        CAST(row_number() OVER (ORDER BY jaccard DESC, doc_a ASC, doc_b ASC) AS INT) AS rk
 FROM pairs QUALIFY rk <= 20"""
 
+ORACLES["q_jaccard_topk_capped"] = f"""WITH {_SHINGLES},
+capped AS (
+  SELECT doc_id, shingle FROM shingles
+  QUALIFY count(*) OVER (PARTITION BY shingle) <= 50
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM capped GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM capped a JOIN capped b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT i.doc_a, i.doc_b,
+         CAST(i.inter AS BIGINT) AS inter,
+         CAST(sa.sz + sb.sz - i.inter AS BIGINT) AS union_sz,
+         i.inter * 1.0 / (sa.sz + sb.sz - i.inter) AS jaccard
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+)
+SELECT doc_a, doc_b, inter, union_sz,
+       round(jaccard + 1e-9, 4) + 0.0 AS jaccard,
+       CAST(row_number() OVER (ORDER BY jaccard DESC, doc_a ASC, doc_b ASC) AS INT) AS rk
+FROM pairs QUALIFY rk <= 20"""
+
 _SIGS = f"""{_SHINGLES},
 sigs AS (
   SELECT doc_id, seed, min(md5(seed::VARCHAR || '|' || shingle)) AS minhash

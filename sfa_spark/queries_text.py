@@ -73,6 +73,29 @@ def q_jaccard_topk(spark, sf_dir):
     )
 
 
+def q_jaccard_topk_capped(spark, sf_dir):
+    """q_jaccard_topk with the document-frequency cap ENGAGED
+    (max_df=50): shingles appearing in more than max_df documents are
+    dropped before the inverted-index pair join, bounding the candidate
+    blow-up on stopword-like hot shingles — the 100 TB operating mode
+    (the uncapped q_jaccard_topk stays registered as the exactness
+    oracle). The capped result is still exact for the surviving pairs:
+    inter/union/jaccard are computed over the capped shingle sets on
+    BOTH engines (the oracle mirrors the cap as a HAVING on shingle
+    df)."""
+    from sfa_spark.operators.topk import ranked_top_k
+
+    pairs = dedup.jaccard_pairs(_docs(spark, sf_dir), k=3, max_df=50)
+    return ranked_top_k(
+        pairs,
+        [("jaccard", True), ("doc_a", False), ("doc_b", False)],
+        JACCARD_TOPK,
+    ).select(
+        "doc_a", "doc_b", "inter", "union_sz",
+        rnd("jaccard", 4).alias("jaccard"), "rk",
+    )
+
+
 def q_minhash_signatures(spark, sf_dir):
     return dedup.minhash_signatures(_docs(spark, sf_dir), n_seeds=8, k=3)
 
@@ -84,13 +107,17 @@ def q_lsh_pairs(spark, sf_dir):
 
 def q_lsh_verified_dedup(spark, sf_dir):
     """Two-phase near-dedup end to end: MinHash-LSH candidate pairs →
-    exact Jaccard verify on candidates only — the signature→bucket→
-    verify shape that scales to 100 TB (never all-pairs)."""
+    exact Jaccard verify on candidates ONLY (dedup.jaccard_verify) —
+    the signature→bucket→verify shape that scales to 100 TB. The
+    verify phase semi-joins the shingle table on candidate doc-ids
+    before any pair expansion, so the uncapped all-pairs inverted-index
+    self-join of `jaccard_pairs` never appears in the plan (asserted by
+    tests/test_llm_ops.py::test_lsh_verified_plan_has_no_allpairs)."""
     docs = _docs(spark, sf_dir)
     sig = dedup.minhash_signatures(docs, n_seeds=8, k=3)
     cand = dedup.lsh_candidate_pairs(sig, band_size=2)
-    exact = dedup.jaccard_pairs(docs, k=3)
-    return cand.join(exact, ["doc_a", "doc_b"]).select(
+    ver = dedup.jaccard_verify(docs, cand, k=3)
+    return cand.join(ver, ["doc_a", "doc_b"]).select(
         "doc_a", "doc_b", "n_bands", "inter", "union_sz",
         rnd("jaccard", 4).alias("jaccard"),
     )

@@ -34,6 +34,40 @@ def test_jaccard_near_dup_ranks_first(docs):
     assert (0, 3) not in by_pair  # no shared shingle
 
 
+def test_jaccard_verify_matches_full_pairs_on_candidates(docs):
+    """jaccard_verify(docs, cand) must equal the full jaccard_pairs set
+    inner-joined to cand — same values, candidates-only cost."""
+    sig = dedup.minhash_signatures(docs, n_seeds=4, k=3)
+    cand = dedup.lsh_candidate_pairs(sig, band_size=2)
+    ver = {
+        (r["doc_a"], r["doc_b"]): (r["inter"], r["union_sz"], r["jaccard"])
+        for r in dedup.jaccard_verify(docs, cand, k=3).collect()
+    }
+    full = {
+        (r["doc_a"], r["doc_b"]): (r["inter"], r["union_sz"], r["jaccard"])
+        for r in dedup.jaccard_pairs(docs, k=3).collect()
+    }
+    cand_keys = {(r["doc_a"], r["doc_b"]) for r in cand.collect()}
+    expected = {k: v for k, v in full.items() if k in cand_keys}
+    assert ver == expected
+
+
+def test_lsh_verified_plan_has_no_allpairs(docs):
+    """The two-phase verify must never plan the uncapped shingle
+    self-join (a join keyed on `shingle` ALONE is the all-pairs
+    inverted-index subtree — quadratic on hot shingles). The verify
+    path's shingle join is keyed (doc_b, shingle), which is linear in
+    the candidate list."""
+    import re
+
+    sig = dedup.minhash_signatures(docs, n_seeds=4, k=3)
+    cand = dedup.lsh_candidate_pairs(sig, band_size=2)
+    ver = dedup.jaccard_verify(docs, cand, k=3)
+    plan = ver._jdf.queryExecution().executedPlan().toString()
+    bad = re.findall(r"Join \w*\s*\[shingle#\d+[L]?\], \[shingle#\d+[L]?\]", plan)
+    assert not bad, plan
+
+
 def test_minhash_identical_docs_same_signature(docs):
     sig = dedup.minhash_signatures(docs, n_seeds=4, k=3)
     rows = sig.collect()
