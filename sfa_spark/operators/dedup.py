@@ -543,7 +543,12 @@ def line_dedup(
             lambda i: F.concat_ws(" ", F.slice(toks, i * w + 1, w)),
         )
     else:
-        units = F.split(txt, sep)
+        # F.split interprets sep as a Java regex while the reassembly
+        # below (concat_ws) uses it literally — quote it so a separator
+        # containing regex metacharacters ('.', '|') splits literally
+        # too (java.util.regex.Pattern.quote semantics, \E-safe).
+        quoted = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+        units = F.split(txt, quoted)
     ex = docs.select(doc_col, F.posexplode(units).alias("pos", "unit"))
     uw = Window.partitionBy("unit")
     ex = ex.withColumn(

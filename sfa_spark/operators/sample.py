@@ -140,7 +140,11 @@ def split_assign(
     cum = 0.0
     conds = []
     for name, frac in splits[:-1]:
-        cum += frac
+        # round each cumulative boundary: float accumulation would put
+        # 0.8+0.1 at 0.9000000000000001 while an oracle written against
+        # the literal fractions uses 0.9 — a hash unit in the gap would
+        # be classified differently by the two engines
+        cum = round(cum + frac, 12)
         conds.append((cum, name))
     for cum, name in reversed(conds):
         expr = F.when(h < F.lit(cum), F.lit(name)).otherwise(expr)

@@ -881,7 +881,7 @@ GROUP BY n_name"""
 ORACLES["q_json_props"] = """WITH p AS (
   SELECT event_type, value,
          CASE WHEN json_valid(props)
-              THEN CAST(json_extract_string(props, '$.k') AS INT)
+              THEN TRY_CAST(json_extract_string(props, '$.k') AS INT)
               ELSE NULL END AS k
   FROM events
 )

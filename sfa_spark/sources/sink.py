@@ -138,11 +138,30 @@ def write_zordered(
     for c in cols:
         aggs += [F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}")]
     row = df.agg(*aggs).collect()[0]
+    for c in cols:
+        # min/max come back None iff the column is entirely NULL —
+        # zorder_key would then crash on float(None - None); an
+        # all-NULL column cannot be z-ordered, so fail loudly
+        assert row[f"_lo_{c}"] is not None, (
+            f"z-order column {c!r} is entirely NULL — cannot derive a range"
+        )
     stats = {c: (row[f"_lo_{c}"], row[f"_hi_{c}"]) for c in cols}
     z = zorder_key(cols, stats, bits=bits)
+    # rows with a NULL in ANY z-column would silently encode to code 0
+    # (greatest(0, NULL) → 0) and pollute the low corner cell's min/max
+    # ranges — route them to a dedicated cell instead so footer stats
+    # on the real low cell stay narrow
+    has_null = F.lit(False)
+    for c in cols:
+        has_null = has_null | F.col(c).isNull()
     (
         df.withColumn("_z", z)
-        .withColumn("zcell", F.shiftright("_z", n * bits - k).cast("int"))
+        .withColumn(
+            "zcell",
+            F.when(has_null, F.lit(-1))
+            .otherwise(F.shiftright("_z", n * bits - k))
+            .cast("int"),
+        )
         .repartition(F.col("zcell"))
         .sortWithinPartitions("zcell", "_z")
         .drop("_z")

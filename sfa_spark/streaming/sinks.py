@@ -21,7 +21,13 @@ file protocol:
     micro-batch (checkpoint recovery re-delivers the last uncommitted
     batch) is detected and skipped — exactly-once for every column,
     including the accumulated ``n_versions`` count, without
-    transactional storage.
+    transactional storage;
+  * power-loss durability and the reader race: the pointer bytes and
+    the directory entries are fsynced around the swap, and the
+    previous version directory is NOT deleted at publish — it is kept
+    until the NEXT merge (N-1 retention), so a crash always leaves a
+    durable resolvable version and a concurrent reader that resolved
+    the old pointer can finish its scan.
 
 Scale/state notes:
   * state size = one row per key — independent of stream length; the
@@ -98,9 +104,31 @@ def upsert_latest(
         tmp = os.path.join(state_dir, CURRENT + ".tmp")
         with open(tmp, "w") as f:
             f.write(f"{vname}:{batch_id}")
+            # durability, not just process-crash atomicity: fsync the
+            # pointer bytes, then the directory entries, so a power
+            # loss after the swap cannot leave CURRENT pointing at a
+            # not-yet-durable version
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp, os.path.join(state_dir, CURRENT))  # atomic
-        if live is not None and live != vname:
-            shutil.rmtree(os.path.join(state_dir, live), ignore_errors=True)
+        dfd = os.open(state_dir, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+        # deferred deletion: keep the PREVIOUS version (N-1) and delete
+        # only versions older than it, so (a) a machine crash always
+        # leaves one durable version, (b) a concurrent reader that
+        # resolved the old pointer can finish its scan — it is deleted
+        # on the NEXT merge, not while it may still be live
+        keep = {vname, live} if live is not None else {vname}
+        for entry in os.listdir(state_dir):
+            if (
+                entry.startswith("v")
+                and entry not in keep
+                and os.path.isdir(os.path.join(state_dir, entry))
+            ):
+                shutil.rmtree(os.path.join(state_dir, entry), ignore_errors=True)
 
     writer = stream.writeStream.foreachBatch(_merge).trigger(availableNow=True)
     if checkpoint_dir:

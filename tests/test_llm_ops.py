@@ -1429,6 +1429,26 @@ def test_line_dedup_boilerplate_removal(spark):
     assert plan.count("Exchange") == 2 and "Join" not in plan
 
 
+def test_line_dedup_regex_metachar_separator(spark):
+    """A separator containing regex metacharacters ('.', '|') must
+    split LITERALLY (F.split takes a Java regex; the separator is
+    Pattern.quote'd) so split and concat_ws reassembly agree."""
+    from sfa_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "alpha.beta.alpha"), (2, "alpha.gamma")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r for r in dedup.line_dedup(docs, sep=".").collect()
+    }
+    # '.' as a raw regex would split per-character; literal split gives
+    # units [alpha, beta, alpha] / [alpha, gamma]
+    assert out[1]["n_units"] == 3
+    assert out[1]["dedup_text"] == "alpha.beta"  # 2nd 'alpha' deduped
+    assert out[2]["dedup_text"] == "gamma"  # 'alpha' seen in doc 1
+
+
 def test_json_props_malformed_rows_quarantine_not_fail(spark):
     """Explicit-schema from_json: malformed payloads become NULL (and
     are counted), never a job failure; valid rows extract normally."""

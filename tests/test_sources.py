@@ -166,6 +166,29 @@ def test_zorder_layout_skips_on_every_dimension(spark, tmp_path):
     )
     zdir, ldir = str(tmp_path / "z"), str(tmp_path / "linear")
     write_zordered(df, zdir, ["x", "y"], bits=8, n_cells=16)
+
+    # NULL handling: rows with a NULL z-column go to the dedicated
+    # zcell=-1 partition (not silently into the low corner cell), and
+    # an all-NULL z-column fails loudly instead of TypeError-ing
+    nulldir = str(tmp_path / "znull")
+    dfn = df.unionByName(
+        spark.createDataFrame(
+            [(None, 5, 99999), (3, None, 99998)],
+            "x long, y long, payload long",
+        )
+    )
+    write_zordered(dfn, nulldir, ["x", "y"], bits=8, n_cells=16)
+    back = spark.read.parquet(nulldir)
+    assert back.where("zcell = -1").count() == 2
+    assert back.where("zcell >= 0 and (x is null or y is null)").count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError, match="entirely NULL"):
+        write_zordered(
+            spark.createDataFrame([(None, 1)], "x long, payload long"),
+            str(tmp_path / "zbad"),
+            ["x"],
+        )
     (
         df.repartitionByRange(16, "x")
         .sortWithinPartitions("x")

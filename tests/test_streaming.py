@@ -756,12 +756,17 @@ def test_upsert_sink_multibatch_parity_and_idempotent(spark, tmp_path):
     }
     assert after == got
     # crash-safety shape: state is reachable via the atomic CURRENT
-    # pointer, and only the one live version directory remains
+    # pointer; the live version AND its predecessor remain (N-1
+    # retention closes the reader race and the power-loss window —
+    # older versions are garbage-collected on the next merge)
     import os
 
     names = sorted(os.listdir(state_dir))
     assert sinks.CURRENT in names
-    assert sum(1 for n in names if n.startswith("v")) == 1
+    vdirs = [n for n in names if n.startswith("v")]
+    assert len(vdirs) == 2
+    live, _ = sinks._read_pointer(state_dir)
+    assert live == max(vdirs, key=lambda n: int(n[1:]))
 
 
 def test_observation_metrics_on_stream(spark, tmp_path):
