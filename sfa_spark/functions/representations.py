@@ -181,7 +181,10 @@ def apca_values(x: np.ndarray, l: int) -> np.ndarray:
 
     def err(s):
         m = s["hi"] - s["lo"]
-        return s["q"] - s["s"] ** 2 / m
+        # s*s, not s**2: libm pow() is not guaranteed to be the exact
+        # product, and the DuckDB property-oracle recomputes this cost
+        # bit-for-bit with s*s — argmin decisions must agree exactly
+        return s["q"] - s["s"] * s["s"] / m
 
     while len(segs) > k:
         best_i, best_cost = -1, np.inf

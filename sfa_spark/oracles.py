@@ -444,6 +444,82 @@ SELECT series_id, seg,
        round(my - (CASE WHEN vx < 1e-12 THEN 0.0 ELSE cxy / vx END) * mx + 1e-9, 4) + 0.0 AS icept
 FROM agg"""
 
+# APCA greedy bottom-up merge mirrored EXACTLY as a recursive CTE:
+# each iteration merges, per series still above K segments, the
+# adjacent pair whose merge increases reconstruction error least
+# (cost = err(merged) − err(a) − err(b), err = q − s·s/m — the same
+# IEEE expressions, so argmin decisions agree bit-for-bit; ties break
+# on lo like the Python kernel's strict <). Series at ≤K pass through;
+# recursion ends when every series is merged down (gmax ≤ K). The
+# greedy merge was believed non-SQL-expressible (rows-only r1-r4) —
+# it is merely iterative, and iteration is what RECURSIVE gives.
+_APCA_K = 4  # l=8 → l/2 pairs
+
+ORACLES["q_apca_segments"] = f"""WITH RECURSIVE {SERIES},
+segs AS (
+  SELECT series_id, CAST(pos AS BIGINT) AS lo, CAST(pos + 1 AS BIGINT) AS hi,
+         value AS s, value * value AS q, 0 AS it
+  FROM series
+  UNION ALL
+  SELECT series_id, lo,
+         CASE WHEN best THEN nhi ELSE hi END AS hi,
+         CASE WHEN best THEN s + ns ELSE s END AS s,
+         CASE WHEN best THEN q + nq ELSE q END AS q,
+         it + 1 AS it
+  FROM (
+    SELECT *,
+           (cnt > {_APCA_K} AND rnk = 1) AS best,
+           coalesce(lag(cnt > {_APCA_K} AND rnk = 1)
+                    OVER (PARTITION BY series_id ORDER BY lo), FALSE) AS away,
+           max(cnt) OVER () AS gmax
+    FROM (
+      SELECT *,
+             row_number() OVER (
+               PARTITION BY series_id ORDER BY (cost IS NULL), cost, lo
+             ) AS rnk
+      FROM (
+        SELECT *,
+               ((q + nq) - (s + ns) * (s + ns) / (nhi - lo))
+                 - (q - s * s / (hi - lo))
+                 - (nq - ns * ns / (nhi - nlo)) AS cost
+        FROM (
+          SELECT *,
+                 lead(lo) OVER w AS nlo,
+                 lead(hi) OVER w AS nhi,
+                 lead(s) OVER w AS ns,
+                 lead(q) OVER w AS nq,
+                 count(*) OVER (PARTITION BY series_id) AS cnt
+          FROM segs
+          WINDOW w AS (PARTITION BY series_id ORDER BY lo)
+        )
+      )
+    )
+  )
+  WHERE gmax > {_APCA_K} AND NOT away
+),
+final AS (SELECT * FROM segs WHERE it = (SELECT max(it) FROM segs)),
+ranked AS (
+  SELECT series_id,
+         row_number() OVER (PARTITION BY series_id ORDER BY lo) - 1 AS i,
+         s / (hi - lo) AS v,
+         CAST(hi - 1 AS DOUBLE) AS e
+  FROM final
+),
+apca_pairs AS (
+  SELECT series_id, CAST(2*i AS INT) AS seg, v AS coef FROM ranked
+  UNION ALL
+  SELECT series_id, CAST(2*i+1 AS INT) AS seg, e AS coef FROM ranked
+),
+allsegs AS (
+  SELECT d.series_id AS series_id, gs.seg AS seg
+  FROM (SELECT DISTINCT series_id FROM series) d
+  CROSS JOIN (SELECT unnest(generate_series(0, {2 * _APCA_K - 1})) AS seg) gs
+)
+SELECT a.series_id AS series_id, CAST(a.seg AS INT) AS seg,
+       round(coalesce(p.coef, 0.0) + 1e-9, 4) + 0.0 AS coef
+FROM allsegs a
+LEFT JOIN apca_pairs p ON p.series_id = a.series_id AND p.seg = a.seg"""
+
 # -- spectral cross-implementation oracles: Spark uses numpy FFT, the
 # -- oracle recomputes coefficients as explicit trig sums.
 
@@ -898,6 +974,34 @@ FROM p GROUP BY event_type"""
 # streaming upsert sink: incremental max_by merges are associative —
 # the final state equals the batch compaction, so the oracle is shared
 ORACLES["q_stream_latest_state"] = ORACLES["q_latest_state"]
+
+# streaming TEASER accept: the keyed (label, streak) state machine —
+# first snapshot where the same pred_label repeats 3 consecutive times
+# — is a gaps-and-islands streak in SQL (island id = snapshot −
+# row_number within (series, label); streak = row_number within island)
+ORACLES["q_stream_teaser"] = """WITH p AS (
+  SELECT user_id AS series_id,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS snapshot,
+         CAST(abs(CAST(floor(value * 7) AS BIGINT)) % 3 AS DOUBLE) AS pred_label
+  FROM events
+),
+isl AS (
+  SELECT series_id, snapshot, pred_label,
+         snapshot - row_number() OVER (PARTITION BY series_id, pred_label ORDER BY snapshot) AS grp
+  FROM p
+),
+runs AS (
+  SELECT series_id, snapshot, pred_label,
+         row_number() OVER (PARTITION BY series_id, pred_label, grp ORDER BY snapshot) AS streak
+  FROM isl
+),
+acc AS (
+  SELECT series_id, pred_label, snapshot AS accepted_at,
+         row_number() OVER (PARTITION BY series_id ORDER BY snapshot) AS rn
+  FROM runs WHERE streak = 3
+)
+SELECT series_id, pred_label, CAST(accepted_at AS BIGINT) AS accepted_at
+FROM acc WHERE rn = 1"""
 
 
 # q_scd2_history: same ordered window — valid_to = next version's ts

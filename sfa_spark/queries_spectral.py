@@ -5,8 +5,9 @@ validates the transform itself, not just expression mirroring.
 
 r4: q_sfa_words_dft (full MFT → 2-dp orderline → equi-depth → quantize
 → pack → bag pipeline) and q_dwt_coefs (Haar as closed-form block
-sums) now carry full SQL oracles too; only q_apca_segments (greedy
-sequential merge) remains rows-only.
+sums) gained full SQL oracles; r5 closed the last gap — q_apca_segments'
+greedy merge is mirrored exactly by a recursive-CTE oracle, so every
+query in this module is hash-match gated.
 """
 
 from __future__ import annotations
@@ -85,8 +86,13 @@ def q_dwt_coefs(spark, sf_dir):
 
 
 def q_apca_segments(spark, sf_dir):
-    """APCA adaptive segments per series (rows-only; greedy merge is
-    inherently sequential per series — grouped pandas UDF)."""
+    """APCA adaptive segments per series. The greedy bottom-up merge is
+    sequential per series (grouped pandas UDF) — long believed
+    non-SQL-expressible, but it is merely ITERATIVE: the r5 oracle
+    replays the exact merge schedule as a DuckDB recursive CTE (one
+    globally-cheapest adjacent merge per series per iteration, same
+    IEEE cost expressions, same lo tie-break), upgrading this query
+    from rows-only to a full hash-match gate row."""
     from sfa_spark.functions import representations as R
     from sfa_spark.queries import rnd
 

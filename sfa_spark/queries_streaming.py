@@ -304,6 +304,49 @@ def q_stream_countmin(spark, sf_dir):
     )
 
 
+def q_stream_teaser(spark, sf_dir):
+    """TEASER's early-classification ACCEPT rule (C10; TEASERClassifier
+    .java:304-330) as the stateful streaming operator it was built for
+    (scoring.teaser_accept, applyInPandasWithState — SURVEY §2.9's
+    hardest item): a deterministic per-snapshot prediction stream
+    derived from events (snapshot = event rank within user, pred_label
+    = coarse |value| bucket) flows through the keyed (label, streak)
+    state machine with v=3; each series emits ONE row at the first
+    snapshot where the same label repeats 3 consecutive times. The
+    decision is exactly SQL-expressible (gaps-and-islands streaks), so
+    the streaming path gets a full DuckDB oracle — stronger than
+    stream==batch parity."""
+    from pyspark.sql import Window
+
+    from sfa_spark.sources.events import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    preds = ev.select(
+        F.col("user_id").alias("series_id"),
+        F.row_number().over(w).cast("long").alias("snapshot"),
+        ((F.abs(F.floor(F.col("value") * 7)) % 3).cast("double")).alias(
+            "pred_label"
+        ),
+    )
+    src = tempfile.mkdtemp(prefix="sfa_steaser_src_")
+    # one file → one micro-batch: teaser_accept sorts within a batch by
+    # snapshot; multi-file sources could deliver later snapshots first
+    preds.coalesce(1).write.mode("overwrite").parquet(src)
+    name = f"steaser_{uuid.uuid4().hex[:8]}"
+    stream = spark.readStream.schema(preds.schema).parquet(src)
+    q = (
+        scoring.teaser_accept(stream, threshold=3)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select("series_id", "pred_label", "accepted_at")
+
+
 def q_stream_latest_state(spark, sf_dir):
     """Latest-state table maintained INCREMENTALLY by the foreachBatch
     upsert sink: the events changelog arrives over four micro-batches
