@@ -41,78 +41,51 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Coverage rotation: the driver's correctness gate records the FIRST
 # 50 registered queries each round; the union of rounds must cover all
-# registered queries with no stale greens. Round-4 gate leads with
-# (a) the six formerly-rows-only queries that gained full SQL oracles
-# this round, (b) every query whose implementation changed in r4
-# (fit_tfidf single-pass, kmeans_fit sample-limit probe, shotgun_1nn
-# query-block refactor), then (c) the 27 queries whose last gate row
-# is round 2 (oldest coverage). Demoted queries keep their green r2/r3
-# rows and are replayed with tools/check_oracle.py (log in VERDICT
-# prep). q_muse_predict_full (~270 s at sf0.01) stays out of the gate
-# by design — rows-only, certified by the PenDigits golden.
-# q_value_histogram (added last) intentionally stays OUT of the first
-# 50: the exact gate set below was dress-rehearsed green at sf0.01
-# (COVERAGE.md) and the histogram query is oracle-checked at both SFs
-# — it sorts after the cutoff and rides the replay record instead.
+# registered queries with no stale greens. Round-5 gate leads with
+# (a) the never-gated and newly-oracled queries (q_value_histogram and
+# q_bpe_tokens finally get their gate rows — VERDICT r4 task 3;
+# q_jaccard_topk_capped / q_apca_segments / q_stream_teaser are new
+# oracles this round), (b) every query whose implementation or oracle
+# changed in r5 (q_lsh_verified_dedup candidates-only verify,
+# q_muse_predict merged with the former _full registration,
+# q_split_assign boundary rounding, q_line_dedup separator quoting,
+# q_json_props TRY_CAST oracle, q_stream_latest_state N-1 retention),
+# then (c) the 25 remaining queries whose last gate row is round 2
+# (oldest coverage), then (d) round-3-aged queries up to the 50 cut.
+# Demoted queries keep their green r3/r4 rows and are replayed with
+# tools/check_oracle.py (log in COVERAGE.md).
 ROTATE_FIRST = [
-    # (a0000) the eighteen queries added in the last r4 session: the
-    # deterministic train/val/test split, CCNet line-level dedup,
-    # JSON-props analytics, hard-negative mining, the streaming
-    # Count-Min grid, the foreachBatch upsert sink, SCD2 history,
-    # ROLLUP totals, weighted sampling, grouped HLL, the single-pass
-    # correlation matrix, Observation-based quality metrics,
-    # co-occurrence lift, TWAP, sequence-pattern detection, and
-    # pivot/unpivot reporting and MAD robust outliers
-    "q_split_assign", "q_line_dedup", "q_json_props", "q_hard_negatives",
-    "q_stream_countmin", "q_stream_latest_state", "q_scd2_history",
-    "q_rollup_revenue", "q_weighted_sample", "q_hll_by_lang",
-    "q_corr_pricing", "q_observed_quality", "q_event_cooccurrence",
-    "q_twap", "q_pattern_click_purchase", "q_pivot_activity",
-    "q_mad_outliers", "q_unpivot_metrics",
-    # (a000) added in the final r4 session: bloom-prefiltered
-    # decontamination (exact-verified), the watermarked stream-stream
-    # attribution join, Count-Min / HyperLogLog sketches, the salted
-    # skew join, the JSONL ingest roundtrip, and the TPC-H Q3/Q5-shape
-    # multi-join analytics. q_bpe_tokens (rows-only by design) stays
-    # out of the gate — replayed locally.
-    "q_bloom_decontaminate", "q_stream_attribution",
-    "q_countmin_tokens", "q_hll_distinct", "q_salted_revenue",
-    "q_jsonl_roundtrip", "q_tpch_shipping", "q_tpch_local_supplier",
-    "q_stream_hll_distinct",
-    # (a00) added late in r4: retention cohorts, RAG chunking, JL
-    # projection, ANN recall-eval
-    "q_retention", "q_doc_chunks", "q_random_projection", "q_ann_recall",
-    "q_latency_quantiles", "q_value_outliers", "q_semantic_dedup",
-    "q_stream_sessionize", "q_cdc_chunks", "q_latest_state",
-    # (a0) new operators added in r4 (curation tier)
-    "q_pii_redact", "q_lm_perplexity", "q_dup_spans", "q_mixture_sample",
-    "q_stream_lm_gate", "q_quality_classifier", "q_asof_join",
-    "q_interval_join", "q_funnel",
-    # (a) newly-oracled in r4
-    "q_dwt_coefs", "q_sfa_words_dft", "q_boss_ensemble_predict",
-    "q_bossvs_predict", "q_boss_grid_predict", "q_shotgun_ensemble_predict",
-    # (b) implementation touched in r4
-    "q_anova_f",  # decimal-summed sufficient statistics (determinism)
-    "q_tfidf_fit", "q_tfidf_predict", "q_tfidf_accuracy", "q_shotgun_1nn",
-    "q_embed_clusters", "q_cluster_balanced_sample", "q_pq_ann", "q_ivfpq_ann",
-    # (gate is exactly 50: the eleven r4-touched queries listed past
-    # position 50 (q_boss_grid_predict, q_shotgun_ensemble_predict, q_anova_f,
-    # q_tfidf_fit/predict/accuracy, q_shotgun_1nn, q_embed_clusters,
-    # q_cluster_balanced_sample, q_pq_ann, q_ivfpq_ann) fall out — each keeps a green r3 driver-gate row
-    # and was replayed green in THIS session's full sf0.01 replay
-    # after the last code change (see COVERAGE.md gate records) — and
-    # q_bm25_search / q_corpus_filter / q_cosine_ivf /
-    # q_cosine_kmeans / q_cosine_multiprobe / q_cosine_topk /
-    # q_dedup_exact newly demoted for the six (a0000) additions, and
-    # q_hash_sample / q_hash_top_n / q_lang_id /
-    # q_lsh_pairs / q_jaccard_topk / q_fingerprint / q_domain_cap /
-    # q_embed_neardup / q_dedup_groups demoted earlier for the nine
-    # (a000) additions, alongside q_simhash /
-    # q_sq_ann / q_stratified_sample / q_token_estimate / q_pii_stats /
-    # q_quality / q_sessionize / q_ngram_topk / q_minhash_signatures /
-    # q_lsh_verified_dedup — all keep earlier green rows and ALL
-    # registered queries were replayed green with tools/check_oracle.py
-    # at sf0.01 this session — COVERAGE.md round-4 replay record)
+    # (a) never-gated + new oracles this round
+    "q_jaccard_topk_capped",   # NEW: df-capped inverted-index join
+    "q_stream_teaser",         # NEW: stateful streaming accept rule
+    "q_apca_segments",         # rows-only → exact recursive-CTE oracle
+    "q_value_histogram",       # registered r4, never gated until now
+    "q_bpe_tokens",            # rows-only by design, first gate row
+    # (b) implementation / oracle touched in r5
+    "q_lsh_verified_dedup",    # candidates-only verify rewrite
+    "q_muse_predict",          # merged parameterized registration
+    "q_split_assign", "q_line_dedup", "q_json_props",
+    "q_stream_latest_state",
+    # (c) the 25 remaining round-2-aged queries (oldest coverage)
+    "q_sessionize", "q_token_stats", "q_quality", "q_lang_id",
+    "q_fingerprint", "q_dedup_exact", "q_jaccard_topk",
+    "q_minhash_signatures", "q_lsh_pairs", "q_simhash",
+    "q_embed_neardup", "q_corpus_filter", "q_cosine_topk", "q_sq_ann",
+    "q_cosine_ivf", "q_cosine_multiprobe", "q_bm25_search",
+    "q_ngram_topk", "q_cosine_kmeans", "q_dedup_groups",
+    "q_hash_sample", "q_stratified_sample", "q_hash_top_n",
+    "q_domain_cap", "q_token_estimate",
+    # (d) round-3-aged queries filling to exactly 50
+    "q_pii_stats", "q_znorm", "q_rolling_stats", "q_sliding_count",
+    "q_disjoint_paa", "q_sfa_words", "q_bag_topk", "q_equi_depth_bins",
+    "q_equi_depth_hist", "q_word_bigrams", "q_sfa_words_equidepth",
+    "q_derivatives", "q_chi2", "q_chi2_capped",
+    # (the remaining r3-aged queries — BOSS/shotgun/tfidf predicts,
+    # index knn/range, streaming sfa-words/window-stats/ingest/near-dup,
+    # TPC-H aggregates, gopher/decontaminate/pack — and every r4-gated
+    # query keep their green r3/r4 gate rows; ALL registered queries
+    # are replayed green with tools/check_oracle.py at sf0.01 before
+    # the round closes — COVERAGE.md round-5 replay record)
 ]
 
 

@@ -1100,6 +1100,7 @@ def weasel_grid_fit(
     reg_param: float = 1.0,
     lower_bounding: bool = False,
     prob_mode: str = "softmax",
+    solver_eps: float = 1e-8,
 ) -> WeaselGridModel:
     """WEASEL fit with the reference's full defaults
     (WEASELClassifier.fitWeasel, java:214-263): windows 2..min(350,len)
@@ -1193,8 +1194,13 @@ def weasel_grid_fit(
 
     def _fit(Xm, ym):
         if prob_mode == "liblinear_lr":
-            # TEASER parity: OvR L2R_LR, C=reg_param, regularized bias=1
-            return linear.fit_ovr_lr(Xm, ym, k, C=reg_param, max_iter=max_iter * 2)
+            # TEASER parity: OvR L2R_LR, C=reg_param, regularized bias=1.
+            # solver_eps exposes liblinear's stopping rule (eps=0.1 in
+            # WEASELClassifier.java:34) — see fit_ovr_lr's convergence
+            # note for why the default stays at the unique optimum
+            return linear.fit_ovr_lr(
+                Xm, ym, k, C=reg_param, max_iter=max_iter * 2, eps=solver_eps
+            )
         return linear.fit_softmax(Xm, ym, k, lam, max_iter=max_iter)
 
     def _combo_matrix(nm, f):

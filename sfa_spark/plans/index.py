@@ -143,6 +143,81 @@ class SFAIndex:
         model.save(f"{path}/model")
         return cls(path=path, model=model, prefix_len=prefix_len)
 
+    @staticmethod
+    def _subsequence_window_rows(
+        long_series: DataFrame, window: int, chunk_size: int = 65536
+    ) -> DataFrame:
+        """All z-normalized sliding windows of every long series as
+        array rows, WITHOUT the w× row explode.
+
+        The long form is sliced into contiguous chunks of `chunk_size`
+        positions; each chunk is replicated with the FIRST w−1
+        positions of its successor (so every window is produced exactly
+        once, by the chunk owning its start), then one Arrow batch per
+        (series, chunk) computes all its windows in numpy — sliding
+        view + cumulative-sum mean/std (the same O(n) normalization the
+        MFT recurrence uses, MFT.java:267-276). Cost: the long rows are
+        shuffled ONCE at n rows (the applyInPandas grouping); the old
+        sliding_long path shuffled n·w scalar rows through a window
+        z-norm AND a regroup aggregation. For the reference's use case
+        — indexing one 100M-point series (SFATrie.java:138-162) — the
+        chunking also bounds executor memory at O(chunk_size + w),
+        independent of series length.
+
+        Output: (series_id = orig_id·2³² + start, values array<double>).
+        """
+        import numpy as np
+        import pandas as pd
+
+        w = int(window)
+        cs = int(chunk_size)
+        assert cs > w, "chunk_size must exceed the window length"
+        base = long_series.where(F.col("n") >= w)
+        main = base.withColumn("chunk", F.floor(F.col("pos") / cs))
+        # overlap rows: the first w−1 positions of chunk c also feed
+        # chunk c−1 (they complete its tail windows)
+        tail = base.where(
+            (F.col("pos") % cs < w - 1) & (F.col("pos") >= cs)
+        ).withColumn("chunk", F.floor(F.col("pos") / cs) - 1)
+
+        def _make(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("pos")
+            sid = int(pdf["series_id"].iloc[0])
+            chunk = int(pdf["chunk"].iloc[0])
+            n = int(pdf["n"].iloc[0])
+            x = pdf["value"].to_numpy(dtype=np.float64)
+            start0 = chunk * cs
+            # window starts owned by this chunk
+            hi = min((chunk + 1) * cs, n - w + 1)
+            n_win = hi - start0
+            if n_win <= 0 or len(x) < w:
+                return pd.DataFrame(
+                    {
+                        "series_id": pd.Series([], dtype="int64"),
+                        # object dtype: an empty float64 column trips
+                        # Arrow's NumPyConverter for list<double>
+                        "values": pd.Series([], dtype="object"),
+                    }
+                )
+            wins = np.lib.stride_tricks.sliding_window_view(x, w)[:n_win]
+            c1 = np.concatenate([[0.0], np.cumsum(x)])
+            c2 = np.concatenate([[0.0], np.cumsum(x * x)])
+            means = (c1[w : w + n_win] - c1[:n_win]) / w
+            var = (c2[w : w + n_win] - c2[:n_win]) / w - means * means
+            stds = np.sqrt(np.maximum(var, 0.0))
+            inv = np.where(stds > 0, 1.0 / np.where(stds > 0, stds, 1.0), 1.0)
+            z = (wins - means[:, None]) * inv[:, None]
+            ids = sid * (1 << 32) + np.arange(start0, hi, dtype=np.int64)
+            # .tolist(): Arrow's NumPyConverter rejects ndarray-valued
+            # cells for list<double> columns
+            return pd.DataFrame({"series_id": ids, "values": z.tolist()})
+
+        return (
+            main.unionByName(tail)
+            .groupBy("series_id", "chunk")
+            .applyInPandas(_make, "series_id long, values array<double>")
+        )
+
     @classmethod
     def build_subsequence(
         cls,
@@ -152,6 +227,7 @@ class SFAIndex:
         word_length: int = 16,
         alphabet: int = 8,
         prefix_len: int = 2,
+        chunk_size: int = 65536,
     ) -> "SFAIndex":
         """Subsequence-matching index (reference
         buildIndexSubsequenceMatching, SFATrie.java:138-162): every
@@ -162,26 +238,13 @@ class SFAIndex:
 
         long_series: canonical long form (series_id, pos, value, n).
         Indexed ids encode (series_id, offset): id = series_id * 2^32 + win.
-        Scale note: the w× explode is the build-time cost; chunked
-        mapInPandas with the MFT recurrence is the round-2 path for
-        very long series.
-        """
-        from sfa_spark.operators import window as W
 
-        sw = W.window_znorm(W.sliding_long(long_series, window))
-        arrays = (
-            sw.groupBy("series_id", "win")
-            .agg(
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("off", "value_z"))),
-                    lambda s: s["value_z"],
-                ).alias("values")
-            )
-            .select(
-                (F.col("series_id") * F.lit(1 << 32) + F.col("win")).alias("series_id"),
-                "values",
-            )
-        )
+        r5: window materialization is the chunked Arrow path
+        (_subsequence_window_rows) — one shuffle of the n long rows,
+        cumsum z-norm, no w× row explode (the old sliding_long path
+        pushed n·w scalar rows through a WindowExec and a regroup;
+        tests assert the explode-free plan and row counts)."""
+        arrays = cls._subsequence_window_rows(long_series, window, chunk_size)
         return cls.build(
             arrays, path, word_length=word_length, alphabet=alphabet,
             prefix_len=prefix_len,

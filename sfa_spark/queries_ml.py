@@ -71,17 +71,27 @@ def q_bossvs_predict(spark, sf_dir):
     )
 
 
-def q_muse_predict(spark, sf_dir):
+def q_muse_predict(spark, sf_dir, *, budget: str = "gate"):
     """MUSE (C7) with the reference-DEFAULT grid machinery (histType ×
     norm × f — grid.muse_grid_fit, MUSEClassifier.java:163-268) on a
     2-dim corpus built from the events series via the derivative
-    channel (S4): dim 0 = value, dim 1 = |first diff|. The window
-    envelope is subsampled (max_windows) and CV folds reduced to fit
-    the per-query driver budget; the untrimmed default grid is golden-
-    tested on PenDigits (test_muse_grid_default_pendigits, ≥0.90)."""
+    channel (S4): dim 0 = value, dim 1 = |first diff|.
+
+    ONE parameterized registration (r5 merged the former
+    q_muse_predict_full into this query): the driver gate runs the
+    default ``budget="gate"`` envelope (window grid subsampled to 3,
+    2-fold CV, 12 solver iterations — same code path, per-query driver
+    budget); ``budget="full"`` runs the UNTRIMMED reference-default
+    grid (every window 2..min(450, len), histType {equi-depth,
+    equi-width} × norm × f {2,4,6}, 10-fold CV, early exit) — too slow
+    for the gate (~270 s at sf0.01) and certified instead by the
+    PenDigits golden (test_muse_grid_default_pendigits, ≥0.90), which
+    exercises the identical untrimmed code path on reference data.
+    Rows-only by design (iterative softmax solves)."""
     from sfa_spark.ml import grid
     from sfa_spark.sources.multivariate import derivatives, dim_arrays
 
+    assert budget in ("gate", "full")
     s = series_df(spark, sf_dir).withColumn("dim", F.lit(0).cast("int"))
     mv = derivatives(s.select("series_id", "dim", "pos", "value", "n"), n_dims=1)
     arrays = dim_arrays(mv).where(F.size("values") >= 32).cache()
@@ -95,39 +105,12 @@ def q_muse_predict(spark, sf_dir):
         labels.where(F.col("series_id") % TEST_MOD == 0).select("series_id"),
         "series_id",
     )
-    model = grid.muse_grid_fit(
-        train_a, train_l, f_values=(4,), min_window=12,
-        max_windows=3, n_folds=2, max_iter=12,
+    kw = (
+        {}
+        if budget == "full"
+        else dict(f_values=(4,), min_window=12, max_windows=3, n_folds=2, max_iter=12)
     )
-    return model.predict(test_a)
-
-
-def q_muse_predict_full(spark, sf_dir):
-    """MUSE (C7) with the UNTRIMMED reference-default grid on the
-    events-derived 2-dim corpus: full window envelope (every length
-    from 2..min(450, len)), histType {equi-depth, equi-width} × norm ×
-    f {2,4,6}, 10-fold CV, early exit — the exact code path the
-    PenDigits golden certifies (MUSEClassifier.java:163-268), here run
-    end-to-end as a driver query. Rows-only by design (iterative
-    softmax solves); the budgeted q_muse_predict stays in the gate for
-    speed."""
-    from sfa_spark.ml import grid
-    from sfa_spark.sources.multivariate import derivatives, dim_arrays
-
-    s = series_df(spark, sf_dir).withColumn("dim", F.lit(0).cast("int"))
-    mv = derivatives(s.select("series_id", "dim", "pos", "value", "n"), n_dims=1)
-    arrays = dim_arrays(mv).where(F.size("values") >= 32).cache()
-    labels = (
-        arrays.select("series_id").distinct()
-        .withColumn("label", (F.col("series_id") % N_LABELS).cast("double"))
-    )
-    train_l = labels.where(F.col("series_id") % TEST_MOD != 0)
-    train_a = arrays.join(train_l.select("series_id"), "series_id")
-    test_a = arrays.join(
-        labels.where(F.col("series_id") % TEST_MOD == 0).select("series_id"),
-        "series_id",
-    )
-    model = grid.muse_grid_fit(train_a, train_l)
+    model = grid.muse_grid_fit(train_a, train_l, **kw)
     return model.predict(test_a)
 
 

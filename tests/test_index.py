@@ -102,6 +102,40 @@ def test_subsequence_index_finds_planted_motif(spark, tmp_path):
     assert all(r["dist"] < 1e-6 for r in res)
 
 
+def test_subsequence_window_rows_chunked_matches_numpy(spark):
+    """The chunked Arrow window materialization must produce exactly
+    one row per sliding window (no w× amplification), with per-window
+    z-normalized values matching numpy, across chunk boundaries (small
+    chunk_size forces multi-chunk), and plan WITHOUT an explode."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(5)
+    w, cs = 16, 40
+    lengths = {7: 100, 8: 41, 9: 15}  # multi-chunk, chunk+tail, too short
+    rows = []
+    expect = {}
+    for sid, n in lengths.items():
+        x = rng.normal(0, 1, n)
+        rows += [(sid, i, float(v), n) for i, v in enumerate(x)]
+        if n >= w:
+            for s in range(n - w + 1):
+                win = x[s : s + w]
+                std = win.std()
+                z = (win - win.mean()) / (std if std > 0 else 1.0)
+                expect[sid * (1 << 32) + s] = z
+    long_df = spark.createDataFrame(
+        rows, "series_id long, pos long, value double, n long"
+    )
+    out = SFAIndex._subsequence_window_rows(long_df, w, chunk_size=cs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan, plan  # no explode anywhere
+    got = {r["series_id"]: np.asarray(r["values"]) for r in out.collect()}
+    assert set(got) == set(expect)  # exactly n-w+1 rows per series
+    for k, z in expect.items():
+        assert np.allclose(got[k], z, atol=1e-9), k
+
+
 def test_sfa_lb_distance_property(spark, corpus, tmp_path):
     """SFAMinDistanceTest twin: the word-level SFA lower bound is ≤ the
     true Euclidean distance for every (query, candidate) pair."""
