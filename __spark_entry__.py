@@ -57,6 +57,7 @@ def entry(spark: SparkSession) -> DataFrame:
 ROTATE_FIRST = [
     # (a) never-gated + new oracles this round
     "q_jaccard_topk_capped",   # NEW: df-capped inverted-index join
+    "q_incremental_dedup",     # NEW: cross-run dedup vs persisted index
     "q_stream_teaser",         # NEW: stateful streaming accept rule
     "q_apca_segments",         # rows-only → exact recursive-CTE oracle
     "q_value_histogram",       # registered r4, never gated until now
@@ -79,8 +80,10 @@ ROTATE_FIRST = [
     "q_pii_stats", "q_znorm", "q_rolling_stats", "q_sliding_count",
     "q_disjoint_paa", "q_sfa_words", "q_bag_topk", "q_equi_depth_bins",
     "q_equi_depth_hist", "q_word_bigrams", "q_sfa_words_equidepth",
-    "q_derivatives", "q_chi2", "q_chi2_capped",
-    # (the remaining r3-aged queries — BOSS/shotgun/tfidf predicts,
+    "q_derivatives", "q_chi2",
+    # (q_chi2_capped fell past the 50 cut for q_incremental_dedup —
+    # it keeps its green r3 gate row; the remaining r3-aged queries —
+    # BOSS/shotgun/tfidf predicts,
     # index knn/range, streaming sfa-words/window-stats/ingest/near-dup,
     # TPC-H aggregates, gopher/decontaminate/pack — and every r4-gated
     # query keep their green r3/r4 gate rows; ALL registered queries

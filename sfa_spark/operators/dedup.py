@@ -79,6 +79,49 @@ def jaccard_pairs(
     )
 
 
+def cross_run_dedup(
+    new_docs: DataFrame,
+    seen_hashes: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental (cross-run) exact dedup: classify every document of
+    a NEW crawl batch against a persisted index of previously-seen
+    content hashes — the production shape of recurring-crawl corpus
+    maintenance (each run dedups against ALL prior runs without ever
+    re-reading them).
+
+    Status per new doc:
+      * 'seen_in_prior' — content hash exists in `seen_hashes`
+        (prior corpus wins over any batch keeper);
+      * 'dup_in_batch'  — first seen in THIS batch but not by this row
+        (keeper = min doc_id of the hash within the batch);
+      * 'kept'          — the batch keeper of a never-seen hash.
+
+    Scale shape: one window-min over the batch hash (same Exchange as
+    exact_dedup) + one join against the seen index on the hash. At
+    100 TB persist `seen_hashes` bucketed BY text_hash and write the
+    batch side bucketed the same way — the join is then co-located
+    with no shuffle of the index; boilerplate hot hashes are handled
+    by AQE skew splitting. The updated index is
+    `seen_hashes ∪ kept hashes` (append-only, naturally bucketed).
+
+    Output: (doc_id, text_hash, status)."""
+    h = new_docs.select("doc_id", F.md5(F.col(text_col)).alias("text_hash"))
+    h = h.withColumn(
+        "_min_id", F.min("doc_id").over(Window.partitionBy("text_hash"))
+    )
+    seen = (
+        seen_hashes.select("text_hash").distinct().withColumn("_seen", F.lit(True))
+    )
+    joined = h.join(seen, "text_hash", "left")
+    status = (
+        F.when(F.col("_seen"), F.lit("seen_in_prior"))
+        .when(F.col("doc_id") != F.col("_min_id"), F.lit("dup_in_batch"))
+        .otherwise(F.lit("kept"))
+    )
+    return joined.select("doc_id", "text_hash", status.alias("status"))
+
+
 def jaccard_verify(
     docs: DataFrame,
     cand: DataFrame,

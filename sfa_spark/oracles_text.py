@@ -117,6 +117,23 @@ SELECT doc_a, doc_b, inter, union_sz,
        CAST(row_number() OVER (ORDER BY jaccard DESC, doc_a ASC, doc_b ASC) AS INT) AS rk
 FROM pairs QUALIFY rk <= 20"""
 
+ORACLES["q_incremental_dedup"] = """WITH prior AS (
+  SELECT DISTINCT md5(text) AS text_hash FROM documents WHERE doc_id % 3 = 0
+),
+newd AS (
+  SELECT doc_id, md5(text) AS text_hash FROM documents WHERE doc_id % 3 <> 0
+),
+m AS (
+  SELECT doc_id, text_hash,
+         min(doc_id) OVER (PARTITION BY text_hash) AS min_id
+  FROM newd
+)
+SELECT doc_id, text_hash,
+       CASE WHEN text_hash IN (SELECT text_hash FROM prior) THEN 'seen_in_prior'
+            WHEN doc_id <> min_id THEN 'dup_in_batch'
+            ELSE 'kept' END AS status
+FROM m"""
+
 ORACLES["q_jaccard_topk_capped"] = f"""WITH {_SHINGLES},
 capped AS (
   SELECT doc_id, shingle FROM shingles

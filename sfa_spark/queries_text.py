@@ -59,6 +59,19 @@ def q_dedup_exact(spark, sf_dir):
     return dedup.exact_dedup(_docs(spark, sf_dir))
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Cross-run exact dedup: docs with doc_id % 3 == 0 are the
+    persisted prior crawl (their content hashes form the seen index);
+    the rest are the incoming batch, classified kept / dup_in_batch /
+    seen_in_prior — the recurring-crawl maintenance pass at 100 TB
+    (dedup.cross_run_dedup docstring has the bucketed-join layout)."""
+    docs = _docs(spark, sf_dir)
+    prior = docs.where(F.col("doc_id") % 3 == 0)
+    new = docs.where(F.col("doc_id") % 3 != 0)
+    seen = prior.select(F.md5("text").alias("text_hash"))
+    return dedup.cross_run_dedup(new, seen)
+
+
 def q_jaccard_topk(spark, sf_dir):
     from sfa_spark.operators.topk import ranked_top_k
 

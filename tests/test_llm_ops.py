@@ -34,6 +34,36 @@ def test_jaccard_near_dup_ranks_first(docs):
     assert (0, 3) not in by_pair  # no shared shingle
 
 
+def test_cross_run_dedup_statuses(spark):
+    """Incremental dedup semantics: prior wins over batch keepers;
+    within-batch dups point at the min-id keeper; fresh hashes kept."""
+    prior = spark.createDataFrame(
+        [(100, "already crawled")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "already crawled"),   # hash in prior → seen_in_prior
+            (2, "fresh content"),     # batch keeper → kept
+            (3, "fresh content"),     # batch dup of 2 → dup_in_batch
+            (4, "brand new"),         # kept
+        ],
+        "doc_id long, text string",
+    )
+    from pyspark.sql import functions as F
+
+    seen = prior.select(F.md5("text").alias("text_hash"))
+    got = {
+        r["doc_id"]: r["status"]
+        for r in dedup.cross_run_dedup(new, seen).collect()
+    }
+    assert got == {
+        1: "seen_in_prior",
+        2: "kept",
+        3: "dup_in_batch",
+        4: "kept",
+    }
+
+
 def test_jaccard_verify_matches_full_pairs_on_candidates(docs):
     """jaccard_verify(docs, cand) must equal the full jaccard_pairs set
     inner-joined to cand — same values, candidates-only cost."""
