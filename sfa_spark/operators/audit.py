@@ -36,3 +36,83 @@ def with_observation(df: DataFrame, name: str, cols: list[str]):
 
     obs = Observation(name)
     return df.observe(obs, *quality_metrics(cols)), obs
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Classify rows between two snapshots of a keyed table:
+    ``added`` (key only in new), ``removed`` (key only in old),
+    ``changed`` (key in both, any compare column differs null-safely).
+    Unchanged rows are dropped — on a 100 TB table the output is the
+    (tiny) delta, never the table.
+
+    Scale shape: each side is projected to (key, struct(compare_cols))
+    BEFORE the join, so the shuffle carries only the compared columns;
+    one full-outer sort-merge join on the key — with both snapshots
+    bucketed/partitioned by the key (sources/sink.write_bucketed) the
+    Exchange elides entirely and the diff is a per-bucket zip. The
+    struct comparison is eqNullSafe (NULL == NULL), mirroring SQL's
+    IS NOT DISTINCT FROM, so NULL churn never shows as phantom change.
+    """
+    compare_cols = compare_cols or [
+        c for c in new.columns if c not in key_cols
+    ]
+    oh = old.select(
+        *key_cols,
+        F.struct(*compare_cols).alias("_old"),
+        F.lit(1).alias("_in_old"),
+    )
+    nh = new.select(
+        *key_cols,
+        F.struct(*compare_cols).alias("_new"),
+        F.lit(1).alias("_in_new"),
+    )
+    j = oh.join(nh, key_cols, "full_outer")
+    status = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(~F.col("_old").eqNullSafe(F.col("_new")), F.lit("changed"))
+    )
+    return (
+        j.select(*key_cols, status.alias("status"))
+        .where(F.col("status").isNotNull())
+    )
+
+
+def skew_profile(df: DataFrame, key_col: str, top_n: int = 10) -> DataFrame:
+    """Join/agg-key skew diagnostics: the top-N heaviest keys with
+    count, share of all rows, and skew ratio (count / mean-per-key) —
+    the number you size a salt factor from before a big shuffle
+    (operators/skew.salted_join picks n_salts ≈ ceil(skew_ratio)).
+
+    Scale shape: one map-side-combinable groupBy(key) (partial counts
+    combine before the shuffle, so the Exchange carries one row per
+    key per task), a single-row global aggregate over the (small)
+    per-key counts, broadcast back via a literal-free cross join, and
+    a TakeOrdered top-N. No window over the full key set, no second
+    scan of the data."""
+    per_key = df.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    totals = per_key.agg(
+        F.sum("cnt").cast("bigint").alias("total_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+    )
+    from sfa_spark.operators.topk import ranked_top_k
+
+    top = ranked_top_k(per_key, [("cnt", True), (key_col, False)], top_n)
+    return top.crossJoin(F.broadcast(totals)).select(
+        key_col,
+        "cnt",
+        "rk",
+        "total_rows",
+        "n_keys",
+        (F.col("cnt") / F.col("total_rows")).alias("share"),
+        (F.col("cnt") * F.col("n_keys") / F.col("total_rows")).alias(
+            "skew_ratio"
+        ),
+    )

@@ -1171,3 +1171,52 @@ SELECT event_type,
   CAST(count(*) AS BIGINT) AS cnt
 FROM events CROSS JOIN r
 GROUP BY 1, 2"""
+
+
+# q_snapshot_diff: IS DISTINCT FROM mirrors Spark's ~eqNullSafe on the
+# compare struct; the slice predicates are replayed verbatim.
+ORACLES["q_snapshot_diff"] = """WITH old AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 89 = 7 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderpriority
+  FROM orders WHERE o_orderkey % 97 <> 3
+), new AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+  FROM orders WHERE o_orderkey % 101 <> 5
+)
+SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+       CASE WHEN o.o_orderkey IS NULL THEN 'added'
+            WHEN n.o_orderkey IS NULL THEN 'removed'
+            WHEN (o.o_orderstatus    IS DISTINCT FROM n.o_orderstatus)
+              OR (o.o_totalprice     IS DISTINCT FROM n.o_totalprice)
+              OR (o.o_orderpriority  IS DISTINCT FROM n.o_orderpriority)
+            THEN 'changed' END AS status
+FROM old o FULL OUTER JOIN new n USING (o_orderkey)
+WHERE CASE WHEN o.o_orderkey IS NULL THEN 'added'
+           WHEN n.o_orderkey IS NULL THEN 'removed'
+           WHEN (o.o_orderstatus    IS DISTINCT FROM n.o_orderstatus)
+             OR (o.o_totalprice     IS DISTINCT FROM n.o_totalprice)
+             OR (o.o_orderpriority  IS DISTINCT FROM n.o_orderpriority)
+           THEN 'changed' END IS NOT NULL"""
+
+
+# q_skew_profile: total order (cnt DESC, event_type ASC) matches the
+# engine's ranked_top_k spec.
+ORACLES["q_skew_profile"] = """WITH per_key AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1
+), totals AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS total_rows,
+         CAST(count(*) AS BIGINT) AS n_keys
+  FROM per_key
+), ranked AS (
+  SELECT event_type, cnt,
+         CAST(row_number() OVER (ORDER BY cnt DESC, event_type ASC) AS INT) AS rk
+  FROM per_key
+)
+SELECT event_type, cnt, rk, total_rows, n_keys,
+       round(cnt * 1.0 / total_rows + 1e-9, 6) + 0.0 AS share,
+       round(cnt * 1.0 * n_keys / total_rows + 1e-9, 6) + 0.0 AS skew_ratio
+FROM ranked CROSS JOIN totals
+WHERE rk <= 10"""

@@ -919,3 +919,49 @@ def q_value_histogram(spark, sf_dir):
     return b.groupBy("event_type", "bucket").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """Table-version diff (audit.snapshot_diff): classify rows between
+    two snapshots of `orders` as added / removed / changed. The
+    snapshots are deterministic slices of the same table — old drops
+    keys % 97 == 3 and perturbs o_totalprice where % 89 == 7; new
+    drops keys % 101 == 5 — so added/removed/changed are all
+    exercised. One projected full-outer join on the key; unchanged
+    rows (the 100 TB bulk) never leave the plan."""
+    from sfa_spark.operators.audit import snapshot_diff
+
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.where(F.col("o_orderkey") % 97 != 3).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 89 == 7, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    new = orders.where(F.col("o_orderkey") % 101 != 5)
+    return snapshot_diff(
+        old,
+        new,
+        ["o_orderkey"],
+        ["o_orderstatus", "o_totalprice", "o_orderpriority"],
+    )
+
+
+def q_skew_profile(spark, sf_dir):
+    """Join-key skew diagnostics (audit.skew_profile) on
+    events.event_type: top-10 heaviest keys with share and skew ratio
+    (count / mean-per-key) — the pre-flight that sizes the salt factor
+    for operators/skew.salted_join before a 100 TB shuffle."""
+    from sfa_spark.operators.audit import skew_profile
+
+    ev = load_table(spark, sf_dir, "events")
+    p = skew_profile(ev, "event_type", top_n=10)
+    return p.select(
+        "event_type",
+        "cnt",
+        "rk",
+        "total_rows",
+        "n_keys",
+        rnd("share", 6).alias("share"),
+        rnd("skew_ratio", 6).alias("skew_ratio"),
+    )

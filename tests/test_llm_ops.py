@@ -1607,3 +1607,42 @@ def test_observation_rides_the_job_without_extra_scan(spark):
     inst2, obs2 = with_observation(df.where("v is not null"), "t2", ["s"])
     inst2.count()
     assert (obs2.get["n_rows"], obs2.get["nulls_s"]) == (2, 1)
+
+
+def test_snapshot_diff_classifies_and_drops_unchanged(spark):
+    """added / removed / changed classification with NULL-safe compare:
+    NULL→NULL is unchanged (dropped), NULL→value and value→NULL are
+    changed."""
+    from sfa_spark.operators.audit import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", None), (3, None, 3.0), (4, "d", 4.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0),        # unchanged -> dropped
+         (2, "b", 2.0),        # NULL -> value = changed
+         (3, None, 3.0),       # NULL == NULL -> unchanged, dropped
+         (5, "e", 5.0)],       # new key -> added; key 4 -> removed
+        "k long, s string, v double",
+    )
+    got = {
+        r["k"]: r["status"]
+        for r in snapshot_diff(old, new, ["k"]).collect()
+    }
+    assert got == {2: "changed", 4: "removed", 5: "added"}
+
+
+def test_skew_profile_counts_and_ratio(spark):
+    from sfa_spark.operators.audit import skew_profile
+
+    df = spark.createDataFrame(
+        [("hot",)] * 6 + [("warm",)] * 2 + [("cold",)] * 1,
+        "k string",
+    )
+    rows = {r["k"]: r for r in skew_profile(df, "k", top_n=2).collect()}
+    assert set(rows) == {"hot", "warm"}  # top-2 only
+    h = rows["hot"]
+    assert (h["cnt"], h["rk"], h["total_rows"], h["n_keys"]) == (6, 1, 9, 3)
+    assert abs(h["skew_ratio"] - 2.0) < 1e-12  # 6 / (9/3)
+    assert abs(h["share"] - 6 / 9) < 1e-12
