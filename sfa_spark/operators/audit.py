@@ -83,6 +83,48 @@ def snapshot_diff(
     )
 
 
+def apply_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """MERGE INTO / CDC-apply: produce the next snapshot of a keyed
+    table from the current snapshot plus a change batch with an op
+    column ('U' upsert, 'D' delete) and a sequence column. When a key
+    appears multiple times in the batch, the row with the HIGHEST
+    (seq) wins (ties broken by op descending so 'U' beats 'D' at equal
+    seq — deterministic, documented). An upsert for an absent key
+    inserts; a delete for an absent key is a no-op.
+
+    Scale shape: the batch first collapses to one winner per key via a
+    map-side-combinable max_by aggregate (never a window over the
+    batch), then ONE full-outer join against the snapshot on the key —
+    with the snapshot bucketed by key, only the (small) batch
+    shuffles. This is the batch twin of streaming/sinks.upsert_latest.
+    """
+    payload = [
+        c for c in base.columns if c not in key_cols
+    ]
+    rank = F.struct(F.col(seq_col), F.col(op_col))
+    latest = changes.groupBy(*key_cols).agg(
+        F.max_by(op_col, rank).alias("_op"),
+        *[F.max_by(c, rank).alias(f"_c_{c}") for c in payload],
+    )
+    j = base.withColumn("_in_base", F.lit(1)).join(
+        latest, key_cols, "full_outer"
+    )
+    keep = F.col("_op").isNull() | (F.col("_op") != F.lit("D"))
+    out = [
+        F.when(
+            F.col("_op") == F.lit("U"), F.col(f"_c_{c}")
+        ).otherwise(F.col(c)).alias(c)
+        for c in payload
+    ]
+    return j.where(keep).select(*key_cols, *out)
+
+
 def skew_profile(df: DataFrame, key_col: str, top_n: int = 10) -> DataFrame:
     """Join/agg-key skew diagnostics: the top-N heaviest keys with
     count, share of all rows, and skew ratio (count / mean-per-key) —

@@ -1220,3 +1220,38 @@ SELECT event_type, cnt, rk, total_rows, n_keys,
        round(cnt * 1.0 * n_keys / total_rows + 1e-9, 6) + 0.0 AS skew_ratio
 FROM ranked CROSS JOIN totals
 WHERE rk <= 10"""
+
+
+# q_merge_changes: the same synthesized batch, collapsed per key by
+# max (seq, op) (arg_max over a composite), applied with MERGE
+# semantics via full-outer join.
+ORACLES["q_merge_changes"] = """WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+), changes AS (
+  SELECT o_orderkey, CAST(1 AS BIGINT) AS seq, 'U' AS op,
+         'U1' AS c_status, o_totalprice + 100.0 AS c_price
+  FROM base WHERE o_orderkey % 7 = 1
+  UNION ALL
+  SELECT o_orderkey, 2, 'D', NULL, NULL
+  FROM base WHERE o_orderkey % 13 = 2
+  UNION ALL
+  SELECT o_orderkey, 3, 'U', 'U2', o_totalprice + 200.0
+  FROM base WHERE o_orderkey % 21 = 15
+  UNION ALL
+  SELECT o_orderkey + 10000000, 1, 'U', 'NEW', 1.0
+  FROM base WHERE o_orderkey % 97 = 0
+), latest AS (
+  -- composite (seq, op) max via fixed-width string key (same trick as
+  -- the q_pattern_click_purchase oracle): lpad(seq)||op sorts exactly
+  -- like Spark's struct(seq, op)
+  SELECT o_orderkey,
+         arg_max(op, lpad(CAST(seq AS VARCHAR), 20, '0') || op) AS op,
+         arg_max(c_status, lpad(CAST(seq AS VARCHAR), 20, '0') || op) AS c_status,
+         arg_max(c_price, lpad(CAST(seq AS VARCHAR), 20, '0') || op) AS c_price
+  FROM changes GROUP BY 1
+)
+SELECT coalesce(b.o_orderkey, l.o_orderkey) AS o_orderkey,
+       CASE WHEN l.op = 'U' THEN l.c_status ELSE b.o_orderstatus END AS o_orderstatus,
+       round(CASE WHEN l.op = 'U' THEN l.c_price ELSE b.o_totalprice END + 1e-9, 4) + 0.0 AS o_totalprice
+FROM base b FULL OUTER JOIN latest l USING (o_orderkey)
+WHERE l.op IS NULL OR l.op <> 'D'"""

@@ -947,6 +947,57 @@ def q_snapshot_diff(spark, sf_dir):
     )
 
 
+def q_merge_changes(spark, sf_dir):
+    """Batch MERGE INTO (audit.apply_changes): apply a CDC batch to the
+    orders snapshot — upserts (update + insert), deletes, and same-key
+    conflicts resolved by highest (seq, op). The batch is synthesized
+    deterministically from orders itself: seq-1 updates for keys
+    % 7 == 1, seq-2 deletes for keys % 13 == 2 (so keys % 91 == 15 get
+    BOTH and the delete wins), seq-3 re-updates for keys % 21 == 15
+    (update-over-update, last wins), and brand-new keys (+10^7) for
+    keys % 97 == 0 (pure inserts). One max_by collapse + one keyed
+    full-outer join."""
+    from sfa_spark.operators.audit import apply_changes
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    u1 = base.where(k % 7 == 1).select(
+        k.alias("o_orderkey"),
+        F.lit(1).cast("bigint").alias("seq"),
+        F.lit("U").alias("op"),
+        F.lit("U1").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 100.0).alias("o_totalprice"),
+    )
+    d = base.where(k % 13 == 2).select(
+        k.alias("o_orderkey"),
+        F.lit(2).cast("bigint").alias("seq"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+    )
+    u2 = base.where(k % 21 == 15).select(
+        k.alias("o_orderkey"),
+        F.lit(3).cast("bigint").alias("seq"),
+        F.lit("U").alias("op"),
+        F.lit("U2").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 200.0).alias("o_totalprice"),
+    )
+    ins = base.where(k % 97 == 0).select(
+        (k + 10_000_000).alias("o_orderkey"),
+        F.lit(1).cast("bigint").alias("seq"),
+        F.lit("U").alias("op"),
+        F.lit("NEW").alias("o_orderstatus"),
+        F.lit(1.0).alias("o_totalprice"),
+    )
+    changes = u1.unionByName(d).unionByName(u2).unionByName(ins)
+    nxt = apply_changes(base, changes, ["o_orderkey"])
+    return nxt.select(
+        "o_orderkey", "o_orderstatus", rnd("o_totalprice", 4).alias("o_totalprice")
+    )
+
+
 def q_skew_profile(spark, sf_dir):
     """Join-key skew diagnostics (audit.skew_profile) on
     events.event_type: top-10 heaviest keys with share and skew ratio

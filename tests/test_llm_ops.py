@@ -1646,3 +1646,26 @@ def test_skew_profile_counts_and_ratio(spark):
     assert (h["cnt"], h["rk"], h["total_rows"], h["n_keys"]) == (6, 1, 9, 3)
     assert abs(h["skew_ratio"] - 2.0) < 1e-12  # 6 / (9/3)
     assert abs(h["share"] - 6 / 9) < 1e-12
+
+
+def test_apply_changes_merge_semantics(spark):
+    """MERGE INTO conflict rules: last-seq wins, U beats D at equal
+    seq, delete removes, upsert inserts absent keys, delete of an
+    absent key is a no-op."""
+    from sfa_spark.operators.audit import apply_changes
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "k long, v string"
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, 1, "U", "a2"), (1, 2, "U", "a3"),   # last seq wins
+            (2, 1, "D", None),                        # delete
+            (3, 5, "D", None), (3, 5, "U", "c2"),   # tie: U > D
+            (5, 1, "U", "e"),                         # insert
+            (9, 1, "D", None),                        # absent delete no-op
+        ],
+        "k long, seq long, op string, v string",
+    )
+    got = {r["k"]: r["v"] for r in apply_changes(base, changes, ["k"]).collect()}
+    assert got == {1: "a3", 3: "c2", 4: "d", 5: "e"}
