@@ -1255,3 +1255,16 @@ SELECT coalesce(b.o_orderkey, l.o_orderkey) AS o_orderkey,
        round(CASE WHEN l.op = 'U' THEN l.c_price ELSE b.o_totalprice END + 1e-9, 4) + 0.0 AS o_totalprice
 FROM base b FULL OUTER JOIN latest l USING (o_orderkey)
 WHERE l.op IS NULL OR l.op <> 'D'"""
+
+
+# q_column_profile: same single-pass profile, exact distincts.
+ORACLES["q_column_profile"] = """SELECT
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_value,
+  round(min(value) + 1e-9, 6) + 0.0 AS min_value,
+  round(max(value) + 1e-9, 6) + 0.0 AS max_value,
+  CAST(count(DISTINCT event_type) AS BIGINT) AS nd_event_type,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS nd_user_id,
+  min(event_type) AS min_event_type,
+  max(event_type) AS max_event_type
+FROM events"""

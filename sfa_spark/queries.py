@@ -947,6 +947,28 @@ def q_snapshot_diff(spark, sf_dir):
     )
 
 
+def q_column_profile(spark, sf_dir):
+    """One-pass table profile (the ANALYZE-TABLE shape): row count plus
+    per-column null count, min/max, and exact distinct count for the
+    profiled columns of events, in a SINGLE aggregate — Spark plans the
+    multi-distinct via one Expand + partial aggregation (one scan, one
+    shuffle), not one job per column. At 100 TB swap count_distinct for
+    the repo's register-exact HLL (operators/sketch.hll_estimate_by)
+    when ±2% suffices; the query keeps the exact form so the oracle is
+    exact too."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("value").isNull().cast("long")).alias("nulls_value"),
+        rnd(F.min("value"), 6).alias("min_value"),
+        rnd(F.max("value"), 6).alias("max_value"),
+        F.count_distinct("event_type").cast("bigint").alias("nd_event_type"),
+        F.count_distinct("user_id").cast("bigint").alias("nd_user_id"),
+        F.min("event_type").alias("min_event_type"),
+        F.max("event_type").alias("max_event_type"),
+    )
+
+
 def q_merge_changes(spark, sf_dir):
     """Batch MERGE INTO (audit.apply_changes): apply a CDC batch to the
     orders snapshot — upserts (update + insert), deletes, and same-key
