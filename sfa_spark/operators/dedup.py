@@ -622,3 +622,73 @@ def line_dedup(
             ).alias("dedup_text"),
         )
     )
+
+
+def edit1_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    prefix_len: int = 24,
+) -> DataFrame:
+    """Edit-distance ≤ 1 similarity join via deletion-neighborhood
+    signatures (the FastSS / SymSpell family, public technique): each
+    key emits itself plus every one-character-deletion variant; two
+    keys within Levenshtein distance 1 necessarily share a signature,
+    so an EQUALITY self-join on the signature produces a complete
+    candidate set, and an exact ``levenshtein() <= 1`` verify on the
+    candidates removes the false positives (e.g. two different
+    substitutions at the same position).
+
+    Output: (doc_a, doc_b, dist) with doc_a < doc_b, dist ∈ {0, 1}
+    over the first ``prefix_len`` characters of ``text_col`` (the
+    fuzzy-title-match shape).
+
+    Scale shape: signature volume is LINEAR (len+1 per key, bounded by
+    prefix_len+1) and the join is a hash equality join on the
+    signature — never an all-pairs or per-length-block quadratic
+    expansion; the verify is row-local on the candidate pairs. The
+    same layout extends to distance d by recursing deletions d times
+    (volume ~ len^d — keep prefixes short).
+    """
+    s = F.substring(F.coalesce(F.col(text_col), F.lit("")), 1, prefix_len)
+    keys = docs.select(F.col(doc_col).alias("doc"), s.alias("s"))
+    sigs = keys.select(
+        "doc",
+        "s",
+        F.explode(
+            F.array_distinct(
+                F.concat(
+                    F.array(F.col("s")),
+                    F.transform(
+                        F.sequence(F.lit(1), F.length("s")),
+                        # delete character i: s[1..i-1] || s[i+1..]
+                        lambda i: F.concat(
+                            F.col("s").substr(F.lit(1), i - 1),
+                            F.col("s").substr(
+                                i + 1, F.lit(int(prefix_len))
+                            ),
+                        ),
+                    ),
+                )
+            )
+        ).alias("sig"),
+    )
+    a = sigs.select(
+        F.col("doc").alias("doc_a"), F.col("s").alias("s_a"), "sig"
+    )
+    b = sigs.select(
+        F.col("doc").alias("doc_b"), F.col("s").alias("s_b"), "sig"
+    )
+    cand = (
+        a.join(b, "sig")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "s_a", "s_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "dist", F.levenshtein("s_a", "s_b").cast("int")
+        )
+        .where(F.col("dist") <= 1)
+        .select("doc_a", "doc_b", "dist")
+    )

@@ -1304,3 +1304,29 @@ exact AS (
 )
 SELECT e.lang, e.n_exact, round(s.n_hll + 1e-9, 4) + 0.0 AS n_hll
 FROM exact e JOIN est s ON e.lang = s.lang"""
+
+
+# q_edit1_pairs: the same deletion-neighborhood construction (identity
+# + one-char deletions of the 24-char prefix), equality-joined on the
+# signature, then EXACT levenshtein verify — DuckDB's levenshtein is
+# the independent semantic check on the candidates.
+ORACLES["q_edit1_pairs"] = """WITH keys AS (
+  SELECT doc_id AS doc, substr(coalesce(text, ''), 1, 24) AS s
+  FROM documents
+), sigs AS (
+  SELECT DISTINCT doc, s, sig FROM (
+    SELECT doc, s,
+           unnest(list_prepend(s,
+             list_transform(generate_series(1, length(s)),
+               i -> substr(s, 1, i - 1) || substr(s, i + 1, 24)))) AS sig
+    FROM keys
+  )
+), cand AS (
+  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
+                  a.s AS s_a, b.s AS s_b
+  FROM sigs a JOIN sigs b USING (sig)
+  WHERE a.doc < b.doc
+)
+SELECT doc_a, doc_b, CAST(levenshtein(s_a, s_b) AS INT) AS dist
+FROM cand
+WHERE levenshtein(s_a, s_b) <= 1"""

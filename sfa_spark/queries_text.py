@@ -140,6 +140,14 @@ def q_simhash(spark, sf_dir):
     return dedup.simhash(_docs(spark, sf_dir))
 
 
+def q_edit1_pairs(spark, sf_dir):
+    """Fuzzy title match: doc pairs whose first-24-char prefixes are
+    within Levenshtein distance 1, found via deletion-neighborhood
+    signatures + equality join + exact verify (dedup.edit1_pairs) —
+    linear signature volume, never an all-pairs expansion."""
+    return dedup.edit1_pairs(_docs(spark, sf_dir), prefix_len=24)
+
+
 def q_embed_neardup(spark, sf_dir):
     """Embedding-cosine near-dup: sign-bucket blocking + exact cosine
     verify over the embeddings corpus — the embedding-modality member

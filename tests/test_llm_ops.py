@@ -1669,3 +1669,38 @@ def test_apply_changes_merge_semantics(spark):
     )
     got = {r["k"]: r["v"] for r in apply_changes(base, changes, ["k"]).collect()}
     assert got == {1: "a3", 3: "c2", 4: "d", 5: "e"}
+
+
+def test_edit1_pairs_complete_and_exact(spark):
+    """Deletion-neighborhood join finds ALL pairs within edit distance
+    1 (insert / delete / substitute / identical) and none at distance
+    ≥ 2 — cross-checked against brute-force levenshtein."""
+    from itertools import combinations
+
+    from sfa_spark.operators.dedup import edit1_pairs
+
+    vals = ["abcd", "abcd", "abxd", "abd", "abcde", "zzzz", "abff"]
+    docs = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["dist"]
+        for r in edit1_pairs(docs, prefix_len=10).collect()
+    }
+
+    def lev(a, b):
+        d = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, d[0] = d[0], i
+            for j, cb in enumerate(b, 1):
+                prev, d[j] = d[j], min(
+                    d[j] + 1, d[j - 1] + 1, prev + (ca != cb)
+                )
+        return d[len(b)]
+
+    want = {
+        (i, j): lev(vals[i], vals[j])
+        for i, j in combinations(range(len(vals)), 2)
+        if lev(vals[i], vals[j]) <= 1
+    }
+    assert got == want
