@@ -1330,3 +1330,22 @@ ORACLES["q_edit1_pairs"] = """WITH keys AS (
 SELECT doc_a, doc_b, CAST(levenshtein(s_a, s_b) AS INT) AS dist
 FROM cand
 WHERE levenshtein(s_a, s_b) <= 1"""
+
+
+# q_orc_roundtrip: identity over the parquet — a hash match proves the
+# ORC write+read lost nothing.
+ORACLES["q_orc_roundtrip"] = """SELECT doc_id, lang,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       substr(text, 1, 16) AS prefix
+FROM documents"""
+
+
+# q_schema_evolution: the same two generations, unioned with NULL
+# padding for the pre-evolution files.
+ORACLES["q_schema_evolution"] = """SELECT doc_id, lang,
+       n_chars, round(-1.0 + 1e-9, 4) + 0.0 AS quality
+FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+SELECT doc_id, lang, n_chars,
+       round((n_chars % 100) * 1.0 / 100.0 + 1e-9, 4) + 0.0 AS quality
+FROM documents WHERE doc_id % 2 = 1"""

@@ -710,6 +710,58 @@ def q_jsonl_roundtrip(spark, sf_dir):
     )
 
 
+def q_orc_roundtrip(spark, sf_dir):
+    """Interchange-format fidelity for ORC (sources/columnar.py):
+    documents → ORC → read back; emits per-doc (doc_id, lang, n_chars,
+    prefix). The oracle computes the same from the parquet, so a hash
+    match proves the ORC round-trip preserved every value (strings
+    with quotes/newlines/unicode included)."""
+    import tempfile
+
+    from sfa_spark.sources.columnar import read_orc, write_orc
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "lang", "n_chars")
+    tmp = tempfile.mkdtemp(prefix="sfa_orc_")
+    write_orc(docs, tmp, n_files=2)
+    back = read_orc(spark, tmp)
+    return back.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.substring("text", 1, 16).alias("prefix"),
+    )
+
+
+def q_schema_evolution(spark, sf_dir):
+    """Schema-evolution read (sources/columnar.read_evolved_parquet):
+    two parquet generations of the documents table — v1 without the
+    quality column, v2 with it — read as ONE frame via mergeSchema;
+    v1 rows surface NULL quality. The oracle reproduces the
+    generational split with a UNION of NULL-padded selects."""
+    import tempfile
+
+    from sfa_spark.sources.columnar import read_evolved_parquet
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    v1 = docs.where(F.col("doc_id") % 2 == 0)
+    v2 = docs.where(F.col("doc_id") % 2 == 1).withColumn(
+        "quality", (F.col("n_chars") % 100).cast("double") / 100.0
+    )
+    tmp = tempfile.mkdtemp(prefix="sfa_evo_")
+    v1.write.mode("overwrite").parquet(f"{tmp}/v1")
+    v2.write.mode("overwrite").parquet(f"{tmp}/v2")
+    merged = read_evolved_parquet(spark, f"{tmp}/v1", f"{tmp}/v2")
+    # coalesce(-1) materializes the evolution: a row gets -1 exactly
+    # when mergeSchema NULL-filled it (v1 files), a value otherwise —
+    # and keeps the output free of NULL floats (engine-stable hashing)
+    return merged.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        rnd(F.coalesce(F.col("quality"), F.lit(-1.0)), 4).alias("quality"),
+    )
+
+
 def q_split_assign(spark, sf_dir):
     """Deterministic 80/10/10 train/val/test assignment per document —
     hash-gated so the split survives re-runs, repartitioning, and

@@ -269,3 +269,34 @@ def test_compact_small_files_repairs_crashed_swap(spark, tmp_path):
     assert os.path.exists(p)
     assert not os.path.exists(p + "_compact_old")
     assert not os.path.exists(p + "_compact_next")
+
+
+def test_orc_roundtrip_preserves_unicode_and_schema(spark, tmp_path):
+    from sfa_spark.sources.columnar import read_orc, write_orc
+
+    df = spark.createDataFrame(
+        [(1, 'quote " and\nnewline'), (2, "unicode ümläut — ≤ ☃"), (3, None)],
+        "id long, s string",
+    )
+    write_orc(df, str(tmp_path / "o"), n_files=2)
+    back = read_orc(spark, str(tmp_path / "o"))
+    assert back.schema == df.schema
+    assert sorted((r["id"], r["s"]) for r in back.collect()) == sorted(
+        (r["id"], r["s"]) for r in df.collect()
+    )
+
+
+def test_read_evolved_parquet_null_fills_old_files(spark, tmp_path):
+    from sfa_spark.sources.columnar import read_evolved_parquet
+
+    spark.createDataFrame([(1, "a")], "id long, s string").write.parquet(
+        str(tmp_path / "v1")
+    )
+    spark.createDataFrame(
+        [(2, "b", 0.5)], "id long, s string, q double"
+    ).write.parquet(str(tmp_path / "v2"))
+    m = read_evolved_parquet(
+        spark, str(tmp_path / "v1"), str(tmp_path / "v2")
+    )
+    rows = {r["id"]: (r["s"], r["q"]) for r in m.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 0.5)}
