@@ -268,14 +268,17 @@ def q_cosine_kmeans(spark, sf_dir):
 
 def q_dedup_groups(spark, sf_dir):
     """Pairs → canonical GROUPS: MinHash-LSH candidates, exact-Jaccard
-    verify (τ ≥ 0.5), connected components by iterative min-label
-    propagation — the keep/drop decision per document that a 100 TB
-    dedup pass actually emits. Singletons keep their own id."""
+    verify (τ ≥ 0.5) computed on the CANDIDATES ONLY
+    (dedup.jaccard_verify — same candidates-only rewrite as
+    q_lsh_verified_dedup; the uncapped all-pairs jaccard_pairs subtree
+    never appears in the plan), connected components by iterative
+    min-label propagation — the keep/drop decision per document that a
+    100 TB dedup pass actually emits. Singletons keep their own id."""
     docs = _docs(spark, sf_dir)
     sig = dedup.minhash_signatures(docs, n_seeds=8, k=3)
     cand = dedup.lsh_candidate_pairs(sig, band_size=2)
-    exact = dedup.jaccard_pairs(docs, k=3)
-    verified = cand.join(exact, ["doc_a", "doc_b"]).where(F.col("jaccard") >= 0.5)
+    ver = dedup.jaccard_verify(docs, cand, k=3)
+    verified = cand.join(ver, ["doc_a", "doc_b"]).where(F.col("jaccard") >= 0.5)
     return dedup.dedup_groups(verified, docs)
 
 

@@ -96,6 +96,19 @@ def test_lsh_verified_plan_has_no_allpairs(docs):
     plan = ver._jdf.queryExecution().executedPlan().toString()
     bad = re.findall(r"Join \w*\s*\[shingle#\d+[L]?\], \[shingle#\d+[L]?\]", plan)
     assert not bad, plan
+    # the groups composition (verify ≥ τ → connected components) must
+    # keep the same candidates-only property end to end
+    verified = cand.join(ver, ["doc_a", "doc_b"]).where("jaccard >= 0.5")
+    gplan = (
+        dedup.dedup_groups(verified, docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    bad2 = re.findall(
+        r"Join \w*\s*\[shingle#\d+[L]?\], \[shingle#\d+[L]?\]", gplan
+    )
+    assert not bad2, gplan
 
 
 def test_minhash_identical_docs_same_signature(docs):
