@@ -65,6 +65,7 @@ ROTATE_FIRST = [
     "q_edit1_pairs",           # NEW: deletion-signature fuzzy join
     "q_orc_roundtrip",         # NEW: ORC interchange fidelity
     "q_schema_evolution",      # NEW: mergeSchema generational read
+    "q_drift_psi",             # NEW: PSI drift between versions
     "q_stream_teaser",         # NEW: stateful streaming accept rule
     "q_apca_segments",         # rows-only → exact recursive-CTE oracle
     "q_value_histogram",       # registered r4, never gated until now
@@ -85,15 +86,15 @@ ROTATE_FIRST = [
     "q_domain_cap", "q_token_estimate",
     # (d) round-3-aged queries filling to exactly 50
     "q_pii_stats", "q_znorm", "q_rolling_stats", "q_sliding_count",
-    "q_disjoint_paa", "q_sfa_words",
-    # (q_bag_topk / q_equi_depth_bins / q_equi_depth_hist /
+    "q_disjoint_paa",
+    # (q_sfa_words / q_bag_topk / q_equi_depth_bins / q_equi_depth_hist /
     # q_word_bigrams / q_sfa_words_equidepth / q_derivatives / q_chi2
-    # / q_chi2_capped fell past the 50 cut for the eight NEW r5
+    # / q_chi2_capped fell past the 50 cut for the nine NEW r5
     # queries (incremental_dedup, snapshot_diff, merge_changes,
     # skew_profile, column_profile, edit1_pairs, orc_roundtrip,
-    # schema_evolution) — all keep their green r3 gate rows (q_bag_topk
-    # additionally runs as the driver's entry() smoke and the bench
-    # flagship every round); the remaining r3-aged queries —
+    # schema_evolution, drift_psi) — all keep their green r3 gate rows
+    # (q_bag_topk and q_sfa_words additionally run in entry()/bench
+    # every round); the remaining r3-aged queries —
     # BOSS/shotgun/tfidf predicts,
     # index knn/range, streaming sfa-words/window-stats/ingest/near-dup,
     # TPC-H aggregates, gopher/decontaminate/pack — and every r4-gated

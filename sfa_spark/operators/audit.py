@@ -83,6 +83,65 @@ def snapshot_diff(
     )
 
 
+def drift_psi(
+    old: DataFrame,
+    new: DataFrame,
+    col: str,
+    n_buckets: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a numeric
+    column — the standard drift alarm between training-data versions:
+    equi-width buckets over the COMBINED [min, max], per-side bucket
+    shares, per-bucket PSI term (p_new − p_old)·ln(p_new / p_old) with
+    shares floored at ``eps`` so empty buckets stay finite
+    (PSI < 0.1 stable, 0.1-0.25 moderate, > 0.25 drifted).
+
+    Output: one row per OCCUPIED bucket — (bucket, n_old, n_new,
+    share_old, share_new, psi_term); total PSI = sum(psi_term).
+
+    Scale shape: both sides scan once into a side-tagged union; ONE
+    map-side-combinable groupBy(bucket) carries conditional partial
+    sums for both sides; the global range and side totals are
+    single-row aggregates broadcast back. No join between the
+    snapshots, no window, no second scan of either side.
+    """
+    u = old.select(F.col(col).alias("v"), F.lit(0).alias("side")).unionByName(
+        new.select(F.col(col).alias("v"), F.lit(1).alias("side"))
+    ).where(F.col("v").isNotNull())
+    r = u.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(n_buckets))
+    b = u.crossJoin(F.broadcast(r)).select(
+        F.when(F.col("hi") == F.col("lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(n_buckets - 1),
+                F.floor((F.col("v") - F.col("lo")) / width).cast("int"),
+            )
+        )
+        .alias("bucket"),
+        "side",
+    )
+    counts = b.groupBy("bucket").agg(
+        F.sum((F.col("side") == 0).cast("long")).cast("bigint").alias("n_old"),
+        F.sum((F.col("side") == 1).cast("long")).cast("bigint").alias("n_new"),
+    )
+    totals = counts.agg(
+        F.sum("n_old").cast("bigint").alias("t_old"),
+        F.sum("n_new").cast("bigint").alias("t_new"),
+    )
+    p_old = F.greatest(F.col("n_old") / F.col("t_old"), F.lit(float(eps)))
+    p_new = F.greatest(F.col("n_new") / F.col("t_new"), F.lit(float(eps)))
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        "n_old",
+        "n_new",
+        p_old.alias("share_old"),
+        p_new.alias("share_new"),
+        ((p_new - p_old) * F.log(p_new / p_old)).alias("psi_term"),
+    )
+
+
 def apply_changes(
     base: DataFrame,
     changes: DataFrame,

@@ -1268,3 +1268,37 @@ ORACLES["q_column_profile"] = """SELECT
   min(event_type) AS min_event_type,
   max(event_type) AS max_event_type
 FROM events"""
+
+
+# q_drift_psi: same combined-range equi-width buckets, shares floored
+# at 1e-6, natural-log PSI terms.
+ORACLES["q_drift_psi"] = """WITH u AS (
+  SELECT value AS v, 0 AS side FROM events WHERE event_id % 2 = 0
+  UNION ALL
+  SELECT value * 1.25 + 0.5, 1 FROM events WHERE event_id % 2 = 1
+), u2 AS (
+  SELECT v, side FROM u WHERE v IS NOT NULL
+), r AS (
+  SELECT min(v) AS lo, max(v) AS hi FROM u2
+), b AS (
+  SELECT CASE WHEN hi = lo THEN 0
+              ELSE CAST(least(9, floor((v - lo) / ((hi - lo) / 10.0))) AS INT)
+         END AS bucket, side
+  FROM u2 CROSS JOIN r
+), counts AS (
+  SELECT bucket,
+         CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+         CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+  FROM b GROUP BY 1
+), totals AS (
+  SELECT CAST(sum(n_old) AS BIGINT) AS t_old,
+         CAST(sum(n_new) AS BIGINT) AS t_new
+  FROM counts
+)
+SELECT bucket, n_old, n_new,
+       round(greatest(n_old * 1.0 / t_old, 1e-6) + 1e-9, 6) + 0.0 AS share_old,
+       round(greatest(n_new * 1.0 / t_new, 1e-6) + 1e-9, 6) + 0.0 AS share_new,
+       round((greatest(n_new * 1.0 / t_new, 1e-6) - greatest(n_old * 1.0 / t_old, 1e-6))
+             * ln(greatest(n_new * 1.0 / t_new, 1e-6) / greatest(n_old * 1.0 / t_old, 1e-6))
+             + 1e-9, 6) + 0.0 AS psi_term
+FROM counts CROSS JOIN totals"""

@@ -969,6 +969,31 @@ def q_column_profile(spark, sf_dir):
     )
 
 
+def q_drift_psi(spark, sf_dir):
+    """Data-drift alarm between two corpus versions (audit.drift_psi):
+    PSI over events.value with the 'new' version deterministically
+    shifted (odd event_ids, value × 1.25 + 0.5) so every drift bucket
+    is exercised. One side-tagged union, one bucket groupBy, single-row
+    range/total aggregates broadcast back — no snapshot-vs-snapshot
+    join."""
+    from sfa_spark.operators.audit import drift_psi
+
+    ev = load_table(spark, sf_dir, "events")
+    old = ev.where(F.col("event_id") % 2 == 0).select("value")
+    new = ev.where(F.col("event_id") % 2 == 1).select(
+        (F.col("value") * 1.25 + 0.5).alias("value")
+    )
+    d = drift_psi(old, new, "value", n_buckets=10)
+    return d.select(
+        "bucket",
+        "n_old",
+        "n_new",
+        rnd("share_old", 6).alias("share_old"),
+        rnd("share_new", 6).alias("share_new"),
+        rnd("psi_term", 6).alias("psi_term"),
+    )
+
+
 def q_merge_changes(spark, sf_dir):
     """Batch MERGE INTO (audit.apply_changes): apply a CDC batch to the
     orders snapshot — upserts (update + insert), deletes, and same-key

@@ -1717,3 +1717,23 @@ def test_edit1_pairs_complete_and_exact(spark):
         if lev(vals[i], vals[j]) <= 1
     }
     assert got == want
+
+
+def test_drift_psi_zero_on_identical_and_positive_on_shift(spark):
+    import math
+
+    from sfa_spark.operators.audit import drift_psi
+
+    base = spark.createDataFrame(
+        [(float(i),) for i in range(100)], "value double"
+    )
+    same = drift_psi(base, base, "value", n_buckets=5).collect()
+    assert all(abs(r["psi_term"]) < 1e-12 for r in same)
+    shifted = spark.createDataFrame(
+        [(float(i) + 60.0,) for i in range(100)], "value double"
+    )
+    d = drift_psi(base, shifted, "value", n_buckets=5).collect()
+    psi = sum(r["psi_term"] for r in d)
+    assert psi > 0.25  # a 60% range shift must read as "drifted"
+    # shares floored: no infinities even though buckets are disjoint
+    assert all(math.isfinite(r["psi_term"]) for r in d)
