@@ -1302,3 +1302,42 @@ SELECT bucket, n_old, n_new,
              * ln(greatest(n_new * 1.0 / t_new, 1e-6) / greatest(n_old * 1.0 / t_old, 1e-6))
              + 1e-9, 6) + 0.0 AS psi_term
 FROM counts CROSS JOIN totals"""
+
+
+# q_stream_drift: bucket counts are a monoid, so the streaming result
+# equals this plain SQL — reference boundaries frozen from the even
+# side, stream values clamped into edge buckets.
+ORACLES["q_stream_drift"] = """WITH ref AS (
+  SELECT value AS v FROM events
+  WHERE event_id % 2 = 0 AND value IS NOT NULL
+), r AS (
+  SELECT min(v) AS lo, max(v) AS hi FROM ref
+), ref_b AS (
+  SELECT greatest(0, least(9,
+           CAST(floor((v - lo) / ((hi - lo) / 10.0)) AS INT))) AS bucket
+  FROM ref CROSS JOIN r
+), new_b AS (
+  SELECT greatest(0, least(9,
+           CAST(floor((value * 1.25 + 0.5 - lo) / ((hi - lo) / 10.0)) AS INT))) AS bucket
+  FROM events CROSS JOIN r
+  WHERE event_id % 2 = 1 AND value IS NOT NULL
+), oc AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n_old FROM ref_b GROUP BY 1
+), nc AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n_new FROM new_b GROUP BY 1
+), j AS (
+  SELECT coalesce(oc.bucket, nc.bucket) AS bucket,
+         CAST(coalesce(n_old, 0) AS BIGINT) AS n_old,
+         CAST(coalesce(n_new, 0) AS BIGINT) AS n_new
+  FROM oc FULL OUTER JOIN nc USING (bucket)
+), totals AS (
+  SELECT CAST(sum(n_old) AS BIGINT) AS t_old,
+         CAST(sum(n_new) AS BIGINT) AS t_new FROM j
+)
+SELECT bucket, n_old, n_new,
+       round(greatest(n_old * 1.0 / t_old, 1e-6) + 1e-9, 6) + 0.0 AS share_old,
+       round(greatest(n_new * 1.0 / t_new, 1e-6) + 1e-9, 6) + 0.0 AS share_new,
+       round((greatest(n_new * 1.0 / t_new, 1e-6) - greatest(n_old * 1.0 / t_old, 1e-6))
+             * ln(greatest(n_new * 1.0 / t_new, 1e-6) / greatest(n_old * 1.0 / t_old, 1e-6))
+             + 1e-9, 6) + 0.0 AS psi_term
+FROM j CROSS JOIN totals"""

@@ -374,3 +374,86 @@ def q_stream_latest_state(spark, sf_dir):
         "user_id", "event_id", "ts", "event_type",
         rnd("value", 4).alias("value"), "n_versions",
     )
+
+
+def q_stream_drift(spark, sf_dir):
+    """Streaming drift monitor: PSI of the LIVE stream against a FROZEN
+    reference distribution. The reference (even event_ids) fixes the
+    bucket boundaries and shares up front — the realistic deployment:
+    the training-data distribution is frozen, production traffic is
+    monitored against it. The stream (odd event_ids, deterministically
+    shifted ×1.25+0.5) bucket-counts in complete mode — per-bucket
+    counts are a commutative monoid, so stream == batch bit-for-bit
+    and the DuckDB oracle is plain SQL. Out-of-reference-range values
+    clamp into the edge buckets (they must raise the alarm, not
+    vanish). State = n_buckets counters regardless of stream length."""
+    from sfa_spark.operators.audit import drift_psi  # noqa: F401  (batch twin)
+    from sfa_spark.sources.events import load_table
+
+    n_buckets = 10
+    ev = load_table(spark, sf_dir, "events")
+    ref = ev.where(F.col("event_id") % 2 == 0).select("value").where(
+        F.col("value").isNotNull()
+    )
+    r = ref.agg(F.min("value").alias("lo"), F.max("value").alias("hi")).collect()[0]
+    lo, hi = float(r["lo"]), float(r["hi"])
+    width = (hi - lo) / float(n_buckets)
+
+    def bucket_of(col):
+        return F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(n_buckets - 1),
+                F.floor((col - F.lit(lo)) / F.lit(width)).cast("int"),
+            ),
+        )
+
+    ref_counts = ref.groupBy(bucket_of(F.col("value")).alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_old")
+    )
+
+    src = tempfile.mkdtemp(prefix="sfa_sdrift_src_")
+    ev.where(F.col("event_id") % 2 == 1).select(
+        (F.col("value") * 1.25 + 0.5).alias("value")
+    ).where(F.col("value").isNotNull()).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    name = f"sdrift_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.groupBy(bucket_of(F.col("value")).alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_new"))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    new_counts = spark.table(name)
+
+    eps = 1e-6
+    j = ref_counts.join(new_counts, "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce("n_old", F.lit(0)).cast("bigint").alias("n_old"),
+        F.coalesce("n_new", F.lit(0)).cast("bigint").alias("n_new"),
+    )
+    totals = j.agg(
+        F.sum("n_old").cast("bigint").alias("t_old"),
+        F.sum("n_new").cast("bigint").alias("t_new"),
+    )
+    p_old = F.greatest(F.col("n_old") / F.col("t_old"), F.lit(eps))
+    p_new = F.greatest(F.col("n_new") / F.col("t_new"), F.lit(eps))
+    return j.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        "n_old",
+        "n_new",
+        rnd(p_old, 6).alias("share_old"),
+        rnd(p_new, 6).alias("share_new"),
+        rnd((p_new - p_old) * F.log(p_new / p_old), 6).alias("psi_term"),
+    )
