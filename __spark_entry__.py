@@ -92,7 +92,8 @@ ROTATE_FIRST = [
     # / q_chi2_capped fell past the 50 cut for the ten NEW r5
     # queries (incremental_dedup, snapshot_diff, merge_changes,
     # skew_profile, column_profile, edit1_pairs, orc_roundtrip,
-    # schema_evolution, drift_psi) — all keep their green r3 gate rows
+    # schema_evolution, drift_psi, stream_drift) — all keep their
+    # green r3 gate rows
     # (q_bag_topk and q_sfa_words additionally run in entry()/bench
     # every round); the remaining r3-aged queries —
     # BOSS/shotgun/tfidf predicts,
