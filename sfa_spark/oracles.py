@@ -1341,3 +1341,25 @@ SELECT bucket, n_old, n_new,
              * ln(greatest(n_new * 1.0 / t_new, 1e-6) / greatest(n_old * 1.0 / t_old, 1e-6))
              + 1e-9, 6) + 0.0 AS psi_term
 FROM j CROSS JOIN totals"""
+
+
+# q_tpch_market_share: identical decimal-summed conditional numerator.
+ORACLES["q_tpch_market_share"] = """WITH j AS (
+  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         l_extendedprice * (1 - l_discount) AS rev,
+         (n_name = 'NATION_3') AS is_target
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+), agg AS (
+  SELECT o_year,
+    CAST(sum(CAST(CASE WHEN is_target THEN rev ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE) AS nation_rev,
+    CAST(sum(CAST(rev AS DECIMAL(18,6))) AS DOUBLE) AS total_rev
+  FROM j GROUP BY 1
+)
+SELECT o_year,
+       round(nation_rev + 1e-9, 4) + 0.0 AS nation_rev,
+       round(total_rev + 1e-9, 4) + 0.0 AS total_rev,
+       round(nation_rev / total_rev + 1e-9, 6) + 0.0 AS mkt_share
+FROM agg"""

@@ -1349,3 +1349,42 @@ UNION ALL
 SELECT doc_id, lang, n_chars,
        round((n_chars % 100) * 1.0 / 100.0 + 1e-9, 4) + 0.0 AS quality
 FROM documents WHERE doc_id % 2 = 1"""
+
+
+# q_lsh_recall: candidate set from the banded signatures, ground truth
+# from the df-capped exact pairs at tau >= 0.5, counts + ratios.
+ORACLES["q_lsh_recall"] = f"""WITH {_SIGS},
+banded AS (
+  SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+         md5(string_agg(minhash, ',' ORDER BY seed)) AS band_key
+  FROM sigs GROUP BY doc_id, 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b USING (band, band_key)
+  WHERE a.doc_id < b.doc_id
+),
+capped AS (
+  SELECT doc_id, shingle FROM shingles
+  QUALIFY count(*) OVER (PARTITION BY shingle) <= 50
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM capped GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM capped a JOIN capped b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE i.inter * 1.0 / (sa.sz + sb.sz - i.inter) >= 0.5
+),
+hits AS (SELECT * FROM cand INTERSECT SELECT * FROM truth)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
+       (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_cand,
+       (SELECT CAST(count(*) AS BIGINT) FROM hits) AS n_hit,
+       round((SELECT count(*) FROM hits) * 1.0 / (SELECT count(*) FROM truth) + 1e-9, 6) + 0.0 AS recall,
+       round((SELECT count(*) FROM hits) * 1.0 / (SELECT count(*) FROM cand) + 1e-9, 6) + 0.0 AS precision"""

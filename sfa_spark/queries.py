@@ -969,6 +969,43 @@ def q_column_profile(spark, sf_dir):
     )
 
 
+def q_tpch_market_share(spark, sf_dir):
+    """TPC-H Q8-shaped market share: per order year, the fraction of
+    total discounted lineitem revenue supplied by NATION_3's suppliers.
+    Join shape at 100 TB: lineitem ⋈ orders on orderkey is the one
+    big-big join (bucket both by orderkey to elide its Exchange);
+    supplier and nation broadcast; then ONE year groupBy with exact
+    decimal sums — numerator as a conditional sum so share needs no
+    second pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            rev.alias("rev"),
+            (F.col("n_name") == "NATION_3").alias("is_target"),
+        )
+    )
+    agg = j.groupBy("o_year").agg(
+        dec_sum(F.when(F.col("is_target"), F.col("rev")).otherwise(0.0)).alias(
+            "nation_rev"
+        ),
+        dec_sum("rev").alias("total_rev"),
+    )
+    return agg.select(
+        "o_year",
+        rnd("nation_rev", 4).alias("nation_rev"),
+        rnd("total_rev", 4).alias("total_rev"),
+        rnd(F.col("nation_rev") / F.col("total_rev"), 6).alias("mkt_share"),
+    )
+
+
 def q_drift_psi(spark, sf_dir):
     """Data-drift alarm between two corpus versions (audit.drift_psi):
     PSI over events.value with the 'new' version deterministically

@@ -140,6 +140,42 @@ def q_simhash(spark, sf_dir):
     return dedup.simhash(_docs(spark, sf_dir))
 
 
+def q_lsh_recall(spark, sf_dir):
+    """LSH candidate-quality evaluation — the dedup twin of
+    q_ann_recall ("measure, don't guess"): recall and precision of the
+    MinHash-LSH candidate set (8 seeds, band_size 2) against exact
+    Jaccard ≥ 0.5 ground truth over the df-capped shingle sets. This
+    is the query you size n_seeds/band_size from before a 100 TB
+    dedup run — on a hash-sampled corpus slice, never the full
+    corpus."""
+    tau = 0.5
+    docs = _docs(spark, sf_dir)
+    sig = dedup.minhash_signatures(docs, n_seeds=8, k=3)
+    cand = dedup.lsh_candidate_pairs(sig, band_size=2).select(
+        "doc_a", "doc_b"
+    )
+    truth = (
+        dedup.jaccard_pairs(docs, k=3, max_df=50)
+        .where(F.col("jaccard") >= tau)
+        .select("doc_a", "doc_b")
+    )
+    hits = cand.join(truth, ["doc_a", "doc_b"])
+    n_cand = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_cand"))
+    n_true = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))
+    n_hit = hits.agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
+    return (
+        n_true.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_hit))
+        .select(
+            "n_true",
+            "n_cand",
+            "n_hit",
+            rnd(F.col("n_hit") / F.col("n_true"), 6).alias("recall"),
+            rnd(F.col("n_hit") / F.col("n_cand"), 6).alias("precision"),
+        )
+    )
+
+
 def q_edit1_pairs(spark, sf_dir):
     """Fuzzy title match: doc pairs whose first-24-char prefixes are
     within Levenshtein distance 1, found via deletion-neighborhood
