@@ -69,6 +69,8 @@ ROTATE_FIRST = [
     "q_stream_drift",          # NEW: streaming PSI monitor (monoid)
     "q_lsh_recall",            # NEW: LSH candidate recall/precision
     "q_tpch_market_share",     # NEW: Q8-shaped conditional share
+    "q_embedding_drift",       # NEW: centroid cosine between versions
+    "q_event_transitions",     # NEW: Markov journey matrix
     "q_stream_teaser",         # NEW: stateful streaming accept rule
     "q_apca_segments",         # rows-only → exact recursive-CTE oracle
     "q_value_histogram",       # registered r4, never gated until now
@@ -88,15 +90,14 @@ ROTATE_FIRST = [
     "q_hash_sample", "q_stratified_sample", "q_hash_top_n",
     "q_domain_cap", "q_token_estimate",
     # (d) round-3-aged queries filling to exactly 50
-    "q_pii_stats", "q_znorm",
-    # (q_rolling_stats / q_sliding_count / q_disjoint_paa /
+    # (q_pii_stats / q_znorm / q_rolling_stats / q_sliding_count / q_disjoint_paa /
     # q_sfa_words / q_bag_topk / q_equi_depth_bins / q_equi_depth_hist /
     # q_word_bigrams / q_sfa_words_equidepth / q_derivatives / q_chi2
-    # / q_chi2_capped fell past the 50 cut for the twelve NEW r5
+    # / q_chi2_capped fell past the 50 cut for the fourteen NEW r5
     # queries (incremental_dedup, snapshot_diff, merge_changes,
     # skew_profile, column_profile, edit1_pairs, orc_roundtrip,
     # schema_evolution, drift_psi, stream_drift, lsh_recall,
-    # tpch_market_share) — all keep their
+    # tpch_market_share, embedding_drift, event_transitions) — all keep their
     # green r3 gate rows
     # (q_bag_topk and q_sfa_words additionally run in entry()/bench
     # every round); the remaining r3-aged queries —

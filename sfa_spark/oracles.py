@@ -1363,3 +1363,22 @@ SELECT o_year,
        round(total_rev + 1e-9, 4) + 0.0 AS total_rev,
        round(nation_rev / total_rev + 1e-9, 6) + 0.0 AS mkt_share
 FROM agg"""
+
+
+# q_event_transitions: same lag pairs and conditional shares.
+ORACLES["q_event_transitions"] = """WITH l AS (
+  SELECT user_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+         event_type AS next_type
+  FROM events
+), pairs AS (
+  SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS cnt
+  FROM l WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+), totals AS (
+  SELECT prev_type, CAST(sum(cnt) AS BIGINT) AS prev_cnt
+  FROM pairs GROUP BY 1
+)
+SELECT p.prev_type, p.next_type, p.cnt,
+       round(p.cnt * 1.0 / t.prev_cnt + 1e-9, 6) + 0.0 AS p_next
+FROM pairs p JOIN totals t USING (prev_type)"""

@@ -1388,3 +1388,31 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
        (SELECT CAST(count(*) AS BIGINT) FROM hits) AS n_hit,
        round((SELECT count(*) FROM hits) * 1.0 / (SELECT count(*) FROM truth) + 1e-9, 6) + 0.0 AS recall,
        round((SELECT count(*) FROM hits) * 1.0 / (SELECT count(*) FROM cand) + 1e-9, 6) + 0.0 AS precision"""
+
+
+# q_embedding_drift: per-version dim means (unnest zip with ordinality),
+# dot/norms over the 64 means.
+ORACLES["q_embedding_drift"] = """WITH o AS (
+  SELECT dim, avg(v) AS m FROM (
+    SELECT unnest(embedding) AS v,
+           unnest(generate_series(1, len(embedding))) AS dim
+    FROM embeddings WHERE vec_id % 2 = 0
+  ) GROUP BY 1
+), n AS (
+  SELECT dim, avg(v) AS m FROM (
+    SELECT unnest(embedding) AS v,
+           unnest(generate_series(1, len(embedding))) AS dim
+    FROM embeddings WHERE vec_id % 2 = 1
+  ) GROUP BY 1
+), s AS (
+  SELECT sum(o.m * n.m) AS dot,
+         sqrt(sum(o.m * o.m)) AS norm_old,
+         sqrt(sum(n.m * n.m)) AS norm_new
+  FROM o JOIN n USING (dim)
+)
+SELECT round(dot + 1e-9, 6) + 0.0 AS dot,
+       round(norm_old + 1e-9, 6) + 0.0 AS norm_old,
+       round(norm_new + 1e-9, 6) + 0.0 AS norm_new,
+       round(dot / (norm_old * norm_new) + 1e-9, 6) + 0.0 AS cosine,
+       round(norm_new / norm_old + 1e-9, 6) + 0.0 AS norm_ratio
+FROM s"""

@@ -969,6 +969,36 @@ def q_column_profile(spark, sf_dir):
     )
 
 
+def q_event_transitions(spark, sf_dir):
+    """Markov-style path analytics: counts and row-conditional
+    probabilities of (prev_type → type) transitions within each user's
+    event timeline — the journey matrix behind funnel design. One
+    per-user lag window over (ts, event_id) order, one pair groupBy,
+    singles broadcast back for P(next | prev). No self-join — the lag
+    window reads each row once."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    prev_totals = pairs.groupBy("prev_type").agg(
+        F.sum("cnt").cast("bigint").alias("prev_cnt")
+    )
+    return pairs.join(F.broadcast(prev_totals), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "cnt",
+        rnd(F.col("cnt") / F.col("prev_cnt"), 6).alias("p_next"),
+    )
+
+
 def q_tpch_market_share(spark, sf_dir):
     """TPC-H Q8-shaped market share: per order year, the fraction of
     total discounted lineitem revenue supplied by NATION_3's suppliers.

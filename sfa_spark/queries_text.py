@@ -140,6 +140,48 @@ def q_simhash(spark, sf_dir):
     return dedup.simhash(_docs(spark, sf_dir))
 
 
+def q_embedding_drift(spark, sf_dir):
+    """Embedding-space drift between two corpus versions: cosine
+    between the per-version MEAN vectors plus the norm ratio — the
+    cheap first-line alarm that an encoder change or corpus shift
+    moved the embedding distribution (PSI's twin for vector columns).
+    Scale shape: each side reduces via 64 avg aggregates in ONE
+    single-row groupBy (no posexplode row blowup — the aggregate
+    carries 64 running sums); the two 1-row centroids cross-join and
+    the dot/norms fold with zip_with/aggregate, all JVM-side."""
+    emb = _emb(spark, sf_dir)
+    dims = 64
+
+    def centroid(df, alias):
+        return df.agg(
+            F.array(
+                *[F.avg(F.col("embedding")[i]) for i in range(dims)]
+            ).alias(alias)
+        )
+
+    old = centroid(emb.where(F.col("vec_id") % 2 == 0), "c_old")
+    new = centroid(emb.where(F.col("vec_id") % 2 == 1), "c_new")
+    j = old.crossJoin(F.broadcast(new))
+    dot = F.aggregate(
+        F.zip_with("c_old", "c_new", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    n_old = F.sqrt(
+        F.aggregate("c_old", F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    n_new = F.sqrt(
+        F.aggregate("c_new", F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return j.select(
+        rnd(dot, 6).alias("dot"),
+        rnd(n_old, 6).alias("norm_old"),
+        rnd(n_new, 6).alias("norm_new"),
+        rnd(dot / (n_old * n_new), 6).alias("cosine"),
+        rnd(n_new / n_old, 6).alias("norm_ratio"),
+    )
+
+
 def q_lsh_recall(spark, sf_dir):
     """LSH candidate-quality evaluation — the dedup twin of
     q_ann_recall ("measure, don't guess"): recall and precision of the
