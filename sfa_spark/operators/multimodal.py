@@ -359,3 +359,69 @@ def clip_sample(audio: DataFrame, clip_s: float, stride_s: float | None = None) 
     return audio.mapInPandas(
         fn, schema="media_id long, clip_idx int, start_s double, rms double"
     )
+
+
+def phash_neardup_pairs(
+    feats: DataFrame,
+    hash_col: str = "phash",
+    id_col: str = "media_id",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    bits: int = 64,
+) -> DataFrame:
+    """Near-duplicate detection on fixed-width bit-string signatures
+    (the pHash column of extract_features, or any 64-bit fingerprint):
+    band-equality blocking + exact Hamming verify.
+
+    Completeness by pigeonhole: a pair within Hamming distance d
+    differs in at most d bands, so with d < n_bands the pair agrees on
+    at least one full band and MUST surface as a candidate — the
+    banding loses nothing (requires max_hamming < n_bands, asserted).
+
+    Scale shape: the same signature→band→equality-join→verify layout as
+    MinHash-LSH and SimHash blocking — one hash join per corpus on
+    (band, key), exact verify row-local on candidates; never all-pairs.
+
+    Output: (id_a, id_b, hamming) with id_a < id_b, hamming ≤
+    max_hamming.
+    """
+    assert max_hamming < n_bands, "pigeonhole completeness needs d < n_bands"
+    assert bits % n_bands == 0
+    band_w = bits // n_bands
+    h = F.col(hash_col)
+    banded = feats.select(
+        F.col(id_col).alias("id"),
+        h.alias("h"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.substring(h, b * band_w + 1, band_w).alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "h", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = banded.select(
+        F.col("id").alias("id_a"), F.col("h").alias("h_a"), "band", "key"
+    )
+    b = banded.select(
+        F.col("id").alias("id_b"), F.col("h").alias("h_b"), "band", "key"
+    )
+    cand = (
+        a.join(b, ["band", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "h_a", "h_b")
+        .distinct()
+    )
+    ham = F.expr(
+        f"aggregate(sequence(1, {int(bits)}), 0, (acc, i) -> acc + "
+        "IF(substring(h_a, i, 1) <> substring(h_b, i, 1), 1, 0))"
+    ).cast("int")
+    return (
+        cand.withColumn("hamming", ham)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1416,3 +1416,35 @@ SELECT round(dot + 1e-9, 6) + 0.0 AS dot,
        round(dot / (norm_old * norm_new) + 1e-9, 6) + 0.0 AS cosine,
        round(norm_new / norm_old + 1e-9, 6) + 0.0 AS norm_ratio
 FROM s"""
+
+
+# q_phash_neardup: SimHash-derived 32-bit signatures, 4-band blocking,
+# exact Hamming verify.
+ORACLES["q_phash_neardup"] = f"""WITH tok AS (
+  SELECT doc_id, ('0x' || substr(md5(unnest({_TOKS})), 1, 8))::BIGINT AS h
+  FROM documents
+),
+votes AS (
+  SELECT doc_id, i, sum(2 * ((h >> i) & 1) - 1) AS v
+  FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS i) b
+  GROUP BY doc_id, i
+), sh AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+), sig AS (
+  SELECT doc_id AS id, lpad(bin(simhash), 32, '0') AS h FROM sh
+), banded AS (
+  SELECT id, h, b AS band, substr(h, b * 8 + 1, 8) AS key
+  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.h AS h_a, b.h AS h_b
+  FROM banded a JOIN banded b USING (band, key)
+  WHERE a.id < b.id
+)
+SELECT id_a, id_b,
+       CAST(list_sum(list_transform(generate_series(1, 32),
+         i -> CASE WHEN substr(h_a, i, 1) <> substr(h_b, i, 1) THEN 1 ELSE 0 END)) AS INT) AS hamming
+FROM cand
+WHERE list_sum(list_transform(generate_series(1, 32),
+        i -> CASE WHEN substr(h_a, i, 1) <> substr(h_b, i, 1) THEN 1 ELSE 0 END)) <= 3"""

@@ -140,6 +140,25 @@ def q_simhash(spark, sf_dir):
     return dedup.simhash(_docs(spark, sf_dir))
 
 
+def q_phash_neardup(spark, sf_dir):
+    """Perceptual-hash near-dup pairs through the banded blocking +
+    exact-Hamming-verify operator (multimodal.phash_neardup_pairs —
+    the image-dedup layout, pigeonhole-complete for d < n_bands). The
+    32-bit signatures here are the documents' SimHashes (bit-string
+    form) so the whole pipeline is oracle-able in SQL and near-dup
+    docs actually land within the Hamming budget; the image path feeds
+    the SAME operator from extract_features' decoded pHashes
+    (tests/test_multivariate_multimodal.py)."""
+    from sfa_spark.operators.multimodal import phash_neardup_pairs
+
+    sh = dedup.simhash(_docs(spark, sf_dir))
+    sig = sh.select(
+        F.col("doc_id").alias("media_id"),
+        F.lpad(F.bin("simhash"), 32, "0").alias("phash"),
+    )
+    return phash_neardup_pairs(sig, max_hamming=3, n_bands=4, bits=32)
+
+
 def q_embedding_drift(spark, sf_dir):
     """Embedding-space drift between two corpus versions: cosine
     between the per-version MEAN vectors plus the norm ratio — the

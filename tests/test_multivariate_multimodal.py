@@ -269,3 +269,56 @@ def test_audio_clip_sample_offsets_and_fake_codec(spark):
     bad = spark.createDataFrame([(3, bytearray(b"xx"), "mp3")], MM.AUDIO_SCHEMA)
     with _pt.raises(Exception, match="NotImplementedError|not available"):
         MM.audio_features(bad).collect()
+
+
+def test_phash_neardup_pigeonhole_complete_and_image_path(spark):
+    """Banded blocking finds EVERY pair within max_hamming (< n_bands,
+    pigeonhole) and nothing above — brute-force cross-check; and the
+    decoded-image path surfaces identical payloads at hamming 0."""
+    from itertools import combinations
+
+    from sfa_spark.operators.multimodal import (
+        extract_features,
+        phash_neardup_pairs,
+    )
+
+    sigs = {
+        0: "0" * 16,
+        1: "0" * 15 + "1",          # d(0,1)=1
+        2: "0" * 12 + "1111",       # d(0,2)=4 — excluded at d<=3
+        3: "1" + "0" * 14 + "1",    # d(1,3)=1, d(0,3)=2
+        4: "1111" + "0" * 12,       # d(2,4)=8
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in sigs.items()], "media_id long, phash string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_neardup_pairs(
+            df, max_hamming=3, n_bands=4, bits=16
+        ).collect()
+    }
+    ham = lambda a, b: sum(x != y for x, y in zip(a, b))
+    want = {
+        (i, j): ham(sigs[i], sigs[j])
+        for i, j in combinations(sorted(sigs), 2)
+        if ham(sigs[i], sigs[j]) <= 3
+    }
+    assert got == want
+    # image path: two identical fake payloads + one different
+    media = spark.createDataFrame(
+        [
+            (10, b"same-bytes", "fake", 16, 16, 3),
+            (11, b"same-bytes", "fake", 16, 16, 3),
+            (12, b"other-bytes", "fake", 16, 16, 3),
+        ],
+        "media_id long, payload binary, format string, width int, height int, channels int",
+    )
+    feats = extract_features(media)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_neardup_pairs(
+            feats, max_hamming=0, n_bands=4, bits=64
+        ).collect()
+    }
+    assert pairs == {(10, 11): 0}
