@@ -154,8 +154,11 @@ def apply_changes(
     column ('U' upsert, 'D' delete) and a sequence column. When a key
     appears multiple times in the batch, the row with the HIGHEST
     (seq) wins (ties broken by op descending so 'U' beats 'D' at equal
-    seq — deterministic, documented). An upsert for an absent key
-    inserts; a delete for an absent key is a no-op.
+    seq — deterministic, documented). Two rows with the SAME (key,
+    seq, op) but different payloads are a producer bug: max_by picks
+    one arbitrarily — give CDC batches a strictly monotonic seq per
+    key. An upsert for an absent key inserts; a delete for an absent
+    key is a no-op.
 
     Scale shape: the batch first collapses to one winner per key via a
     map-side-combinable max_by aggregate (never a window over the
