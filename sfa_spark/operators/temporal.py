@@ -381,3 +381,61 @@ def mad_outliers(
             (dev / (F.lit(1.4826) * F.col("_mad"))).alias("mad_score"),
         )
     )
+
+
+def winsorize(
+    events: DataFrame,
+    by: str = "event_type",
+    value: str = "value",
+    p_lo: float = 0.01,
+    p_hi: float = 0.99,
+) -> DataFrame:
+    """Percentile clipping (winsorization) per group: values below the
+    group's p_lo quantile clamp up to it, values above p_hi clamp down
+    — the standard tail-taming pass before scaling/featurizing, kept
+    exact so the oracle can be exact too.
+
+    One exact-quantile aggregate per group (Spark `percentile` ==
+    DuckDB `quantile_cont`, the certified bridge), bounds broadcast
+    back, clip row-local. Adds `clipped` so downstream can count the
+    affected tail without a second pass."""
+    q = events.groupBy(by).agg(
+        F.expr(f"percentile({value}, {float(p_lo)})").alias("_q_lo"),
+        F.expr(f"percentile({value}, {float(p_hi)})").alias("_q_hi"),
+    )
+    j = events.join(F.broadcast(q), by)
+    v = F.col(value)
+    clipped_v = F.least(F.greatest(v, F.col("_q_lo")), F.col("_q_hi"))
+    return j.select(
+        *[c for c in events.columns],
+        clipped_v.alias(f"{value}_w"),
+        (v != clipped_v).cast("int").cast("bigint").alias("clipped"),
+    )
+
+
+def merge_aggregates(
+    prior: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    sum_cols: list[str],
+) -> DataFrame:
+    """Incremental maintenance of a SUM/COUNT-shaped materialized
+    aggregate: fold a (small) delta batch into the prior aggregate
+    WITHOUT rescanning history — union the prior rows with the delta's
+    partial aggregate and re-sum per key. Correct for any commutative
+    monoid column (sums, counts, bit_or sketches…); min/max work for
+    inserts-only; averages must be stored as (sum, count) pairs.
+
+    Scale shape: history is touched only through its (group-sized)
+    aggregate; the delta aggregates map-side before the union; one
+    groupBy on the key — the 100 TB rule that a nightly refresh costs
+    O(delta), not O(corpus)."""
+    d = delta.groupBy(*keys).agg(
+        *[F.sum(c).alias(c) for c in sum_cols]
+    )
+    return (
+        prior.select(*keys, *sum_cols)
+        .unionByName(d.select(*keys, *sum_cols))
+        .groupBy(*keys)
+        .agg(*[F.sum(c).alias(c) for c in sum_cols])
+    )

@@ -1382,3 +1382,26 @@ ORACLES["q_event_transitions"] = """WITH l AS (
 SELECT p.prev_type, p.next_type, p.cnt,
        round(p.cnt * 1.0 / t.prev_cnt + 1e-9, 6) + 0.0 AS p_next
 FROM pairs p JOIN totals t USING (prev_type)"""
+
+
+# q_winsorize: quantile_cont == Spark percentile (certified bridge).
+ORACLES["q_winsorize"] = """WITH q AS (
+  SELECT event_type,
+         quantile_cont(value, 0.01) AS q_lo,
+         quantile_cont(value, 0.99) AS q_hi
+  FROM events GROUP BY 1
+)
+SELECT event_id, e.event_type,
+       round(least(greatest(value, q_lo), q_hi) + 1e-9, 4) + 0.0 AS value_w,
+       CAST(CASE WHEN value <> least(greatest(value, q_lo), q_hi)
+                 THEN 1 ELSE 0 END AS BIGINT) AS clipped
+FROM events e JOIN q USING (event_type)"""
+
+
+# q_incremental_agg: full recompute — a hash match proves the
+# incremental merge equals the from-scratch aggregate.
+ORACLES["q_incremental_agg"] = """SELECT event_type, user_id,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) + 1e-9, 4) + 0.0 AS total_value,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY 1, 2"""

@@ -969,6 +969,56 @@ def q_column_profile(spark, sf_dir):
     )
 
 
+def q_winsorize(spark, sf_dir):
+    """Per-type winsorization of events.value at the exact p01/p99
+    (temporal.winsorize): tails clamp to the group quantile, `clipped`
+    marks the affected rows — the standard pre-featurization pass, one
+    quantile aggregate + row-local clip."""
+    from sfa_spark.operators.temporal import winsorize
+
+    ev = load_table(spark, sf_dir, "events")
+    w = winsorize(ev, by="event_type", value="value")
+    return w.select(
+        "event_id",
+        "event_type",
+        rnd("value_w", 4).alias("value_w"),
+        "clipped",
+    )
+
+
+def q_incremental_agg(spark, sf_dir):
+    """Materialized-aggregate maintenance (temporal.merge_aggregates):
+    a per-(type, user) revenue/count aggregate over the first ~90% of
+    events (the frozen nightly materialization) is refreshed with the
+    last ~10% (the day's delta) WITHOUT rescanning history — prior agg
+    rows union the delta's partial aggregate, one keyed re-sum. The
+    oracle recomputes from scratch, so a hash match proves
+    O(delta) == O(corpus) recompute."""
+    from sfa_spark.operators.temporal import merge_aggregates
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "user_id",
+        F.col("value").cast("decimal(18,6)").alias("v"),
+        F.lit(1).cast("bigint").alias("n"),
+    )
+    hist = ev.where(F.col("event_id") % 10 != 7)
+    delta = ev.where(F.col("event_id") % 10 == 7)
+    prior = hist.groupBy("event_type", "user_id").agg(
+        F.sum("v").alias("v"), F.sum("n").alias("n")
+    )
+    merged = merge_aggregates(
+        prior, delta, ["event_type", "user_id"], ["v", "n"]
+    )
+    return merged.select(
+        "event_type",
+        "user_id",
+        rnd(F.col("v").cast("double"), 4).alias("total_value"),
+        F.col("n").cast("bigint").alias("n_events"),
+    )
+
+
 def q_event_transitions(spark, sf_dir):
     """Markov-style path analytics: counts and row-conditional
     probabilities of (prev_type → type) transitions within each user's

@@ -268,3 +268,41 @@ def test_mad_outliers_breakdown_resistant(spark):
         ).collect()
     }
     assert 10 not in z_ids  # σ blown up by the 1000 → 18 slips through
+
+
+def test_winsorize_clamps_tails_only(spark):
+    from sfa_spark.operators.temporal import winsorize
+
+    df = spark.createDataFrame(
+        [("a", float(i)) for i in range(1, 100)] + [("a", 1000.0)],
+        "event_type string, value double",
+    )
+    w = {r["value"]: (r["value_w"], r["clipped"]) for r in
+         winsorize(df, p_lo=0.05, p_hi=0.95).collect()}
+    assert w[1000.0][1] == 1 and w[1000.0][0] < 1000.0  # tail clamped
+    assert w[50.0] == (50.0, 0)                          # body untouched
+
+
+def test_merge_aggregates_equals_full_recompute(spark):
+    from pyspark.sql import functions as F
+
+    from sfa_spark.operators.temporal import merge_aggregates
+
+    full = spark.createDataFrame(
+        [("a", 1, 10), ("a", 1, 5), ("b", 2, 7), ("a", 3, 1), ("c", 1, 2)],
+        "k string, u long, v long",
+    )
+    hist, delta = full.where("u != 1"), full.where("u = 1")
+    prior = hist.groupBy("k", "u").agg(
+        F.sum("v").alias("v"), F.count(F.lit(1)).alias("n")
+    )
+    d2 = delta.withColumn("n", F.lit(1).cast("bigint"))
+    merged = merge_aggregates(prior, d2, ["k", "u"], ["v", "n"])
+    want = {
+        (r["k"], r["u"]): (r["v"], r["n"])
+        for r in full.groupBy("k", "u")
+        .agg(F.sum("v").alias("v"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got = {(r["k"], r["u"]): (r["v"], r["n"]) for r in merged.collect()}
+    assert got == want
