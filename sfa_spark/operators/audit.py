@@ -43,6 +43,7 @@ def snapshot_diff(
     new: DataFrame,
     key_cols: list[str],
     compare_cols: list[str] | None = None,
+    with_payload: bool = False,
 ) -> DataFrame:
     """Classify rows between two snapshots of a keyed table:
     ``added`` (key only in new), ``removed`` (key only in old),
@@ -57,6 +58,13 @@ def snapshot_diff(
     Exchange elides entirely and the diff is a per-bucket zip. The
     struct comparison is eqNullSafe (NULL == NULL), mirroring SQL's
     IS NOT DISTINCT FROM, so NULL churn never shows as phantom change.
+
+    with_payload=True additionally emits the NEW-side compare columns
+    (NULL for removed rows), making the diff a self-contained CDC
+    batch: mapping added/changed → op 'U' and removed → op 'D' and
+    feeding it to ``apply_changes`` reconstructs `new` from `old`
+    exactly (property-tested roundtrip,
+    tests/test_llm_ops.py::test_diff_apply_roundtrip_reconstructs_new).
     """
     compare_cols = compare_cols or [
         c for c in new.columns if c not in key_cols
@@ -77,8 +85,13 @@ def snapshot_diff(
         .when(F.col("_in_new").isNull(), F.lit("removed"))
         .when(~F.col("_old").eqNullSafe(F.col("_new")), F.lit("changed"))
     )
+    extra = (
+        [F.col(f"_new.{c}").alias(c) for c in compare_cols]
+        if with_payload
+        else []
+    )
     return (
-        j.select(*key_cols, status.alias("status"))
+        j.select(*key_cols, status.alias("status"), *extra)
         .where(F.col("status").isNotNull())
     )
 

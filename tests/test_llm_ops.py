@@ -1737,3 +1737,46 @@ def test_drift_psi_zero_on_identical_and_positive_on_shift(spark):
     assert psi > 0.25  # a 60% range shift must read as "drifted"
     # shares floored: no infinities even though buckets are disjoint
     assert all(math.isfinite(r["psi_term"]) for r in d)
+
+
+def test_diff_apply_roundtrip_reconstructs_new(spark):
+    """snapshot_diff(with_payload) is a self-contained CDC batch:
+    applying it to the old snapshot reconstructs the new snapshot
+    exactly — randomized over adds/removes/updates/NULL churn."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from sfa_spark.operators.audit import apply_changes, snapshot_diff
+
+    rng = random.Random(7)
+    old_rows, new_rows = [], []
+    for k in range(200):
+        v = (k, rng.choice(["a", "b", None]), rng.choice([1.0, 2.0, None]))
+        fate = rng.random()
+        if fate < 0.15:
+            old_rows.append(v)                                  # removed
+        elif fate < 0.30:
+            new_rows.append(v)                                  # added
+        elif fate < 0.55:
+            old_rows.append(v)                                  # changed
+            new_rows.append((k, rng.choice(["x", None]), rng.choice([9.0, None])))
+        else:
+            old_rows.append(v)                                  # unchanged
+            new_rows.append(v)
+    schema = "k long, s string, v double"
+    old = spark.createDataFrame(old_rows, schema)
+    new = spark.createDataFrame(new_rows, schema)
+
+    diff = snapshot_diff(old, new, ["k"], with_payload=True)
+    changes = diff.select(
+        "k",
+        F.lit(1).cast("bigint").alias("seq"),
+        F.when(F.col("status") == "removed", "D").otherwise("U").alias("op"),
+        "s",
+        "v",
+    )
+    rebuilt = apply_changes(old, changes, ["k"])
+    want = sorted((r["k"], r["s"], r["v"]) for r in new.collect())
+    got = sorted((r["k"], r["s"], r["v"]) for r in rebuilt.collect())
+    assert got == want
