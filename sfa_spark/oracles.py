@@ -1405,3 +1405,42 @@ ORACLES["q_incremental_agg"] = """SELECT event_type, user_id,
        CAST(count(*) AS BIGINT) AS n_events
 FROM events
 GROUP BY 1, 2"""
+
+
+# q_debounce: same lag rule at ns precision.
+ORACLES["q_debounce"] = """WITH l AS (
+  SELECT event_id, user_id, event_type, ts,
+         epoch_ns(ts) - epoch_ns(lag(ts) OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id)) AS gap
+  FROM events
+)
+SELECT event_id, user_id, event_type, epoch_ns(ts) AS ts
+FROM l WHERE gap IS NULL OR gap > 3600000000000"""
+
+
+# q_rfm_segments: exact quartile boundaries (quantile_cont), same
+# strictly-greater scoring ladder.
+ORACLES["q_rfm_segments"] = """WITH per_user AS (
+  SELECT user_id,
+         epoch_ns(max(ts)) AS last_ts,
+         CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS monetary
+  FROM events GROUP BY 1
+), b AS (
+  SELECT quantile_cont(last_ts, 0.25) AS last_ts_q1,
+         quantile_cont(last_ts, 0.5) AS last_ts_q2,
+         quantile_cont(last_ts, 0.75) AS last_ts_q3,
+         quantile_cont(freq, 0.25) AS freq_q1,
+         quantile_cont(freq, 0.5) AS freq_q2,
+         quantile_cont(freq, 0.75) AS freq_q3,
+         quantile_cont(monetary, 0.25) AS monetary_q1,
+         quantile_cont(monetary, 0.5) AS monetary_q2,
+         quantile_cont(monetary, 0.75) AS monetary_q3
+  FROM per_user
+)
+SELECT user_id, freq,
+       round(monetary + 1e-9, 4) + 0.0 AS monetary,
+       CAST(1 + (last_ts > last_ts_q1)::INT + (last_ts > last_ts_q2)::INT + (last_ts > last_ts_q3)::INT AS INT) AS r_score,
+       CAST(1 + (freq > freq_q1)::INT + (freq > freq_q2)::INT + (freq > freq_q3)::INT AS INT) AS f_score,
+       CAST(1 + (monetary > monetary_q1)::INT + (monetary > monetary_q2)::INT + (monetary > monetary_q3)::INT AS INT) AS m_score
+FROM per_user CROSS JOIN b"""

@@ -969,6 +969,63 @@ def q_column_profile(spark, sf_dir):
     )
 
 
+def q_debounce(spark, sf_dir):
+    """Telemetry debounce: drop an event when the SAME (user, type)
+    fired within the last hour (lag-to-previous rule — row-local after
+    one per-key sort, SQL-mirrorable; the greedy keep-anchored variant
+    needs sequential state and lives in streaming). Output keeps the
+    survivor rows only (~4% suppressed at sf0.01)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = F.col("ts") - F.lag("ts").over(w)
+    return (
+        ev.withColumn("_gap", gap)
+        .where(F.col("_gap").isNull() | (F.col("_gap") > 3_600_000_000_000))
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+
+
+def q_rfm_segments(spark, sf_dir):
+    """RFM customer segmentation: per-user recency (last event ts),
+    frequency (event count), monetary (value sum), each scored 1-4 by
+    global quartile boundaries computed EXACTLY (percentile ==
+    quantile_cont bridge) and broadcast back — never ntile, whose tie
+    behavior is engine-specific. One per-user aggregate, one 1-row
+    quantile aggregate, row-local scoring."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    bounds = per_user.agg(
+        *[
+            F.expr(f"percentile({c}, {q})").alias(f"{c}_q{i}")
+            for c in ("last_ts", "freq", "monetary")
+            for i, q in ((1, 0.25), (2, 0.5), (3, 0.75))
+        ]
+    )
+
+    def score(c):
+        return (
+            F.lit(1)
+            + (F.col(c) > F.col(f"{c}_q1")).cast("int")
+            + (F.col(c) > F.col(f"{c}_q2")).cast("int")
+            + (F.col(c) > F.col(f"{c}_q3")).cast("int")
+        ).cast("int")
+
+    return per_user.crossJoin(F.broadcast(bounds)).select(
+        "user_id",
+        "freq",
+        rnd("monetary", 4).alias("monetary"),
+        score("last_ts").alias("r_score"),
+        score("freq").alias("f_score"),
+        score("monetary").alias("m_score"),
+    )
+
+
 def q_winsorize(spark, sf_dir):
     """Per-type winsorization of events.value at the exact p01/p99
     (temporal.winsorize): tails clamp to the group quantile, `clipped`
