@@ -74,6 +74,7 @@ ROTATE_FIRST = [
     "q_phash_neardup",         # NEW: banded Hamming image-dedup layout
     "q_winsorize",             # NEW: exact-percentile tail clipping
     "q_incremental_agg",       # NEW: O(delta) aggregate maintenance
+    "q_stream_debounce",       # NEW: greedy stateful rate limit
     "q_stream_teaser",         # NEW: stateful streaming accept rule
     "q_apca_segments",         # rows-only → exact recursive-CTE oracle
     "q_value_histogram",       # registered r4, never gated until now
@@ -90,20 +91,20 @@ ROTATE_FIRST = [
     "q_embed_neardup", "q_corpus_filter", "q_cosine_topk", "q_sq_ann",
     "q_cosine_ivf", "q_cosine_multiprobe", "q_bm25_search",
     "q_ngram_topk", "q_cosine_kmeans", "q_dedup_groups",
-    "q_hash_sample", "q_stratified_sample",
+    "q_hash_sample",
     # (d) round-3-aged queries filling to exactly 50 — none left: the
-    # 17 NEW r5 queries pushed every r3-aged slot (and the last three
-    # r2-aged ones, q_hash_top_n / q_domain_cap / q_token_estimate)
-    # past the cut
-    # (q_hash_top_n / q_domain_cap / q_token_estimate / q_pii_stats / q_znorm / q_rolling_stats / q_sliding_count / q_disjoint_paa /
+    # 18 NEW r5 queries pushed every r3-aged slot (and the last four
+    # r2-aged ones, q_stratified_sample / q_hash_top_n / q_domain_cap /
+    # q_token_estimate) past the cut
+    # (q_stratified_sample / q_hash_top_n / q_domain_cap / q_token_estimate / q_pii_stats / q_znorm / q_rolling_stats / q_sliding_count / q_disjoint_paa /
     # q_sfa_words / q_bag_topk / q_equi_depth_bins / q_equi_depth_hist /
     # q_word_bigrams / q_sfa_words_equidepth / q_derivatives / q_chi2
-    # / q_chi2_capped fell past the 50 cut for the seventeen NEW r5
+    # / q_chi2_capped fell past the 50 cut for the eighteen NEW r5
     # queries (incremental_dedup, snapshot_diff, merge_changes,
     # skew_profile, column_profile, edit1_pairs, orc_roundtrip,
     # schema_evolution, drift_psi, stream_drift, lsh_recall,
     # tpch_market_share, embedding_drift, event_transitions,
-    # phash_neardup, winsorize, incremental_agg) — all keep their
+    # phash_neardup, winsorize, incremental_agg, stream_debounce) — all keep their
     # green r2/r3 gate rows
     # (q_bag_topk and q_sfa_words additionally run in entry()/bench
     # every round); the remaining r3-aged queries —

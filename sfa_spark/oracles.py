@@ -1444,3 +1444,24 @@ SELECT user_id, freq,
        CAST(1 + (freq > freq_q1)::INT + (freq > freq_q2)::INT + (freq > freq_q3)::INT AS INT) AS f_score,
        CAST(1 + (monetary > monetary_q1)::INT + (monetary > monetary_q2)::INT + (monetary > monetary_q3)::INT AS INT) AS m_score
 FROM per_user CROSS JOIN b"""
+
+
+# q_stream_debounce: greedy keep-anchored selection replayed exactly
+# with a recursive CTE — iteration k's working table is the k-th KEPT
+# event per (user, type); the aggregate picks each key's next survivor.
+ORACLES["q_stream_debounce"] = """WITH RECURSIVE n AS (
+  SELECT event_id, user_id, event_type, epoch_ns(ts) AS ts,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+), r AS (
+  SELECT event_id, user_id, event_type, ts, rn FROM n WHERE rn = 1
+  UNION ALL
+  SELECT min_by(n2.event_id, n2.rn), n2.user_id, n2.event_type,
+         min_by(n2.ts, n2.rn), min(n2.rn)
+  FROM r JOIN n n2
+    ON n2.user_id = r.user_id AND n2.event_type = r.event_type
+   AND n2.ts > r.ts + 3600000000000
+  GROUP BY n2.user_id, n2.event_type
+)
+SELECT event_id, user_id, event_type, ts FROM r"""

@@ -457,3 +457,33 @@ def q_stream_drift(spark, sf_dir):
         rnd(p_new, 6).alias("share_new"),
         rnd((p_new - p_old) * F.log(p_new / p_old), 6).alias("psi_term"),
     )
+
+
+def q_stream_debounce(spark, sf_dir):
+    """GREEDY keep-anchored rate limiting on the event stream
+    (streaming/ingest.debounce_stream): an event passes iff it is more
+    than an hour after the last EMITTED event of its (user, type) —
+    sequential per key, state = one bigint per key. The DuckDB oracle
+    replays the greedy selection with a recursive CTE (the same
+    exact-replay technique as the APCA and dedup-groups oracles), so
+    the stateful stream is hash-checked against an independent
+    sequential-semantics implementation."""
+    from sfa_spark.streaming import ingest as SI
+    from sfa_spark.streaming import scoring
+
+    src = tempfile.mkdtemp(prefix="sfa_sdeb_src_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
+    name = f"sdeb_{uuid.uuid4().hex[:8]}"
+    stream = scoring.events_stream(spark, src)
+    q = (
+        SI.debounce_stream(stream, gap_ns=3_600_000_000_000)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        "event_id", "user_id", "event_type", "ts"
+    )

@@ -207,3 +207,55 @@ def stream_lm_gate(
     from sfa_spark.operators.text import lm_score
 
     return lm_score(doc_stream, model).where(F.col("ppl") <= F.lit(float(max_ppl)))
+
+
+DEBOUNCE_OUTPUT = (
+    "event_id bigint, user_id bigint, event_type string, ts bigint"
+)
+DEBOUNCE_STATE = "last_kept bigint"
+
+
+def debounce_stream(event_stream: DataFrame, gap_ns: int) -> DataFrame:
+    """GREEDY keep-anchored debounce: an event is kept iff its ts is
+    more than gap_ns after the LAST KEPT event of its (user_id,
+    event_type) — the semantics a rate limiter actually wants. The
+    batch lag-based rule (queries.q_debounce) measures distance to the
+    previous EVENT, so a dense burst suppresses everything after its
+    first row only if each row is close to its predecessor; the greedy
+    anchor instead re-arms only when a row is actually emitted. This
+    decision is sequential per key (each verdict depends on the last
+    KEPT one) — exactly the shape applyInPandasWithState exists for:
+    state = last_kept ts per key, one bigint regardless of stream
+    length.
+
+    Input contract: per-key rows must arrive time-ordered ACROSS
+    micro-batches (within a batch the operator sorts); put a
+    watermark+sort stage ahead for out-of-order sources.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        uid, etype = key
+        last = state.get[0] if state.exists else None
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"])
+        keep = []
+        for _, r in rows.iterrows():
+            t = int(r["ts"])
+            if last is None or t - last > gap_ns:
+                keep.append((int(r["event_id"]), int(uid), str(etype), t))
+                last = t
+        state.update((int(last),))
+        if keep:
+            yield pd.DataFrame(
+                keep, columns=["event_id", "user_id", "event_type", "ts"]
+            )
+
+    return event_stream.groupBy("user_id", "event_type").applyInPandasWithState(
+        fn,
+        outputStructType=DEBOUNCE_OUTPUT,
+        stateStructType=DEBOUNCE_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

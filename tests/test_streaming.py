@@ -805,3 +805,44 @@ def test_observation_metrics_on_stream(spark, tmp_path):
             for k in ("n_rows", "nulls_s", "nulls_v"):
                 seen[k] = seen.get(k, 0) + m[k]
     assert seen == {"n_rows": 3, "nulls_s": 1, "nulls_v": 1}
+
+
+def test_debounce_stream_greedy_anchor_and_cross_batch_state(spark, tmp_path):
+    """Greedy semantics: the anchor re-arms only on EMIT — for the
+    chain 0,10,20,25,45 with gap 15 it keeps [0, 20, 45], whereas the
+    batch lag-to-previous rule would keep [0, 45] only (every other
+    row is within 15 of its predecessor). Also proves the last-kept
+    anchor survives across micro-batches (maxFilesPerTrigger=1,
+    time-split files: 25 is dropped against anchor 20 from batch 1)."""
+    from sfa_spark.streaming.ingest import debounce_stream
+
+    schema = "event_id long, user_id long, event_type string, ts long"
+    b1 = [(1, 7, "click", 0), (2, 7, "click", 10), (3, 7, "click", 20)]
+    b2 = [(4, 7, "click", 25), (5, 7, "click", 45)]
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(
+        str(tmp_path / "p0")
+    )
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(
+        str(tmp_path / "p1")
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "p*"))
+    )
+    q = (
+        debounce_stream(stream, gap_ns=15)
+        .writeStream.format("memory")
+        .queryName("sdeb_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    kept = sorted(
+        r["ts"] for r in spark.sql("select * from sdeb_test").collect()
+    )
+    # greedy with anchor: keep 0 (arm at 0) — 10, 20 within 15 of the
+    # ANCHOR progression (10-0<=15 drop; 20-0>15 KEEP, re-arm at 20);
+    # batch 2: 25-20<=15 drop; 45-20>15 keep.
+    assert kept == [0, 20, 45]
