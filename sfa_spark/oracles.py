@@ -1465,3 +1465,27 @@ ORACLES["q_stream_debounce"] = """WITH RECURSIVE n AS (
   GROUP BY n2.user_id, n2.event_type
 )
 SELECT event_id, user_id, event_type, ts FROM r"""
+
+
+# q_tpch_order_priority: EXISTS == the left-semi shape.
+ORACLES["q_tpch_order_priority"] = """SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate < TIMESTAMP '1995-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY 1"""
+
+
+# q_tpch_returned_revenue: same decimal-summed per-nation report.
+ORACLES["q_tpch_returned_revenue"] = """SELECT n_name,
+  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) + 1e-9, 4) + 0.0 AS lost_revenue,
+  CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY 1"""

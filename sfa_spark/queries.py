@@ -969,6 +969,54 @@ def q_column_profile(spark, sf_dir):
     )
 
 
+def q_tpch_order_priority(spark, sf_dir):
+    """TPC-H Q4-shaped priority check: orders from one quarter that had
+    at least one late lineitem (l_shipdate > o_orderdate), counted per
+    priority. The EXISTS predicate plans as a LEFT SEMI join — the
+    fact table is filtered, never widened; no duplicate-inducing inner
+    join + distinct."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = orders.where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp"))
+    )
+    late = li.join(
+        o.select("o_orderkey", "o_orderdate"),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).where(F.col("l_shipdate") > F.col("o_orderdate")).select("l_orderkey")
+    sel = o.join(
+        late, o.o_orderkey == late.l_orderkey, "left_semi"
+    )
+    return sel.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )
+
+
+def q_tpch_returned_revenue(spark, sf_dir):
+    """TPC-H Q10-shaped returned-item report: revenue lost to returned
+    lineitems (l_returnflag = 'R') per customer nation — lineitem
+    filtered FIRST (predicate pushdown to the scan), orders joined on
+    the key, dims broadcast, one groupBy with exact decimal sums."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    return j.groupBy("n_name").agg(
+        dec_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        ).alias("lost_revenue"),
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+    ).select("n_name", rnd("lost_revenue", 4).alias("lost_revenue"), "n_items")
+
+
 def q_debounce(spark, sf_dir):
     """Telemetry debounce: drop an event when the SAME (user, type)
     fired within the last hour (lag-to-previous rule — row-local after

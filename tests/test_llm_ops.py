@@ -1780,3 +1780,17 @@ def test_diff_apply_roundtrip_reconstructs_new(spark):
     want = sorted((r["k"], r["s"], r["v"]) for r in new.collect())
     got = sorted((r["k"], r["s"], r["v"]) for r in rebuilt.collect())
     assert got == want
+
+
+def test_order_priority_plans_semi_join(spark):
+    """The EXISTS predicate must plan a LEFT SEMI join (fact filtered,
+    never widened) — no inner-join + distinct fallback."""
+    from sfa_spark.queries import q_tpch_order_priority
+
+    plan = (
+        q_tpch_order_priority(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LeftSemi" in plan, plan
