@@ -187,9 +187,7 @@ def apply_changes(
         F.max_by(op_col, rank).alias("_op"),
         *[F.max_by(c, rank).alias(f"_c_{c}") for c in payload],
     )
-    j = base.withColumn("_in_base", F.lit(1)).join(
-        latest, key_cols, "full_outer"
-    )
+    j = base.join(latest, key_cols, "full_outer")
     keep = F.col("_op").isNull() | (F.col("_op") != F.lit("D"))
     out = [
         F.when(

@@ -142,7 +142,11 @@ def jaccard_verify(
     sharing ≥1 shingle (zero-intersection candidates drop out, matching
     an inner join against the exact pair set)."""
     sh = shingles(docs, k)
-    pairs = cand.select("doc_a", "doc_b")
+    # distinct(): a duplicated (doc_a, doc_b) row in cand would
+    # multiply inter (and thus jaccard); cheap next to the shingle
+    # expansion, and it makes the input contract structural rather
+    # than documented.
+    pairs = cand.select("doc_a", "doc_b").distinct()
     cand_ids = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .union(pairs.select(F.col("doc_b").alias("doc_id")))

@@ -405,7 +405,13 @@ def winsorize(
     )
     j = events.join(F.broadcast(q), by)
     v = F.col(value)
-    clipped_v = F.least(F.greatest(v, F.col("_q_lo")), F.col("_q_hi"))
+    # Spark's greatest/least SKIP NULL args, so a NULL value would
+    # silently fabricate value_w = the group's p_lo quantile. Keep
+    # NULL in → NULL out (value_w and clipped both NULL), matching
+    # the oracle's CASE WHEN value IS NULL THEN NULL.
+    clipped_v = F.when(v.isNull(), F.lit(None)).otherwise(
+        F.least(F.greatest(v, F.col("_q_lo")), F.col("_q_hi"))
+    )
     return j.select(
         *[c for c in events.columns],
         clipped_v.alias(f"{value}_w"),

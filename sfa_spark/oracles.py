@@ -1392,8 +1392,11 @@ ORACLES["q_winsorize"] = """WITH q AS (
   FROM events GROUP BY 1
 )
 SELECT event_id, e.event_type,
-       round(least(greatest(value, q_lo), q_hi) + 1e-9, 4) + 0.0 AS value_w,
-       CAST(CASE WHEN value <> least(greatest(value, q_lo), q_hi)
+       CASE WHEN value IS NULL THEN NULL
+            ELSE round(least(greatest(value, q_lo), q_hi) + 1e-9, 4) + 0.0
+       END AS value_w,
+       CAST(CASE WHEN value IS NULL THEN NULL
+                 WHEN value <> least(greatest(value, q_lo), q_hi)
                  THEN 1 ELSE 0 END AS BIGINT) AS clipped
 FROM events e JOIN q USING (event_type)"""
 

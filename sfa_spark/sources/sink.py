@@ -142,9 +142,13 @@ def write_zordered(
         # min/max come back None iff the column is entirely NULL —
         # zorder_key would then crash on float(None - None); an
         # all-NULL column cannot be z-ordered, so fail loudly
-        assert row[f"_lo_{c}"] is not None, (
-            f"z-order column {c!r} is entirely NULL — cannot derive a range"
-        )
+        if row[f"_lo_{c}"] is None:
+            # data-dependent validation must survive python -O, so a
+            # bare assert (compiled out) is not enough here
+            raise ValueError(
+                f"z-order column {c!r} is entirely NULL — cannot "
+                "derive a range"
+            )
     stats = {c: (row[f"_lo_{c}"], row[f"_hi_{c}"]) for c in cols}
     z = zorder_key(cols, stats, bits=bits)
     # rows with a NULL in ANY z-column would silently encode to code 0

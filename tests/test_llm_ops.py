@@ -82,6 +82,23 @@ def test_jaccard_verify_matches_full_pairs_on_candidates(docs):
     assert ver == expected
 
 
+def test_jaccard_verify_dedupes_candidate_pairs(docs):
+    """Duplicate (doc_a, doc_b) rows in cand must not multiply inter:
+    verify over cand ∪ cand equals verify over cand."""
+    sig = dedup.minhash_signatures(docs, n_seeds=4, k=3)
+    cand = dedup.lsh_candidate_pairs(sig, band_size=2)
+    doubled = cand.unionByName(cand)
+    one = {
+        (r["doc_a"], r["doc_b"]): (r["inter"], r["union_sz"], r["jaccard"])
+        for r in dedup.jaccard_verify(docs, cand, k=3).collect()
+    }
+    two = {
+        (r["doc_a"], r["doc_b"]): (r["inter"], r["union_sz"], r["jaccard"])
+        for r in dedup.jaccard_verify(docs, doubled, k=3).collect()
+    }
+    assert one == two
+
+
 def test_lsh_verified_plan_has_no_allpairs(docs):
     """The two-phase verify must never plan the uncapped shingle
     self-join (a join keyed on `shingle` ALONE is the all-pairs

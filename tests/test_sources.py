@@ -183,7 +183,9 @@ def test_zorder_layout_skips_on_every_dimension(spark, tmp_path):
     assert back.where("zcell >= 0 and (x is null or y is null)").count() == 0
     import pytest as _pytest
 
-    with _pytest.raises(AssertionError, match="entirely NULL"):
+    # ValueError (not assert): data-dependent validation must survive
+    # python -O, which compiles bare asserts out
+    with _pytest.raises(ValueError, match="entirely NULL"):
         write_zordered(
             spark.createDataFrame([(None, 1)], "x long, payload long"),
             str(tmp_path / "zbad"),

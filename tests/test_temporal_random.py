@@ -283,6 +283,25 @@ def test_winsorize_clamps_tails_only(spark):
     assert w[50.0] == (50.0, 0)                          # body untouched
 
 
+def test_winsorize_null_value_stays_null(spark):
+    """A NULL value must NOT fabricate data: Spark greatest/least skip
+    NULL args, so without the guard a NULL row would come back as the
+    group's p_lo quantile. NULL in → value_w NULL, clipped NULL."""
+    from sfa_spark.operators.temporal import winsorize
+
+    df = spark.createDataFrame(
+        [("a", float(i)) for i in range(1, 100)] + [("a", None)],
+        "event_type string, value double",
+    )
+    rows = winsorize(df, p_lo=0.05, p_hi=0.95).collect()
+    null_rows = [r for r in rows if r["value"] is None]
+    assert len(null_rows) == 1
+    assert null_rows[0]["value_w"] is None
+    assert null_rows[0]["clipped"] is None
+    # non-null rows unaffected by the guard
+    assert all(r["value_w"] is not None for r in rows if r["value"] is not None)
+
+
 def test_merge_aggregates_equals_full_recompute(spark):
     from pyspark.sql import functions as F
 
