@@ -43,16 +43,58 @@ def jaccard_pairs(
     docs: DataFrame,
     k: int = 3,
     max_df: int | None = None,
+    guard_max_df: int | None = None,
 ) -> DataFrame:
     """All candidate pairs (a < b) sharing ≥1 shingle, with exact
     n-gram Jaccard = |∩| / |∪|. Output: (doc_a, doc_b, inter, union_sz,
-    jaccard). Integer set sizes → jaccard is an exact rational."""
+    jaccard). Integer set sizes → jaccard is an exact rational.
+
+    The uncapped mode (max_df=None) is quadratic on hot shingles — a
+    stopword-like shingle appearing in d docs contributes d·(d−1)/2
+    pairs. `guard_max_df` makes that blow-up structurally unreachable:
+    an in-plan raise_error() gate (broadcast 1-row max-df aggregate +
+    filter) aborts execution BEFORE the pair join if any shingle's
+    document frequency exceeds the guard, pointing at the df-capped
+    production mode (max_df=...). The guard travels with the plan —
+    it fires wherever the query runs, not just where it was built —
+    and costs one extra shingle aggregate, irrelevant for the
+    exactness-oracle corpora it is meant for. Mirrors the reference's
+    own hot-feature pruning (χ²/WORD_LIMIT cap,
+    transformation/WEASEL.java:287-324)."""
     sh = shingles(docs, k)
     if max_df is not None:
         df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         sh = sh.join(
             F.broadcast(df_counts.where(F.col("df") <= max_df).select("shingle")),
             "shingle",
+        )
+    elif guard_max_df is not None:
+        hottest = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .agg(F.max("df").alias("_max_df_seen"))
+        )
+        gate = F.when(
+            F.col("_max_df_seen") > guard_max_df,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "jaccard_pairs(uncapped): hottest shingle df="
+                    ),
+                    F.col("_max_df_seen").cast("string"),
+                    F.lit(
+                        f" exceeds guard_max_df={guard_max_df}; the "
+                        "all-pairs join would be quadratic on this "
+                        "shingle — use the df-capped mode "
+                        "(max_df=...) at production scale"
+                    ),
+                )
+            ).isNull(),
+        ).otherwise(F.lit(True))
+        sh = (
+            sh.join(F.broadcast(hottest), how="cross")
+            .where(gate)
+            .drop("_max_df_seen")
         )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")

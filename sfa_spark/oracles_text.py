@@ -1352,8 +1352,28 @@ FROM documents WHERE doc_id % 2 = 1"""
 
 
 # q_lsh_recall: candidate set from the banded signatures, ground truth
-# from the df-capped exact pairs at tau >= 0.5, counts + ratios.
-ORACLES["q_lsh_recall"] = f"""WITH {_SIGS},
+# from the df-capped exact pairs at tau >= 0.5, counts + ratios —
+# over the STRUCTURAL hash_sample(doc_id, 0.7) corpus slice the Spark
+# query composes (the slice contract lives in the plan, not the docs).
+ORACLES["q_lsh_recall"] = f"""WITH docs_slice AS (
+  SELECT * FROM documents WHERE {_HUNIT} < 0.7
+),
+toks AS (
+  SELECT doc_id, {_TOKS} AS tk FROM docs_slice
+),
+shingles AS (
+  SELECT DISTINCT doc_id,
+         tk[j] || ' ' || tk[j+1] || ' ' || tk[j+2] AS shingle
+  FROM (
+    SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) AS j
+    FROM toks
+  )
+),
+sigs AS (
+  SELECT doc_id, seed, min(md5(seed::VARCHAR || '|' || shingle)) AS minhash
+  FROM shingles CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed) s
+  GROUP BY doc_id, seed
+),
 banded AS (
   SELECT doc_id, CAST(seed // 2 AS INT) AS band,
          md5(string_agg(minhash, ',' ORDER BY seed)) AS band_key

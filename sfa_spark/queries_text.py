@@ -73,9 +73,16 @@ def q_incremental_dedup(spark, sf_dir):
 
 
 def q_jaccard_topk(spark, sf_dir):
+    """UNCAPPED exact Jaccard top-k — the exactness twin of the
+    df-capped production variant (q_jaccard_topk_capped, the bench
+    headliner). Registered with guard_max_df=500: an in-plan
+    raise_error gate aborts before the pair join if any shingle's df
+    exceeds 500 (sf0.1 fixture max is 25), so the quadratic blow-up
+    is impossible to reach by accident — at scale the query fails
+    loudly with a pointer to the capped mode instead of running n²."""
     from sfa_spark.operators.topk import ranked_top_k
 
-    pairs = dedup.jaccard_pairs(_docs(spark, sf_dir), k=3)
+    pairs = dedup.jaccard_pairs(_docs(spark, sf_dir), k=3, guard_max_df=500)
     return ranked_top_k(
         pairs,
         [("jaccard", True), ("doc_a", False), ("doc_b", False)],
@@ -207,10 +214,15 @@ def q_lsh_recall(spark, sf_dir):
     MinHash-LSH candidate set (8 seeds, band_size 2) against exact
     Jaccard ≥ 0.5 ground truth over the df-capped shingle sets. This
     is the query you size n_seeds/band_size from before a 100 TB
-    dedup run — on a hash-sampled corpus slice, never the full
-    corpus."""
+    dedup run — on a hash-sampled corpus slice, never the full corpus.
+    The slice contract is STRUCTURAL (not just documented): the query
+    composes sample.hash_sample(docs, 'doc_id', 0.7) before anything
+    else, so the exact-truth pair join is bounded by construction —
+    at scale you lower the fraction, you cannot forget it."""
+    from sfa_spark.operators.sample import hash_sample
+
     tau = 0.5
-    docs = _docs(spark, sf_dir)
+    docs = hash_sample(_docs(spark, sf_dir), "doc_id", 0.7)
     sig = dedup.minhash_signatures(docs, n_seeds=8, k=3)
     cand = dedup.lsh_candidate_pairs(sig, band_size=2).select(
         "doc_a", "doc_b"

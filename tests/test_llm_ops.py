@@ -82,6 +82,34 @@ def test_jaccard_verify_matches_full_pairs_on_candidates(docs):
     assert ver == expected
 
 
+def test_jaccard_pairs_guard_blocks_hot_shingles(spark, docs):
+    """guard_max_df makes the uncapped quadratic mode structurally
+    unreachable: a corpus with a stopword-like shingle (df > guard)
+    aborts in-plan before the pair join; a cool corpus is unaffected
+    (same rows as unguarded)."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    # cool corpus: guard engaged but silent — result identical
+    unguarded = {
+        (r["doc_a"], r["doc_b"]): r["inter"]
+        for r in dedup.jaccard_pairs(docs, k=3).collect()
+    }
+    guarded = {
+        (r["doc_a"], r["doc_b"]): r["inter"]
+        for r in dedup.jaccard_pairs(docs, k=3, guard_max_df=500).collect()
+    }
+    assert guarded == unguarded
+
+    # hot corpus: every doc shares the same 3-gram -> df = n_docs > guard
+    hot = spark.createDataFrame(
+        [(i, "the quick fox jumps over item %d" % i) for i in range(30)],
+        "doc_id long, text string",
+    )
+    with pytest.raises(Py4JJavaError, match="guard_max_df"):
+        dedup.jaccard_pairs(hot, k=3, guard_max_df=10).collect()
+
+
 def test_jaccard_verify_dedupes_candidate_pairs(docs):
     """Duplicate (doc_a, doc_b) rows in cand must not multiply inter:
     verify over cand ∪ cand equals verify over cand."""
