@@ -102,6 +102,7 @@ def drift_psi(
     col: str,
     n_buckets: int = 10,
     eps: float = 1e-6,
+    buckets: str = "width",
 ) -> DataFrame:
     """Population Stability Index between two snapshots of a numeric
     column — the standard drift alarm between training-data versions:
@@ -118,23 +119,58 @@ def drift_psi(
     sums for both sides; the global range and side totals are
     single-row aggregates broadcast back. No join between the
     snapshots, no window, no second scan of either side.
+
+    buckets="quantile" replaces the equi-width edges with the exact
+    deciles of the OLD (reference) side — the standard PSI binning,
+    and robust where equi-width degrades: one extreme outlier in
+    either side stretches the combined [min, max] until nearly all
+    mass lands in a single bucket. Edges come from ONE
+    percentile-array aggregate over old (same exact-percentile
+    machinery as temporal.winsorize, Spark percentile == DuckDB
+    quantile_cont), rounded to 6 dp on both engines so bucket
+    assignment can't flip on a final-ulp divergence; assignment is a
+    JVM-side size(filter(edges, e -> v > e)) — still no join, no
+    window, one groupBy.
     """
     u = old.select(F.col(col).alias("v"), F.lit(0).alias("side")).unionByName(
         new.select(F.col(col).alias("v"), F.lit(1).alias("side"))
     ).where(F.col("v").isNotNull())
-    r = u.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
-    width = (F.col("hi") - F.col("lo")) / F.lit(float(n_buckets))
-    b = u.crossJoin(F.broadcast(r)).select(
-        F.when(F.col("hi") == F.col("lo"), F.lit(0))
-        .otherwise(
-            F.least(
-                F.lit(n_buckets - 1),
-                F.floor((F.col("v") - F.col("lo")) / width).cast("int"),
+    if buckets == "quantile":
+        fracs = ", ".join(
+            str(i / n_buckets) for i in range(1, n_buckets)
+        )
+        edges = (
+            old.select(F.col(col).alias("v"))
+            .where(F.col("v").isNotNull())
+            .agg(
+                F.expr(
+                    f"transform(percentile(v, array({fracs})), "
+                    "e -> round(e, 6))"
+                ).alias("edges")
             )
         )
-        .alias("bucket"),
-        "side",
-    )
+        b = u.crossJoin(F.broadcast(edges)).select(
+            F.size(
+                F.filter("edges", lambda e: F.col("v") > e)
+            ).alias("bucket"),
+            "side",
+        )
+    elif buckets == "width":
+        r = u.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+        width = (F.col("hi") - F.col("lo")) / F.lit(float(n_buckets))
+        b = u.crossJoin(F.broadcast(r)).select(
+            F.when(F.col("hi") == F.col("lo"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.lit(n_buckets - 1),
+                    F.floor((F.col("v") - F.col("lo")) / width).cast("int"),
+                )
+            )
+            .alias("bucket"),
+            "side",
+        )
+    else:
+        raise ValueError(f"buckets must be 'width' or 'quantile', got {buckets!r}")
     counts = b.groupBy("bucket").agg(
         F.sum((F.col("side") == 0).cast("long")).cast("bigint").alias("n_old"),
         F.sum((F.col("side") == 1).cast("long")).cast("bigint").alias("n_new"),

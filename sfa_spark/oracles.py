@@ -1304,6 +1304,42 @@ SELECT bucket, n_old, n_new,
 FROM counts CROSS JOIN totals"""
 
 
+# q_drift_psi_quantile: decile edges of the OLD side via quantile_cont
+# (== Spark percentile, certified bridge), rounded to 6 dp on both
+# engines; bucket = number of edges strictly below v.
+ORACLES["q_drift_psi_quantile"] = """WITH o AS (
+  SELECT value AS v FROM events WHERE event_id % 2 = 0 AND value IS NOT NULL
+), e AS (
+  SELECT list_transform(
+           quantile_cont(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+           x -> round(x, 6)) AS edges
+  FROM o
+), u AS (
+  SELECT value AS v, 0 AS side FROM events WHERE event_id % 2 = 0
+  UNION ALL
+  SELECT value * 1.25 + 0.5, 1 FROM events WHERE event_id % 2 = 1
+), b AS (
+  SELECT CAST(len(list_filter(edges, x -> v > x)) AS INT) AS bucket, side
+  FROM (SELECT v, side FROM u WHERE v IS NOT NULL) CROSS JOIN e
+), counts AS (
+  SELECT bucket,
+         CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+         CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+  FROM b GROUP BY 1
+), totals AS (
+  SELECT CAST(sum(n_old) AS BIGINT) AS t_old,
+         CAST(sum(n_new) AS BIGINT) AS t_new
+  FROM counts
+)
+SELECT bucket, n_old, n_new,
+       round(greatest(n_old * 1.0 / t_old, 1e-6) + 1e-9, 6) + 0.0 AS share_old,
+       round(greatest(n_new * 1.0 / t_new, 1e-6) + 1e-9, 6) + 0.0 AS share_new,
+       round((greatest(n_new * 1.0 / t_new, 1e-6) - greatest(n_old * 1.0 / t_old, 1e-6))
+             * ln(greatest(n_new * 1.0 / t_new, 1e-6) / greatest(n_old * 1.0 / t_old, 1e-6))
+             + 1e-9, 6) + 0.0 AS psi_term
+FROM counts CROSS JOIN totals"""
+
+
 # q_stream_drift: bucket counts are a monoid, so the streaming result
 # equals this plain SQL — reference boundaries frozen from the even
 # side, stream values clamped into edge buckets.

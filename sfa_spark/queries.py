@@ -1216,6 +1216,33 @@ def q_drift_psi(spark, sf_dir):
     )
 
 
+def q_drift_psi_quantile(spark, sf_dir):
+    """PSI with QUANTILE buckets (audit.drift_psi buckets='quantile'):
+    bin edges are the exact deciles of the OLD (reference) side — the
+    outlier-robust binning (one extreme value can collapse equi-width
+    buckets to a single occupied bin; decile edges don't move). Same
+    deterministic drift injection as q_drift_psi; edges from one
+    percentile-array aggregate (Spark percentile == DuckDB
+    quantile_cont, the certified bridge), rounded to 6 dp on both
+    engines, assignment JVM-side via size(filter(edges, e -> v > e))."""
+    from sfa_spark.operators.audit import drift_psi
+
+    ev = load_table(spark, sf_dir, "events")
+    old = ev.where(F.col("event_id") % 2 == 0).select("value")
+    new = ev.where(F.col("event_id") % 2 == 1).select(
+        (F.col("value") * 1.25 + 0.5).alias("value")
+    )
+    d = drift_psi(old, new, "value", n_buckets=10, buckets="quantile")
+    return d.select(
+        "bucket",
+        "n_old",
+        "n_new",
+        rnd("share_old", 6).alias("share_old"),
+        rnd("share_new", 6).alias("share_new"),
+        rnd("psi_term", 6).alias("psi_term"),
+    )
+
+
 def q_merge_changes(spark, sf_dir):
     """Batch MERGE INTO (audit.apply_changes): apply a CDC batch to the
     orders snapshot — upserts (update + insert), deletes, and same-key

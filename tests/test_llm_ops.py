@@ -1784,6 +1784,43 @@ def test_drift_psi_zero_on_identical_and_positive_on_shift(spark):
     assert all(math.isfinite(r["psi_term"]) for r in d)
 
 
+def test_drift_psi_quantile_survives_outlier(spark):
+    """One extreme outlier collapses equi-width buckets (nearly all
+    mass lands in bucket 0 → a real shift reads as stable), while
+    decile edges of the reference side don't move — the quantile mode
+    still flags the drift. Also: identical sides → PSI ≈ 0."""
+    from sfa_spark.operators.audit import drift_psi
+
+    base = spark.createDataFrame(
+        [(float(i),) for i in range(1000)], "value double"
+    )
+    # new = base shifted by 40% of range, plus one 1e9 outlier
+    shifted = spark.createDataFrame(
+        [(float(i) + 400.0,) for i in range(1000)] + [(1e9,)],
+        "value double",
+    )
+    width = drift_psi(base, shifted, "value", n_buckets=10).collect()
+    quant = drift_psi(
+        base, shifted, "value", n_buckets=10, buckets="quantile"
+    ).collect()
+    psi_w = sum(r["psi_term"] for r in width)
+    psi_q = sum(r["psi_term"] for r in quant)
+    # equi-width: the 1e9 outlier stretches [min,max] so both sides'
+    # real mass shares bucket 0 — the genuine 40% shift reads stable
+    assert psi_w < 0.1
+    # quantile edges (deciles of base) are outlier-immune: drifted
+    assert psi_q > 0.25
+    # sanity: identical sides stay ~0 in quantile mode too
+    same = drift_psi(
+        base, base, "value", n_buckets=10, buckets="quantile"
+    ).collect()
+    assert all(abs(r["psi_term"]) < 1e-12 for r in same)
+    import pytest
+
+    with pytest.raises(ValueError, match="buckets"):
+        drift_psi(base, base, "value", buckets="nope")
+
+
 def test_diff_apply_roundtrip_reconstructs_new(spark):
     """snapshot_diff(with_payload) is a self-contained CDC batch:
     applying it to the old snapshot reconstructs the new snapshot
