@@ -21,10 +21,14 @@ Architecture, 100 TB-first:
     fn, with per-batch word memoization (Zipf: a batch's distinct
     words ≪ its tokens). No shuffle, no state; linear in corpus size.
 
-No SQL oracle is possible (the fit is an iterative global argmax —
-same class as APCA's greedy merge); correctness is pinned by the
-published worked example (low/lower/newest/widest), an independent
-pure-python re-implementation cross-check on random text, and
+The fit is an iterative global argmax (same class as APCA's greedy
+merge) — but it IS exactly SQL-replayable: the q_bpe_tokens oracle
+(oracles_text.py) re-runs the whole trainer as a DuckDB recursive CTE
+(per-iteration GROUP BY for the best pair + greedy list_reduce merge
+application) and hash-matches the distributed encode. Correctness is
+additionally pinned by the published worked example
+(low/lower/newest/widest), an independent pure-python
+re-implementation cross-check on random text, and
 roundtrip/monotonicity properties (tests/test_llm_ops.py).
 """
 

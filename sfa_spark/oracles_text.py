@@ -1468,3 +1468,70 @@ SELECT id_a, id_b,
 FROM cand
 WHERE list_sum(list_transform(generate_series(1, 32),
         i -> CASE WHEN substr(h_a, i, 1) <> substr(h_b, i, 1) THEN 1 ELSE 0 END)) <= 3"""
+
+
+# q_bpe_tokens: FULL merge-table replay (upgrades the registration
+# from rows-only to an exact oracle — the APCA/stream-debounce
+# recursive-replay trick applied to the BPE fit). The recursive CTE
+# IS the trainer: each iteration the working table holds the whole
+# dictionary's current segmentation; the best pair comes from one
+# GROUP BY over it (count desc, then lexicographically smallest —
+# exactly operators/bpe._fit_merges' tie-break), and the merge is
+# applied to every word with a left-to-right greedy list_reduce scan
+# (non-overlapping, same skip rule as the Python rewrite loop).
+# Recursion stops after 120 merges or when the best count drops
+# below min_freq=2. Per-word final token counts then join back to
+# the per-doc word occurrences; encode == fit's final segmentation
+# (lowest-rank-first encode reproduces the training segmentation —
+# asserted independently by test_llm_ops' encode/fit cross-checks).
+ORACLES["q_bpe_tokens"] = r"""WITH RECURSIVE
+toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+  FROM documents
+),
+occur AS (
+  SELECT doc_id, w AS word
+  FROM (SELECT doc_id, unnest(tk) AS w FROM toks) WHERE len(w) > 0
+),
+dict AS (SELECT word, count(*)::BIGINT AS cnt FROM occur GROUP BY 1),
+step AS (
+  SELECT 0 AS it, word,
+         list_concat(
+           list_transform(range(1, len(word)), i -> word[i]),
+           [word[len(word)] || '</w>']) AS syms,
+         cnt
+  FROM dict
+  UNION ALL
+  SELECT it + 1, word,
+         list_reduce(
+           list_transform(syms, s -> [s]),
+           (acc, x) -> CASE WHEN acc[len(acc)] = b.l AND x[1] = b.r
+                            THEN list_concat(acc[1:len(acc)-1], [b.l || b.r])
+                            ELSE list_concat(acc, x) END
+         ),
+         cnt
+  FROM step, (
+    SELECT l, r, sum(c)::BIGINT AS c FROM (
+      SELECT syms[i] AS l, syms[i+1] AS r, cnt AS c
+      FROM step, unnest(range(1, len(syms))) u(i)
+    ) GROUP BY l, r
+    ORDER BY c DESC, l, r LIMIT 1
+  ) b
+  WHERE it < 120 AND b.c >= 2
+),
+final AS (
+  SELECT word, len(syms) AS n_tok
+  FROM step WHERE it = (SELECT max(it) FROM step)
+),
+per_doc AS (
+  SELECT o.doc_id, count(*)::BIGINT AS n_words,
+         sum(f.n_tok)::BIGINT AS n_bpe_tokens
+  FROM occur o JOIN final f USING (word) GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(p.n_words, 0)::BIGINT AS n_words,
+       coalesce(p.n_bpe_tokens, 0)::BIGINT AS n_bpe_tokens,
+       CASE WHEN coalesce(p.n_words, 0) > 0
+            THEN round(p.n_bpe_tokens * 1.0 / p.n_words + 1e-9, 4) + 0.0
+            ELSE 0.0 END AS bpe_per_word
+FROM documents d LEFT JOIN per_doc p USING (doc_id)"""

@@ -730,9 +730,13 @@ def q_cdc_chunks(spark, sf_dir):
 def q_bpe_tokens(spark, sf_dir):
     """Real BPE tokenizer budget: fit 120 merges on the corpus's
     distinct-word dictionary, then row-local distributed encode —
-    per-doc (n_words, n_bpe_tokens, bpe_per_word). Rows-only BY
-    DESIGN: the fit is an iterative global argmax (same class as
-    APCA's greedy merge); semantics are pinned by the published
+    per-doc (n_words, n_bpe_tokens, bpe_per_word). EXACT oracle (r6,
+    upgraded from rows-only): the DuckDB side REPLAYS THE TRAINER with
+    a recursive CTE — each iteration one GROUP BY over the working
+    dictionary finds the best pair (count desc, lexicographic
+    tie-break) and a greedy left-to-right list_reduce applies the
+    merge — the same recursive-replay trick as q_apca_segments /
+    q_stream_debounce. Semantics additionally pinned by the published
     worked-example golden, a sequential-reference cross-check, and
     roundtrip/monotonicity tests in test_llm_ops.py."""
     from sfa_spark.operators import bpe
