@@ -387,10 +387,14 @@ def _score_with_weights(
     weights: DataFrame,
     intercept: list[float],
     label_map: list[float],
+    with_scores: bool = False,
 ) -> DataFrame:
     """Distributed scoring: bag keys ⋈ broadcast weight table →
     per-class sums → softmax argmax in SQL. Unseen keys drop out of
-    the join; empty bags score intercept-only via the left join."""
+    the join; empty bags score intercept-only via the left join.
+    with_scores=True additionally exports the per-class logit array
+    (`scores`, label_map order) — the decision artifact the surrogate
+    oracles check argmax-consistency against."""
     k = len(label_map)
     # decimal logit sums — order-free exact addition, bit-stable under
     # any task scheduling (same rationale as WeaselGridModel._score)
@@ -412,9 +416,11 @@ def _score_with_weights(
     arr = F.array(*z)
     idx = F.array_position(arr, F.array_max(arr)) - 1
     labels_arr = F.array(*[F.lit(float(l)) for l in label_map])
+    extra = [arr.alias("scores")] if with_scores else []
     return base.select(
         "series_id",
         F.element_at(labels_arr, idx.cast("int") + 1).alias("pred_label"),
+        *extra,
     )
 
 
@@ -467,7 +473,9 @@ def weasel_fit(
     return WeaselModel(sfa_models, weights, intercept, label_map)
 
 
-def weasel_predict(model: WeaselModel, test_arrays: DataFrame) -> DataFrame:
+def weasel_predict(
+    model: WeaselModel, test_arrays: DataFrame, with_scores: bool = False
+) -> DataFrame:
     key_bags = _weasel_features(model.sfa_models, test_arrays)
     return _score_with_weights(
         key_bags,
@@ -475,6 +483,7 @@ def weasel_predict(model: WeaselModel, test_arrays: DataFrame) -> DataFrame:
         model.weights,
         model.intercept,
         model.label_map,
+        with_scores=with_scores,
     )
 
 

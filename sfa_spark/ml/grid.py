@@ -1392,7 +1392,7 @@ class MuseGridModel:
         )
         return bags.bag_of_keys(keys)
 
-    def predict(self, test_mv: DataFrame) -> DataFrame:
+    def predict(self, test_mv: DataFrame, with_scores: bool = False) -> DataFrame:
         from sfa_spark.ml.classifiers import _score_with_weights
 
         return _score_with_weights(
@@ -1401,6 +1401,7 @@ class MuseGridModel:
             self.weights,
             self.intercept,
             self.label_map,
+            with_scores=with_scores,
         )
 
 

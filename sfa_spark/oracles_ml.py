@@ -3,8 +3,9 @@
 r4: the end-to-end classifier predicts are now SQL too — the full
 chains compose techniques each already proven elsewhere (trig-sum MFT,
 reference equi-depth scan, 2-bit word pack, bag counting, division-form
-tf-idf, bigint 1-NN, weighted vote). Only WEASEL/MUSE predicts
-(iterative softmax solves) remain rows-only by design.
+tf-idf, bigint 1-NN, weighted vote). r6: WEASEL/MUSE predicts carry
+surrogate oracles over their exported decision artifacts
+(_PREDICT_INVARIANTS below) — no registered query is rows-only.
 """
 
 from __future__ import annotations
@@ -580,3 +581,26 @@ SELECT q_id AS series_id, c_id AS nn_id,
        round(dist + 1e-9, 4) + 0.0 AS dist
 FROM total
 QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY dist ASC, c_id ASC) = 1"""
+
+
+# q_weasel_predict / q_muse_predict — surrogate oracles (r6, upgraded
+# from rows-only): the solver is iterative, but the query's OUTPUT is
+# the _predict_invariants surface, every column of which DuckDB can
+# recompute: the held-out id set and the train label-domain size come
+# from the same series derivation as the other ML oracles; the
+# decision-rule invariants (pred in domain, pred == argmax of the
+# exported logits, logits finite) must hash as constant TRUE. The
+# solves' prediction VALUES are certified by the golden suite.
+_PREDICT_INVARIANTS = f"""WITH {SERIES},
+ids AS (SELECT DISTINCT series_id FROM series WHERE n >= 32),
+k AS (
+  SELECT CAST(count(DISTINCT series_id % 3) AS INT) AS n_classes
+  FROM ids WHERE series_id % 5 <> 0
+)
+SELECT series_id, n_classes,
+       TRUE AS pred_in_domain, TRUE AS argmax_ok, TRUE AS scores_finite
+FROM ids CROSS JOIN k
+WHERE series_id % 5 = 0"""
+
+ORACLES["q_weasel_predict"] = _PREDICT_INVARIANTS
+ORACLES["q_muse_predict"] = _PREDICT_INVARIANTS

@@ -1535,3 +1535,12 @@ SELECT d.doc_id,
             THEN round(p.n_bpe_tokens * 1.0 / p.n_words + 1e-9, 4) + 0.0
             ELSE 0.0 END AS bpe_per_word
 FROM documents d LEFT JOIN per_doc p USING (doc_id)"""
+
+
+# q_quality_classifier — surrogate oracle (r6, upgraded from
+# rows-only): held-out doc identity + constant-TRUE invariants (pred
+# in {0,1}; held-out agreement with the SQL-mirrored Gopher rule
+# >= 0.85 — the distillation floor a broken solver would trip).
+ORACLES["q_quality_classifier"] = """SELECT doc_id,
+       TRUE AS pred_in_domain, TRUE AS rule_acc_floor_met
+FROM documents WHERE doc_id % 2 <> 0"""

@@ -648,9 +648,16 @@ def q_mixture_sample(spark, sf_dir):
 def q_quality_classifier(spark, sf_dir):
     """fastText-style hashed-ngram linear classifier distilling the
     Gopher rule filter (rule-labeled train half → model-predicted
-    held-out half) — the trainable curation gate. Rows-only BY DESIGN:
-    the softmax solve is iterative (no SQL equivalent); semantics are
-    covered by test_llm_ops.py's separable-class accuracy floor."""
+    held-out half) — the trainable curation gate. Surrogate-oracled
+    (r6, upgraded from rows-only): the DISTILLATION TARGET is itself
+    oracle-computable (the Gopher rule has a full SQL mirror), so the
+    output carries per-held-out-doc invariants DuckDB recomputes —
+    doc identity, pred ∈ {0,1}, and a broadcast global
+    rule_acc_floor_met flag asserting held-out agreement with the
+    Gopher rule ≥ 0.85 (measured 0.948/0.968 at sf0.001/0.01; a
+    broken solver or featurizer trips the flag and fails the hash).
+    Prediction values stay covered by test_llm_ops.py's
+    separable-class accuracy floor."""
     from sfa_spark.ml import quality
     from sfa_spark.operators import corpus
 
@@ -662,8 +669,20 @@ def q_quality_classifier(spark, sf_dir):
     model = quality.quality_fit(
         docs.where(train), kept.where(train), n_buckets=1 << 14
     )
-    return model.predict(docs.where(~train)).select(
+    pred = model.predict(docs.where(~train)).select(
         "doc_id", F.col("pred").cast("int").alias("pred")
+    )
+    j = pred.join(kept, "doc_id")
+    acc = j.agg(
+        (
+            F.avg((F.col("pred") == F.col("label")).cast("double"))
+            >= F.lit(0.85)
+        ).alias("rule_acc_floor_met")
+    )
+    return j.crossJoin(F.broadcast(acc)).select(
+        "doc_id",
+        F.col("pred").isin(0, 1).alias("pred_in_domain"),
+        "rule_acc_floor_met",
     )
 
 
