@@ -281,7 +281,9 @@ class SFAIndex:
             ],
         ).join(queries.select(F.col("series_id").alias("q_id"), F.col("values").alias("qvals")), "q_id")
 
-    def knn(self, queries: DataFrame, k: int) -> DataFrame:
+    def knn(
+        self, queries: DataFrame, k: int, broadcast_queries: bool = True
+    ) -> DataFrame:
         """Exact batch k-NN. Output: (q_id, nn_id, dist, rk).
 
         Phase 1 (probe): exact distances inside each query's own prefix
@@ -290,21 +292,34 @@ class SFAIndex:
         tiny summary, scan only surviving partitions, exact-verify, and
         take the global top-k. Equality with brute force is asserted in
         tests (reference SFATrieTest invariant).
-        """
+
+        broadcast_queries=True (default) ships the query side — and the
+        Phase-2 (query × surviving-prefix) candidate table carrying
+        qvals/qdft arrays — as broadcasts: the right plan for
+        classification-sized batches (the documented contract, and the
+        Spark-native win over SFATrie.java:651-718 one-at-a-time
+        search). For batches past the broadcast budget, pass False:
+        both phases become plain equi-joins ON THE PREFIX COLUMNS, so
+        the engine shuffle-partitions data and queries by prefix —
+        nothing query-sized is ever broadcast, co-location comes from
+        the shuffle, and the summary (index metadata, KB-sized
+        regardless of batch) stays the only broadcast. Same rows
+        either way (plan- and equality-tested)."""
         spark = queries.sparkSession
         data = spark.read.parquet(f"{self.path}/data")
         summary = spark.read.parquet(f"{self.path}/summary")
         q = self._query_side(queries).cache()
         pk = [f"p{i}" for i in range(self.prefix_len)]
 
-        # Phase 1: own-bucket probe
-        import functools
-        import operator
+        def _side(df: DataFrame) -> DataFrame:
+            return F.broadcast(df) if broadcast_queries else df
 
-        probe_cond = functools.reduce(
-            operator.and_, [data[p] == q[f"q{p}"] for p in pk]
+        # Phase 1: own-bucket probe — equi-join on the prefix columns
+        q_eq = q.select(
+            "q_id", "qvals", "qdft",
+            *[F.col(f"qp{i}").alias(f"p{i}") for i in range(self.prefix_len)],
         )
-        probe = data.join(F.broadcast(q), probe_cond).select(
+        probe = data.join(_side(q_eq), on=pk).select(
             "q_id", F.col("series_id").alias("nn_id"),
             _sq_ed(F.col("qvals"), F.col("values")).alias("sqdist"),
         )
@@ -315,7 +330,9 @@ class SFAIndex:
             .select("q_id", F.col("sqdist").alias("ub"))
         )
 
-        # Phase 2: box-prune on the summary, then exact verify
+        # Phase 2: box-prune on the summary, then exact verify. The
+        # summary broadcast is unconditional — it is index metadata
+        # (one row per prefix partition), not query-batch-sized.
         qcols = [F.element_at("qdft", i + 1) for i in range(self.model.word_length)]
         qxs = q.join(ub, "q_id", "left").withColumn(
             "ub", F.coalesce("ub", F.lit(float("inf")))
@@ -336,7 +353,7 @@ class SFAIndex:
             F.col("qdft"), F.col("syms"), bins_map, self.model.word_length
         )
         verify = (
-            data.join(F.broadcast(cand_prefixes), on=pk)
+            data.join(_side(cand_prefixes), on=pk)
             .where(row_lb <= F.col("ub"))
             .select(
                 "q_id", F.col("series_id").alias("nn_id"),

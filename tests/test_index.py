@@ -1,6 +1,8 @@
 """Index vs brute force — the reference SFATrieTest invariant: indexed
 k-NN distances equal linear-scan distances exactly."""
 
+import re
+
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
@@ -220,3 +222,41 @@ def test_index_load_roundtrip(spark, corpus, tmp_path):
         for r in loaded.knn(q, k=3).collect()
     )
     assert a == b
+
+
+def test_knn_blocked_mode_equals_broadcast_mode(spark, corpus, tmp_path):
+    """broadcast_queries=False (large-batch path) must return exactly
+    the broadcast plan's rows. Under autoBroadcastJoinThreshold=-1
+    (simulating a query batch past the broadcast budget, so only
+    explicit hints can broadcast) the blocked plan must contain NO
+    BroadcastHashJoin on the prefix columns — both phases shuffle-join
+    on p0/p1 — while the default path keeps its hinted prefix BHJs.
+    The only query-batch-INdependent broadcasts left (seg-rank /
+    summary metadata) are constant-sized and allowed."""
+    df, Z = corpus
+    idx = SFAIndex.build(
+        df, str(tmp_path / "idxblk"), word_length=8, alphabet=8, prefix_len=2
+    )
+    queries = df.where(F.col("series_id") < 8)
+    bcast = idx.knn(queries, k=3)
+    rows_b = {(r["q_id"], r["rk"]): (r["nn_id"], round(r["dist"], 9))
+              for r in bcast.collect()}
+    plan_bcast = bcast._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"BroadcastHashJoin \[p0#", plan_bcast), plan_bcast
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        blocked = idx.knn(queries, k=3, broadcast_queries=False)
+        rows_s = {(r["q_id"], r["rk"]): (r["nn_id"], round(r["dist"], 9))
+                  for r in blocked.collect()}
+        plan_blocked = (
+            blocked._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert rows_b == rows_s
+    assert not re.search(r"BroadcastHashJoin \[p0#", plan_blocked), plan_blocked
+    assert re.search(
+        r"(SortMergeJoin|ShuffledHashJoin) \[p0#", plan_blocked
+    ), plan_blocked
