@@ -125,6 +125,7 @@ def cross_run_dedup(
     new_docs: DataFrame,
     seen_hashes: DataFrame,
     text_col: str = "text",
+    hash_col: str | None = None,
 ) -> DataFrame:
     """Incremental (cross-run) exact dedup: classify every document of
     a NEW crawl batch against a persisted index of previously-seen
@@ -146,9 +147,21 @@ def cross_run_dedup(
     with no shuffle of the index; boilerplate hot hashes are handled
     by AQE skew splitting. The updated index is
     `seen_hashes ∪ kept hashes` (append-only, naturally bucketed).
+    Pass ``hash_col`` when the batch already carries its content hash
+    (the bucketed-by-text_hash production layout): the operator then
+    joins and windows directly on the stored column, so the bucketed
+    scan's partitioning is preserved and the Exchanges elide —
+    plan-asserted in tests/test_bucketed_plans.py.
 
     Output: (doc_id, text_hash, status)."""
-    h = new_docs.select("doc_id", F.md5(F.col(text_col)).alias("text_hash"))
+    if hash_col is not None:
+        h = new_docs.select(
+            "doc_id", F.col(hash_col).alias("text_hash")
+        )
+    else:
+        h = new_docs.select(
+            "doc_id", F.md5(F.col(text_col)).alias("text_hash")
+        )
     h = h.withColumn(
         "_min_id", F.min("doc_id").over(Window.partitionBy("text_hash"))
     )

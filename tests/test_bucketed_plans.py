@@ -1,0 +1,184 @@
+"""Exchange-elision proofs for the bucketing claims the operator
+docstrings make (VERDICT r5 task 6): cross_run_dedup, snapshot_diff /
+apply_changes, and the TPC-H Q8 market-share big-big join each state
+"bucket the join sides → the shuffle elides". These tests execute
+that layout over write_bucketed fixtures and assert the plans.
+Broadcast is disabled around the joins so the planner cannot sidestep
+the co-location proof by broadcasting a side."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sfa_spark.sources.sink import write_bucketed
+
+
+def _final_plan(df):
+    df.collect()
+    s = df._jdf.queryExecution().executedPlan().toString()
+    # AQE prints Final AND Initial plans — count only the final one
+    cut = s.find("== Initial Plan ==")
+    return s if cut < 0 else s[:cut]
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_cross_run_dedup_bucketed_elides_exchanges(
+    spark, tmp_path, no_broadcast
+):
+    """Batch and seen-index both bucketed by text_hash (the documented
+    100 TB layout, hashes precomputed at ingest): the window-min over
+    the batch hash AND the batch⋈index join plan with ZERO shuffle
+    Exchanges."""
+    from sfa_spark.operators.dedup import cross_run_dedup
+
+    docs = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("txt"), (F.col("id") % 80).cast("string")).alias(
+            "text"
+        ),
+    ).withColumn("text_hash", F.md5("text"))
+    batch = write_bucketed(
+        docs.where("doc_id % 3 != 0"), "bkt_batch", "text_hash", 4,
+        sort_cols=["text_hash"], path=str(tmp_path / "batch"),
+    )
+    seen = write_bucketed(
+        docs.where("doc_id % 3 = 0").select("text_hash"),
+        "bkt_seen", "text_hash", 4,
+        sort_cols=["text_hash"], path=str(tmp_path / "seen"),
+    )
+    try:
+        out = cross_run_dedup(batch, seen, hash_col="text_hash")
+        plan = _final_plan(out)
+        assert "Exchange hashpartitioning" not in plan, plan
+        # sanity: same statuses as the unbucketed md5 path
+        want = {
+            (r["doc_id"], r["status"])
+            for r in cross_run_dedup(
+                docs.where("doc_id % 3 != 0"),
+                docs.where("doc_id % 3 = 0").select("text_hash"),
+            ).collect()
+        }
+        got = {(r["doc_id"], r["status"]) for r in out.collect()}
+        assert got == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_batch")
+        spark.sql("DROP TABLE IF EXISTS bkt_seen")
+
+
+def test_snapshot_diff_and_apply_changes_bucketed_plans(
+    spark, tmp_path, no_broadcast
+):
+    """snapshot_diff over two snapshots bucketed by the key: the
+    full-outer join plans with ZERO Exchanges. apply_changes over a
+    bucketed base: exactly ONE Exchange total — the (small) change
+    batch's max_by aggregate — and none on the base side."""
+    from sfa_spark.operators.audit import apply_changes, snapshot_diff
+
+    rows = spark.range(0, 500).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).cast("double").alias("v"),
+    )
+    # bucket count == spark.sql.shuffle.partitions (8 in conftest):
+    # a shuffling side lands on the same partition count, so the
+    # planner keeps the bucketed scan instead of disabling it for a
+    # partition-count mismatch — the same sizing rule a production
+    # layout follows
+    nb = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    old = write_bucketed(
+        rows.where("k % 11 != 0"), "bkt_old", "k", nb,
+        sort_cols=["k"], path=str(tmp_path / "old"),
+    )
+    new = write_bucketed(
+        rows.where("k % 13 != 0").withColumn(
+            "v", F.when(F.col("k") % 5 == 0, F.col("v") + 100).otherwise(
+                F.col("v")
+            )
+        ),
+        "bkt_new", "k", nb, sort_cols=["k"], path=str(tmp_path / "new"),
+    )
+    try:
+        diff = snapshot_diff(old, new, ["k"])
+        plan = _final_plan(diff)
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert diff.count() > 0
+
+        changes = spark.range(0, 60).select(
+            (F.col("id") * 9 % 500).alias("k"),
+            F.lit(1).alias("seq"),
+            F.when(F.col("id") % 4 == 0, F.lit("D"))
+            .otherwise(F.lit("U")).alias("op"),
+            F.lit(-1.0).alias("v"),
+        )
+        applied = apply_changes(old, changes, ["k"])
+        plan2 = _final_plan(applied)
+        n_exch = plan2.count("Exchange hashpartitioning")
+        assert n_exch == 1, plan2
+        # the one Exchange must be on the batch subtree, i.e. the
+        # bucketed base scan is NOT below any Exchange: in-plan order,
+        # the scan of bkt_old appears after the last Exchange line
+        # only if it wasn't shuffled; assert structurally instead —
+        # removing the base from a bucketed table would add a second
+        # Exchange (proven by the count above vs the unbucketed twin)
+        plain = apply_changes(
+            rows.where("k % 11 != 0"), changes, ["k"]
+        )
+        n_plain = _final_plan(plain).count("Exchange hashpartitioning")
+        assert n_plain == 2, "unbucketed twin should shuffle both sides"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_old")
+        spark.sql("DROP TABLE IF EXISTS bkt_new")
+
+
+def test_market_share_join_bucketed_elides_big_join_exchange(
+    spark, tmp_path, no_broadcast
+):
+    """The q_tpch_market_share docstring's layout: lineitem and orders
+    bucketed by orderkey → the one big-big join plans with NO Exchange
+    on either side; the only Exchange left is the final year groupBy."""
+    li = spark.range(0, 2000).select(
+        (F.col("id") % 400).alias("l_orderkey"),
+        (F.col("id") % 9 + 1.0).alias("l_extendedprice"),
+        (F.col("id") % 3 / 100.0).alias("l_discount"),
+    )
+    orders = spark.range(0, 400).select(
+        F.col("id").alias("o_orderkey"),
+        F.to_date(
+            F.concat(
+                F.lit("199"), (F.col("id") % 8).cast("string"),
+                F.lit("-01-0"), (F.col("id") % 9 + 1).cast("string"),
+            )
+        ).alias("o_orderdate"),
+    )
+    bli = write_bucketed(
+        li, "bkt_li", "l_orderkey", 4, sort_cols=["l_orderkey"],
+        path=str(tmp_path / "li"),
+    )
+    bord = write_bucketed(
+        orders, "bkt_ord", "o_orderkey", 4, sort_cols=["o_orderkey"],
+        path=str(tmp_path / "ord"),
+    )
+    try:
+        rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        j = bli.join(
+            bord, bli.l_orderkey == bord.o_orderkey
+        ).select(
+            F.year("o_orderdate").alias("o_year"), rev.alias("rev")
+        )
+        agg = j.groupBy("o_year").agg(F.sum("rev").alias("total"))
+        plan = _final_plan(agg)
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        # the surviving Exchange is the year rollup, not the join:
+        # both join inputs must be bucketed scans (SortMergeJoin with
+        # no Exchange below it)
+        assert "SortMergeJoin" in plan, plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_li")
+        spark.sql("DROP TABLE IF EXISTS bkt_ord")
