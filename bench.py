@@ -35,6 +35,19 @@ HEADLINE = [
     "q_cosine_ivf",
 ]
 
+# Second headline group (r6, VERDICT r5 task 5): the LLM-pipeline
+# maintenance tier added in r5 — same min-of-3 + loadavg protocol, its
+# own total so a regression here is visible round over round without
+# breaking the r1-r5 headline_total_walltime series.
+MAINTENANCE = [
+    "q_merge_changes",       # batch MERGE-INTO / CDC apply
+    "q_snapshot_diff",       # table-version diff
+    "q_lsh_verified_dedup",  # two-phase candidates-only near-dedup
+    "q_phash_neardup",       # banded-Hamming image-dedup layout
+    "q_winsorize",           # exact-percentile tail clipping
+    "q_incremental_agg",     # O(delta) aggregate maintenance
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -56,28 +69,37 @@ def main() -> None:
         pass
 
     load_before = os.getloadavg()
-    timings: dict[str, float] = {}
-    runs: dict[str, list[float]] = {}
-    for name in HEADLINE:
-        if name not in qs:
-            continue
+
+    def run_group(names: list[str]):
         # min of 3 runs: the box is shared, single-shot timings swing
         # ±20-50% under load; min-of-N is the standard noise-robust
         # point estimate, and the per-run spread + load averages are
         # recorded so round-over-round regressions are falsifiable
         # (r4 lesson: a uniform 1.3-1.5× inflation across untouched
         # queries turned out to be box load, not plans).
-        best, n = None, 0
-        samples: list[float] = []
-        for _ in range(3):
-            t0 = time.time()
-            n = qs[name](spark, sf_dir).count()  # force full execution
-            dt = time.time() - t0
-            samples.append(round(dt, 3))
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
-        runs[name] = samples
-        print(f"# {name}: {timings[name]}s ({n} rows) runs={samples}", file=sys.stderr)
+        timings: dict[str, float] = {}
+        runs: dict[str, list[float]] = {}
+        for name in names:
+            if name not in qs:
+                continue
+            best, n = None, 0
+            samples: list[float] = []
+            for _ in range(3):
+                t0 = time.time()
+                n = qs[name](spark, sf_dir).count()  # force full execution
+                dt = time.time() - t0
+                samples.append(round(dt, 3))
+                best = dt if best is None else min(best, dt)
+            timings[name] = round(best, 3)
+            runs[name] = samples
+            print(
+                f"# {name}: {timings[name]}s ({n} rows) runs={samples}",
+                file=sys.stderr,
+            )
+        return timings, runs
+
+    timings, runs = run_group(HEADLINE)
+    m_timings, m_runs = run_group(MAINTENANCE)
 
     load_after = os.getloadavg()
     total = round(sum(timings.values()), 3)
@@ -91,6 +113,9 @@ def main() -> None:
                 "sf": sf,
                 "runs_per_query": 3,
                 "all_runs": runs,
+                "maintenance_total": round(sum(m_timings.values()), 3),
+                "maintenance_queries": m_timings,
+                "maintenance_all_runs": m_runs,
                 "loadavg_before": [round(x, 2) for x in load_before],
                 "loadavg_after": [round(x, 2) for x in load_after],
             }

@@ -381,6 +381,15 @@ def phash_neardup_pairs(
     Scale shape: the same signature→band→equality-join→verify layout as
     MinHash-LSH and SimHash blocking — one hash join per corpus on
     (band, key), exact verify row-local on candidates; never all-pairs.
+    Hot band buckets are quadratic in bucket size (clustered corpora —
+    a near-dup-heavy crawl — produce them), so the verify must be as
+    cheap as the join: the bit-string packs ONCE per doc into 32-bit
+    words and Hamming is bit_count(xor) per word — one popcount
+    instruction instead of a `bits`-step substring fold (r6: this took
+    the sf0.1 clustered-simhash bench point from ~30 s to join-bound),
+    the ≤ max_hamming filter runs BEFORE the distinct so the dedup
+    shuffle carries only true near-dups, and AQE handles residual
+    bucket skew.
 
     Output: (id_a, id_b, hamming) with id_a < id_b, hamming ≤
     max_hamming.
@@ -388,10 +397,19 @@ def phash_neardup_pairs(
     assert max_hamming < n_bands, "pigeonhole completeness needs d < n_bands"
     assert bits % n_bands == 0
     band_w = bits // n_bands
+    n_words = (bits + 31) // 32
     h = F.col(hash_col)
+    words = F.array(
+        *[
+            F.conv(
+                F.substring(h, w * 32 + 1, min(32, bits - w * 32)), 2, 10
+            ).cast("long")
+            for w in range(n_words)
+        ]
+    )
     banded = feats.select(
         F.col(id_col).alias("id"),
-        h.alias("h"),
+        words.alias("hw"),
         F.explode(
             F.array(
                 *[
@@ -403,25 +421,26 @@ def phash_neardup_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select("id", "h", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    ).select("id", "hw", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     a = banded.select(
-        F.col("id").alias("id_a"), F.col("h").alias("h_a"), "band", "key"
+        F.col("id").alias("id_a"), F.col("hw").alias("hw_a"), "band", "key"
     )
     b = banded.select(
-        F.col("id").alias("id_b"), F.col("h").alias("h_b"), "band", "key"
+        F.col("id").alias("id_b"), F.col("hw").alias("hw_b"), "band", "key"
     )
-    cand = (
-        a.join(b, ["band", "key"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "h_a", "h_b")
-        .distinct()
-    )
-    ham = F.expr(
-        f"aggregate(sequence(1, {int(bits)}), 0, (acc, i) -> acc + "
-        "IF(substring(h_a, i, 1) <> substring(h_b, i, 1), 1, 0))"
+    ham = sum(
+        F.bit_count(
+            F.element_at("hw_a", w + 1).bitwiseXOR(
+                F.element_at("hw_b", w + 1)
+            )
+        )
+        for w in range(n_words)
     ).cast("int")
     return (
-        cand.withColumn("hamming", ham)
+        a.join(b, ["band", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", ham)
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .distinct()
     )
