@@ -36,15 +36,106 @@ FEATURE_SCHEMA = (
 
 try:  # real-codec escape hatch: PIL decodes png/jpeg when installed
     from PIL import Image as _PILImage
-except ImportError:  # deterministic fake codec remains the CI path
+except ImportError:  # pure-stdlib PNG decoder below keeps png REAL
     _PILImage = None
+
+
+def _png_decode(data: bytes) -> np.ndarray:
+    """Minimal pure-stdlib PNG decoder (public spec, RFC 2083 / W3C
+    PNG): 8-bit depth, color types gray(0)/RGB(2)/gray+alpha(4)/
+    RGBA(6), non-interlaced, all five scanline filters. zlib inflate +
+    per-row unfilter — no third-party codec needed, so the REAL png
+    decode branch executes even in containers without Pillow. Returns
+    (H, W, C) uint8."""
+    import struct
+    import zlib
+
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG signature")
+    pos, idat = 8, b""
+    w = h = depth = ctype = interlace = None
+    while pos + 8 <= len(data):
+        (ln,), typ = struct.unpack(">I", data[pos : pos + 4]), data[pos + 4 : pos + 8]
+        pos += 8
+        chunk = data[pos : pos + ln]
+        pos += ln + 4  # skip CRC
+        if typ == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", chunk
+            )
+        elif typ == b"IDAT":
+            idat += chunk
+        elif typ == b"IEND":
+            break
+    if depth != 8 or interlace != 0:
+        raise NotImplementedError(
+            f"PNG depth={depth}/interlace={interlace} unsupported by the "
+            "stdlib decoder (8-bit non-interlaced only)"
+        )
+    nch = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+    raw = zlib.decompress(idat)
+    stride = w * nch
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)], dtype=np.uint8
+        ).astype(np.int32)
+        cur = np.zeros(stride, dtype=np.int32)
+        if ft == 0:  # None
+            cur = line
+        elif ft == 2:  # Up
+            cur = (line + prev) & 0xFF
+        else:  # Sub / Average / Paeth need the left neighbor: scan
+            for x in range(stride):
+                a = cur[x - nch] if x >= nch else 0
+                b = int(prev[x])
+                if ft == 1:
+                    v = line[x] + a
+                elif ft == 3:
+                    v = line[x] + ((a + b) >> 1)
+                elif ft == 4:
+                    c = int(prev[x - nch]) if x >= nch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    v = line[x] + pred
+                else:
+                    raise ValueError(f"bad PNG filter {ft}")
+                cur[x] = v & 0xFF
+        out[y] = cur.astype(np.uint8)
+        prev = out[y]
+    return out.reshape(h, w, nch)
+
+
+def _to_channels(arr: np.ndarray, channels: int) -> np.ndarray:
+    """Channel-convert a decoded (H, W, C) image to the requested
+    channel count, mirroring PIL's convert('RGB'/'L') semantics
+    (ITU-R 601 luma for the gray path)."""
+    c = arr.shape[2]
+    if c == channels:
+        return arr
+    if channels == 3:
+        if c == 4:
+            return arr[:, :, :3]
+        return np.repeat(arr[:, :, :1], 3, axis=2)
+    if channels == 1:
+        if c >= 3:
+            luma = (
+                0.299 * arr[:, :, 0] + 0.587 * arr[:, :, 1] + 0.114 * arr[:, :, 2]
+            )
+            return luma.astype(np.uint8)[:, :, None]
+        return arr[:, :, :1]
+    raise NotImplementedError(f"conversion {c}→{channels} channels")
 
 
 def _decode_one(payload: bytes, fmt: str, width: int, height: int, channels: int) -> np.ndarray:
     """Decode a media payload to (H, W, C) uint8.
 
-    The deterministic 'fake' codec always ships; png/jpeg route through
-    PIL when it is importable (env-gated — absent in this container)."""
+    The deterministic 'fake' codec always ships; png decodes REAL in
+    any environment (PIL when importable, else the pure-stdlib
+    _png_decode); jpeg needs PIL."""
     if fmt == "fake":
         seed = int.from_bytes(hashlib.md5(payload).digest()[:8], "big")
         rng = np.random.default_rng(seed)
@@ -57,6 +148,8 @@ def _decode_one(payload: bytes, fmt: str, width: int, height: int, channels: int
         if arr.ndim == 2:
             arr = arr[:, :, None]
         return arr
+    if fmt == "png":
+        return _to_channels(_png_decode(payload), channels)
     raise NotImplementedError(
         f"codec for format={fmt!r} not available in this environment; "
         "install Pillow/ffmpeg to enable real decode"
