@@ -1528,3 +1528,52 @@ JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 WHERE l_returnflag = 'R'
 GROUP BY 1"""
+
+
+# q_quantile_sketch: exact quantiles via quantile_cont (== Spark
+# percentile, certified bridge); the GK sketch's rank-error invariant
+# must hash as constant TRUE.
+ORACLES["q_quantile_sketch"] = """SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(quantile_cont(value, 0.5) + 1e-9, 4) + 0.0 AS exact_p50,
+       round(quantile_cont(value, 0.95) + 1e-9, 4) + 0.0 AS exact_p95,
+       round(quantile_cont(value, 0.99) + 1e-9, 4) + 0.0 AS exact_p99,
+       TRUE AS sketch_ok
+FROM events WHERE value IS NOT NULL
+GROUP BY 1"""
+
+
+# q_tpch_shipmode_priority: Q12-shaped conditional counts.
+ORACLES["q_tpch_shipmode_priority"] = """SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate < TIMESTAMP '1996-01-01'
+GROUP BY 1"""
+
+
+# q_tpch_big_orders: Q18-shaped HAVING pre-aggregation.
+ORACLES["q_tpch_big_orders"] = """WITH big AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
+  FROM lineitem GROUP BY 1
+  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) > 100.0
+)
+SELECT c_name, o_orderkey,
+       round(o_totalprice + 1e-9, 4) + 0.0 AS o_totalprice,
+       round(total_qty + 1e-9, 4) + 0.0 AS total_qty
+FROM big JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey"""
+
+
+# q_tpch_supplier_variety: Q16-shaped anti-join + count distinct.
+ORACLES["q_tpch_supplier_variety"] = """SELECT p_brand,
+       CAST(p_size % 5 AS INT) AS size_class,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2"""

@@ -1470,21 +1470,21 @@ WHERE list_sum(list_transform(generate_series(1, 32),
         i -> CASE WHEN substr(h_a, i, 1) <> substr(h_b, i, 1) THEN 1 ELSE 0 END)) <= 3"""
 
 
-# q_bpe_tokens: FULL merge-table replay (upgrades the registration
-# from rows-only to an exact oracle — the APCA/stream-debounce
-# recursive-replay trick applied to the BPE fit). The recursive CTE
-# IS the trainer: each iteration the working table holds the whole
-# dictionary's current segmentation; the best pair comes from one
-# GROUP BY over it (count desc, then lexicographically smallest —
-# exactly operators/bpe._fit_merges' tie-break), and the merge is
-# applied to every word with a left-to-right greedy list_reduce scan
-# (non-overlapping, same skip rule as the Python rewrite loop).
-# Recursion stops after 120 merges or when the best count drops
-# below min_freq=2. Per-word final token counts then join back to
-# the per-doc word occurrences; encode == fit's final segmentation
-# (lowest-rank-first encode reproduces the training segmentation —
-# asserted independently by test_llm_ops' encode/fit cross-checks).
-ORACLES["q_bpe_tokens"] = r"""WITH RECURSIVE
+# q_bpe_tokens / q_bpe_merges: FULL merge-table replay (upgrades the
+# registrations from rows-only to exact oracles — the
+# APCA/stream-debounce recursive-replay trick applied to the BPE fit).
+# The recursive CTE IS the trainer: each iteration the working table
+# holds the whole dictionary's current segmentation; the best pair
+# comes from one GROUP BY over it (count desc, then lexicographically
+# smallest — exactly operators/bpe._fit_merges' tie-break), and the
+# merge is applied to every word with a left-to-right greedy
+# list_reduce scan (non-overlapping, same skip rule as the Python
+# rewrite loop). Recursion stops after 120 merges or when the best
+# count drops below min_freq=2. Each iteration's rows also carry the
+# pair merged to REACH them, so the same recursion yields both the
+# per-doc encode stats (encode == fit's final segmentation) and the
+# merge table itself.
+_BPE_RECURSION = r"""WITH RECURSIVE
 toks AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
   FROM documents
@@ -1499,7 +1499,8 @@ step AS (
          list_concat(
            list_transform(range(1, len(word)), i -> word[i]),
            [word[len(word)] || '</w>']) AS syms,
-         cnt
+         cnt,
+         CAST(NULL AS VARCHAR) AS ml, CAST(NULL AS VARCHAR) AS mr
   FROM dict
   UNION ALL
   SELECT it + 1, word,
@@ -1509,7 +1510,7 @@ step AS (
                             THEN list_concat(acc[1:len(acc)-1], [b.l || b.r])
                             ELSE list_concat(acc, x) END
          ),
-         cnt
+         cnt, b.l, b.r
   FROM step, (
     SELECT l, r, sum(c)::BIGINT AS c FROM (
       SELECT syms[i] AS l, syms[i+1] AS r, cnt AS c
@@ -1518,7 +1519,9 @@ step AS (
     ORDER BY c DESC, l, r LIMIT 1
   ) b
   WHERE it < 120 AND b.c >= 2
-),
+)"""
+
+ORACLES["q_bpe_tokens"] = _BPE_RECURSION + """,
 final AS (
   SELECT word, len(syms) AS n_tok
   FROM step WHERE it = (SELECT max(it) FROM step)
@@ -1536,11 +1539,6 @@ SELECT d.doc_id,
             ELSE 0.0 END AS bpe_per_word
 FROM documents d LEFT JOIN per_doc p USING (doc_id)"""
 
-
-# q_quality_classifier — surrogate oracle (r6, upgraded from
-# rows-only): held-out doc identity + constant-TRUE invariants (pred
-# in {0,1}; held-out agreement with the SQL-mirrored Gopher rule
-# >= 0.85 — the distillation floor a broken solver would trip).
-ORACLES["q_quality_classifier"] = """SELECT doc_id,
-       TRUE AS pred_in_domain, TRUE AS rule_acc_floor_met
-FROM documents WHERE doc_id % 2 <> 0"""
+ORACLES["q_bpe_merges"] = _BPE_RECURSION + """
+SELECT DISTINCT CAST(it - 1 AS INT) AS merge_rank, ml AS lhs, mr AS rhs
+FROM step WHERE it >= 1"""

@@ -899,6 +899,65 @@ def q_unpivot_metrics(spark, sf_dir):
     ).select("l_returnflag", "metric", rnd("total", 4).alias("total"))
 
 
+def q_quantile_sketch(spark, sf_dir):
+    """Mergeable quantile sketch — THE 100 TB quantile operator: one
+    pass of approx_percentile (Greenwald-Khanna, map-side mergeable,
+    accuracy=1000 → rank error ≤ n/1000) per event_type for
+    p ∈ {0.5, 0.95, 0.99}, next to the exact percentile the oracle can
+    recompute. The sketch answers are validated by their RANK, not
+    their value (the GK guarantee): count(v < approx) must not exceed
+    ⌈(p+ε)·n⌉ and count(v ≤ approx) must reach ⌊(p−ε)·n⌋ — emitted as
+    a constant-TRUE `sketch_ok` per group so any sketch regression
+    fails the hash. Exact quantiles ride the certified
+    percentile == quantile_cont bridge. Scale shape: two
+    map-side-combinable aggregates (sketch pass + one broadcast-join
+    rank-count pass); no window, no sort of the data."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    ps = [0.5, 0.95, 0.99]
+    acc = 1000
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr(
+            f"percentile_approx(value, array({','.join(map(str, ps))}), {acc})"
+        ).alias("approx"),
+        F.expr(
+            f"percentile(value, array({','.join(map(str, ps))}))"
+        ).alias("exact"),
+    )
+    j = ev.join(
+        F.broadcast(agg.select("event_type", "approx")), "event_type"
+    )
+    ranks = j.groupBy("event_type").agg(
+        *[
+            F.sum(
+                (F.col("value") < F.element_at("approx", i + 1)).cast("long")
+            ).alias(f"_lt{i}")
+            for i in range(len(ps))
+        ],
+        *[
+            F.sum(
+                (F.col("value") <= F.element_at("approx", i + 1)).cast("long")
+            ).alias(f"_le{i}")
+            for i in range(len(ps))
+        ],
+    )
+    eps = 1.0 / acc
+    out = agg.join(ranks, "event_type")
+    ok = F.lit(True)
+    for i, p in enumerate(ps):
+        hi = F.ceil((F.lit(p) + F.lit(eps)) * F.col("n")).cast("long")
+        lo = F.floor((F.lit(p) - F.lit(eps)) * F.col("n")).cast("long")
+        ok = ok & (F.col(f"_lt{i}") <= hi) & (F.col(f"_le{i}") >= lo)
+    return out.select(
+        "event_type",
+        "n",
+        rnd(F.element_at("exact", 1), 4).alias("exact_p50"),
+        rnd(F.element_at("exact", 2), 4).alias("exact_p95"),
+        rnd(F.element_at("exact", 3), 4).alias("exact_p99"),
+        ok.alias("sketch_ok"),
+    )
+
+
 def q_value_histogram(spark, sf_dir):
     """Equi-width value histogram per event type (16 fixed buckets over
     the global [min, max]) — the numeric-profiling pass before range
@@ -1311,4 +1370,76 @@ def q_skew_profile(spark, sf_dir):
         "n_keys",
         rnd("share", 6).alias("share"),
         rnd("skew_ratio", 6).alias("skew_ratio"),
+    )
+
+
+def q_tpch_shipmode_priority(spark, sf_dir):
+    """TPC-H Q12-shaped dual conditional count, adapted to this schema:
+    per lineitem linestatus, how many lines belong to HIGH-priority
+    orders (1-URGENT / 2-HIGH) vs the rest, over one ship-year. The
+    essence of Q12 at 100 TB: ONE big-big join (lineitem ⋈ orders on
+    orderkey — bucket both to elide the Exchange, the layout proven in
+    tests/test_bucketed_plans.py) feeding CASE-conditional counts in a
+    single groupBy; the year filter pushes to the lineitem scan."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_linestatus", hi.alias("is_high")
+    )
+    return j.groupBy("l_linestatus").agg(
+        F.sum(F.col("is_high").cast("long")).cast("bigint").alias("high_line_count"),
+        F.sum((~F.col("is_high")).cast("long")).cast("bigint").alias("low_line_count"),
+    )
+
+
+def q_tpch_big_orders(spark, sf_dir):
+    """TPC-H Q18-shaped large-volume orders: orders whose total
+    lineitem quantity exceeds a threshold, with customer attribution.
+    Shape at 100 TB: the HAVING pre-aggregates lineitem per orderkey
+    FIRST (map-side combinable, output is order-sized not line-sized),
+    then only the tiny surviving key set joins orders and the customer
+    dim (broadcast) — never orders ⋈ lineitem before the filter."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dec_sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 100.0)
+    )
+    j = orders.join(
+        big, orders.o_orderkey == big.l_orderkey
+    ).join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+    return j.select(
+        "c_name",
+        "o_orderkey",
+        rnd("o_totalprice", 4).alias("o_totalprice"),
+        rnd("total_qty", 4).alias("total_qty"),
+    )
+
+
+def q_tpch_supplier_variety(spark, sf_dir):
+    """TPC-H Q16-shaped supplier variety: distinct supplier count per
+    (p_brand, size class) over the lineitem-derived part-supplier
+    relation, EXCLUDING blacklisted suppliers (negative account
+    balance) via a LEFT ANTI join — the NOT-IN-subquery shape planned
+    as an anti join on the small exclusion list (broadcast), never a
+    NOT-IN scan. The part dim broadcasts; one distinct-aggregate
+    shuffle on the group keys."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    excl = supplier.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    ps = (
+        li.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(excl), li.l_suppkey == excl.s_suppkey, "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+    )
+    return (
+        ps.groupBy("p_brand", (F.col("p_size") % 5).cast("int").alias("size_class"))
+        .agg(F.count_distinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
     )

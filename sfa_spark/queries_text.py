@@ -769,6 +769,25 @@ def q_bpe_tokens(spark, sf_dir):
     )
 
 
+def q_bpe_merges(spark, sf_dir):
+    """The BPE FIT ARTIFACT itself as a gate row: the learned merge
+    table (rank, lhs, rhs) for the same 120-merge min_freq=2 fit as
+    q_bpe_tokens. The DuckDB oracle replays the trainer with the
+    shared recursive CTE and emits the pair merged at each iteration —
+    a hash match proves the distributed word-count → driver merge loop
+    reproduces the argmax/tie-break sequence exactly, not just the
+    final segmentation sizes."""
+    from sfa_spark.operators import bpe
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    merges = bpe.bpe_fit(docs, n_merges=120, min_freq=2)
+    return merges.select(
+        F.col("rank").cast("int").alias("merge_rank"),
+        F.col("left").alias("lhs"),
+        F.col("right").alias("rhs"),
+    )
+
+
 CM_DEPTH, CM_WIDTH = 4, 512
 HLL_M = 64
 
