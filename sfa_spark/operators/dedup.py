@@ -273,6 +273,70 @@ def band_keys(signatures: DataFrame, band_size: int = 2) -> DataFrame:
     )
 
 
+def incremental_lsh_dedup(
+    new_docs: DataFrame,
+    seen_bands: DataFrame,
+    n_seeds: int = 8,
+    band_size: int = 2,
+    k: int = 3,
+) -> DataFrame:
+    """Cross-run NEAR-dup candidates: classify a new crawl batch
+    against a PERSISTED MinHash band index (the near-dup twin of
+    cross_run_dedup — each run screens against all prior runs without
+    re-shingling them). `seen_bands` is band_keys() output persisted
+    from prior runs ((doc_id, band, band_key) — at 100 TB bucketed BY
+    band_key so the index never shuffles).
+
+    Output, one row per new doc:
+      * status 'near_prior'  — ≥1 band collides with the prior index;
+      * status 'near_batch'  — no prior hit, but collides with a
+        LOWER-doc_id batch doc (the batch keeper survives);
+      * status 'kept'        — no collision anywhere.
+    Plus n_prior_hits / n_batch_hits (band-collision counts, the
+    verify phase's candidate budget). Candidates are CANDIDATES — the
+    production recipe pipes 'near_*' rows into jaccard_verify, exactly
+    like q_lsh_verified_dedup; this operator is the index probe.
+
+    Scale shape: one band-key equality join per side (index probe +
+    within-batch self-join), both map-side aggregable to per-doc
+    counts; no all-pairs, no re-read of prior corpora."""
+    sig = minhash_signatures(new_docs, n_seeds=n_seeds, k=k)
+    banded = band_keys(sig, band_size).cache()
+    prior_hits = (
+        banded.join(
+            seen_bands.select("band", "band_key").distinct(),
+            ["band", "band_key"],
+        )
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_prior_hits"))
+    )
+    a = banded
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"), "band", "band_key"
+    )
+    batch_hits = (
+        a.join(b, ["band", "band_key"])
+        .where(F.col("doc_b") < F.col("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_batch_hits"))
+    )
+    ids = new_docs.select("doc_id").distinct()
+    j = ids.join(prior_hits, "doc_id", "left").join(
+        batch_hits, "doc_id", "left"
+    )
+    status = (
+        F.when(F.col("n_prior_hits").isNotNull(), F.lit("near_prior"))
+        .when(F.col("n_batch_hits").isNotNull(), F.lit("near_batch"))
+        .otherwise(F.lit("kept"))
+    )
+    return j.select(
+        "doc_id",
+        status.alias("status"),
+        F.coalesce("n_prior_hits", F.lit(0)).cast("bigint").alias("n_prior_hits"),
+        F.coalesce("n_batch_hits", F.lit(0)).cast("bigint").alias("n_batch_hits"),
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame, band_size: int = 2
 ) -> DataFrame:

@@ -1542,3 +1542,35 @@ FROM documents d LEFT JOIN per_doc p USING (doc_id)"""
 ORACLES["q_bpe_merges"] = _BPE_RECURSION + """
 SELECT DISTINCT CAST(it - 1 AS INT) AS merge_rank, ml AS lhs, mr AS rhs
 FROM step WHERE it >= 1"""
+
+
+# q_incremental_neardup: band index of the prior slice probes the new
+# batch; within-batch collisions keyed to the lower doc_id.
+ORACLES["q_incremental_neardup"] = f"""WITH {_SIGS},
+banded AS (
+  SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+         md5(string_agg(minhash, ',' ORDER BY seed)) AS band_key
+  FROM sigs GROUP BY doc_id, 2
+),
+prior AS (
+  SELECT DISTINCT band, band_key FROM banded WHERE doc_id % 3 = 0
+),
+nb AS (SELECT * FROM banded WHERE doc_id % 3 <> 0),
+prior_hits AS (
+  SELECT doc_id, count(*)::BIGINT AS n_prior
+  FROM nb JOIN prior USING (band, band_key) GROUP BY 1
+),
+batch_hits AS (
+  SELECT a.doc_id, count(*)::BIGINT AS n_batch
+  FROM nb a JOIN nb b USING (band, band_key)
+  WHERE b.doc_id < a.doc_id GROUP BY 1
+)
+SELECT d.doc_id,
+       CASE WHEN p.n_prior IS NOT NULL THEN 'near_prior'
+            WHEN h.n_batch IS NOT NULL THEN 'near_batch'
+            ELSE 'kept' END AS status,
+       coalesce(p.n_prior, 0)::BIGINT AS n_prior_hits,
+       coalesce(h.n_batch, 0)::BIGINT AS n_batch_hits
+FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 3 <> 0) d
+LEFT JOIN prior_hits p USING (doc_id)
+LEFT JOIN batch_hits h USING (doc_id)"""

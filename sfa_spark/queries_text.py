@@ -72,6 +72,22 @@ def q_incremental_dedup(spark, sf_dir):
     return dedup.cross_run_dedup(new, seen)
 
 
+def q_incremental_neardup(spark, sf_dir):
+    """Cross-run NEAR-dup screening (dedup.incremental_lsh_dedup): the
+    near-dup twin of q_incremental_dedup — docs with doc_id % 3 == 0
+    are the prior crawl whose persisted MinHash band index screens the
+    incoming batch; statuses near_prior / near_batch / kept with
+    band-collision counts. One index-probe join + one within-batch
+    band self-join; prior corpora are never re-shingled."""
+    docs = _docs(spark, sf_dir)
+    prior = docs.where(F.col("doc_id") % 3 == 0)
+    new = docs.where(F.col("doc_id") % 3 != 0)
+    seen = dedup.band_keys(
+        dedup.minhash_signatures(prior, n_seeds=8, k=3), band_size=2
+    )
+    return dedup.incremental_lsh_dedup(new, seen, n_seeds=8, band_size=2, k=3)
+
+
 def q_jaccard_topk(spark, sf_dir):
     """UNCAPPED exact Jaccard top-k — the exactness twin of the
     df-capped production variant (q_jaccard_topk_capped, the bench

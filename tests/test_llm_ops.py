@@ -1876,3 +1876,44 @@ def test_order_priority_plans_semi_join(spark):
         .toString()
     )
     assert "LeftSemi" in plan, plan
+
+
+def test_incremental_lsh_dedup_statuses(spark, docs):
+    """Index-probe semantics: a batch doc colliding with the prior
+    index is near_prior even if it also collides in-batch; batch
+    collisions key to the LOWER doc_id (the keeper stays kept unless
+    the index hits it); statuses equal a from-scratch recomputation
+    via lsh_candidate_pairs over the union."""
+    from pyspark.sql import functions as F
+
+    prior = docs.where(F.col("doc_id") % 3 == 0)
+    new = docs.where(F.col("doc_id") % 3 != 0)
+    seen = dedup.band_keys(
+        dedup.minhash_signatures(prior, n_seeds=4, k=3), band_size=2
+    )
+    out = {
+        r["doc_id"]: r["status"]
+        for r in dedup.incremental_lsh_dedup(
+            new, seen, n_seeds=4, band_size=2, k=3
+        ).collect()
+    }
+    # reference recomputation from all-pairs candidates
+    sig_all = dedup.minhash_signatures(docs, n_seeds=4, k=3)
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.lsh_candidate_pairs(sig_all, band_size=2).collect()
+    }
+    prior_ids = {r["doc_id"] for r in prior.select("doc_id").collect()}
+    new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+    for d in new_ids:
+        hits_prior = any(
+            (min(d, p), max(d, p)) in pairs for p in prior_ids
+        )
+        hits_batch = any(
+            (b, d) in pairs for b in new_ids if b < d
+        )
+        want = (
+            "near_prior" if hits_prior
+            else "near_batch" if hits_batch else "kept"
+        )
+        assert out[d] == want, (d, out[d], want)

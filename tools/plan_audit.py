@@ -24,6 +24,12 @@ DEFAULT = [
     "q_countmin_tokens", "q_hll_distinct", "q_salted_revenue",
     "q_tpch_shipping", "q_tpch_local_supplier", "q_semantic_dedup",
     "q_ivfpq_ann", "q_decontaminate",
+    # r6 additions: maintenance bench group + new shapes
+    "q_phash_neardup", "q_lsh_verified_dedup", "q_merge_changes",
+    "q_snapshot_diff", "q_winsorize", "q_incremental_agg",
+    "q_quantile_sketch", "q_drift_psi_quantile",
+    "q_tpch_shipmode_priority", "q_tpch_big_orders",
+    "q_tpch_supplier_variety",
 ]
 
 MARKS = [
