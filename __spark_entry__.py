@@ -41,79 +41,56 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Coverage rotation: the driver's correctness gate records the FIRST
 # 50 registered queries each round; the union of rounds must cover all
-# registered queries with no stale greens. Round-5 gate leads with
-# (a) the never-gated and newly-oracled queries (q_value_histogram and
-# q_bpe_tokens finally get their gate rows — VERDICT r4 task 3;
-# q_jaccard_topk_capped / q_apca_segments / q_stream_teaser are new
-# oracles this round), (b) every query whose implementation or oracle
-# changed in r5 (q_lsh_verified_dedup candidates-only verify,
-# q_muse_predict merged with the former _full registration,
-# q_split_assign boundary rounding, q_line_dedup separator quoting,
-# q_json_props TRY_CAST oracle, q_stream_latest_state N-1 retention),
-# then (c) the 25 remaining queries whose last gate row is round 2
-# (oldest coverage), then (d) round-3-aged queries up to the 50 cut.
-# Demoted queries keep their green r3/r4 rows and are replayed with
-# tools/check_oracle.py (log in COVERAGE.md).
+# registered queries with no stale greens. Round-6 gate leads with
+# (a) the four queries registered after the r5 cut that have NO gate
+# row anywhere (VERDICT r5 task 1 — the top item), (b) the seven
+# brand-new r6 queries, (c) every query whose implementation or oracle
+# changed in r6 (winsorize NULL guard; jaccard guard_max_df;
+# lsh_recall structural hash_sample slice — VALUES changed;
+# BPE/predict/quality surrogate-oracle upgrades from rows-only;
+# phash popcount verify; index-knn join rewrite; jaccard_verify
+# distinct; apply_changes column drop; cross_run_dedup hash_col),
+# then (d) the 18 queries whose only gate rows are round 2 (oldest
+# coverage), and (e) round-3-aged queries filling to exactly 50.
+# Demoted queries keep their green r3/r4/r5 rows and are replayed with
+# tools/check_oracle.py before the round closes (log in COVERAGE.md).
 ROTATE_FIRST = [
-    # (a) never-gated + new oracles this round
-    "q_jaccard_topk_capped",   # NEW: df-capped inverted-index join
-    "q_incremental_dedup",     # NEW: cross-run dedup vs persisted index
-    "q_snapshot_diff",         # NEW: table-version diff (audit)
-    "q_merge_changes",         # NEW: batch MERGE INTO / CDC apply
-    "q_skew_profile",          # NEW: join-key skew diagnostics
-    "q_column_profile",        # NEW: one-pass ANALYZE-style profile
-    "q_edit1_pairs",           # NEW: deletion-signature fuzzy join
-    "q_orc_roundtrip",         # NEW: ORC interchange fidelity
-    "q_schema_evolution",      # NEW: mergeSchema generational read
-    "q_drift_psi",             # NEW: PSI drift between versions
-    "q_stream_drift",          # NEW: streaming PSI monitor (monoid)
-    "q_lsh_recall",            # NEW: LSH candidate recall/precision
-    "q_tpch_market_share",     # NEW: Q8-shaped conditional share
-    "q_embedding_drift",       # NEW: centroid cosine between versions
-    "q_event_transitions",     # NEW: Markov journey matrix
-    "q_phash_neardup",         # NEW: banded Hamming image-dedup layout
-    "q_winsorize",             # NEW: exact-percentile tail clipping
-    "q_incremental_agg",       # NEW: O(delta) aggregate maintenance
-    "q_stream_debounce",       # NEW: greedy stateful rate limit
-    "q_stream_teaser",         # NEW: stateful streaming accept rule
-    "q_apca_segments",         # rows-only → exact recursive-CTE oracle
-    "q_value_histogram",       # registered r4, never gated until now
-    "q_bpe_tokens",            # rows-only by design, first gate row
-    # (b) implementation / oracle touched in r5
-    "q_lsh_verified_dedup",    # candidates-only verify rewrite
-    "q_muse_predict",          # merged parameterized registration
-    "q_split_assign", "q_line_dedup", "q_json_props",
-    "q_stream_latest_state",
-    # (c) the 25 remaining round-2-aged queries (oldest coverage)
-    "q_sessionize", "q_token_stats", "q_quality", "q_lang_id",
-    "q_fingerprint", "q_dedup_exact", "q_jaccard_topk",
-    "q_minhash_signatures", "q_lsh_pairs", "q_simhash",
-    "q_embed_neardup", "q_corpus_filter", "q_cosine_topk", "q_sq_ann",
-    "q_cosine_ivf", "q_cosine_multiprobe", "q_bm25_search",
-    "q_ngram_topk", "q_cosine_kmeans", "q_dedup_groups",
-    "q_hash_sample",
-    # (d) round-3-aged queries filling to exactly 50 — none left: the
-    # 18 NEW r5 queries pushed every r3-aged slot (and the last four
-    # r2-aged ones, q_stratified_sample / q_hash_top_n / q_domain_cap /
-    # q_token_estimate) past the cut
-    # (q_stratified_sample / q_hash_top_n / q_domain_cap / q_token_estimate / q_pii_stats / q_znorm / q_rolling_stats / q_sliding_count / q_disjoint_paa /
-    # q_sfa_words / q_bag_topk / q_equi_depth_bins / q_equi_depth_hist /
-    # q_word_bigrams / q_sfa_words_equidepth / q_derivatives / q_chi2
-    # / q_chi2_capped fell past the 50 cut for the eighteen NEW r5
-    # queries (incremental_dedup, snapshot_diff, merge_changes,
-    # skew_profile, column_profile, edit1_pairs, orc_roundtrip,
-    # schema_evolution, drift_psi, stream_drift, lsh_recall,
-    # tpch_market_share, embedding_drift, event_transitions,
-    # phash_neardup, winsorize, incremental_agg, stream_debounce) — all keep their
-    # green r2/r3 gate rows
-    # (q_bag_topk and q_sfa_words additionally run in entry()/bench
-    # every round); the remaining r3-aged queries —
-    # BOSS/shotgun/tfidf predicts,
-    # index knn/range, streaming sfa-words/window-stats/ingest/near-dup,
-    # TPC-H aggregates, gopher/decontaminate/pack — and every r4-gated
-    # query keep their green r3/r4 gate rows; ALL registered queries
-    # are replayed green with tools/check_oracle.py at sf0.01 before
-    # the round closes — COVERAGE.md round-5 replay record)
+    # (a) registered after the r5 gate cut — never gated
+    "q_debounce",
+    "q_rfm_segments",
+    "q_tpch_order_priority",
+    "q_tpch_returned_revenue",
+    # (b) NEW in r6
+    "q_drift_psi_quantile",      # decile-bin PSI (outlier-robust)
+    "q_bpe_merges",              # BPE fit artifact, trainer-replay oracle
+    "q_quantile_sketch",         # GK sketch + rank-error invariant
+    "q_tpch_shipmode_priority",  # Q12 shape
+    "q_tpch_big_orders",         # Q18 shape (HAVING pre-agg)
+    "q_tpch_supplier_variety",   # Q16 shape (broadcast anti join)
+    "q_incremental_neardup",     # persisted-band-index near-dup probe
+    # (c) implementation / oracle touched in r6
+    "q_winsorize",               # NULL guard (ADVICE), oracle mirrored
+    "q_jaccard_topk",            # guard_max_df raise_error gate
+    "q_lsh_recall",              # structural hash_sample(0.7) slice
+    "q_bpe_tokens",              # rows-only -> recursive trainer replay
+    "q_weasel_predict",          # rows-only -> _predict_invariants
+    "q_muse_predict",            # rows-only -> _predict_invariants
+    "q_quality_classifier",      # rows-only -> rule-floor invariants
+    "q_phash_neardup",           # popcount verify (30 s -> 2.5 s)
+    "q_index_knn",               # broadcast/blocked path rewrite
+    "q_lsh_verified_dedup",      # jaccard_verify distinct()
+    "q_merge_changes",           # apply_changes dead column drop
+    "q_incremental_dedup",       # cross_run_dedup hash_col param
+    # (d) oldest coverage — only round-2 gate rows
+    "q_stratified_sample", "q_hash_top_n", "q_domain_cap",
+    "q_token_estimate", "q_pii_stats", "q_znorm", "q_rolling_stats",
+    "q_sliding_count", "q_disjoint_paa", "q_sfa_words", "q_bag_topk",
+    "q_equi_depth_bins", "q_equi_depth_hist", "q_word_bigrams",
+    "q_sfa_words_equidepth", "q_derivatives", "q_chi2", "q_chi2_capped",
+    # (e) round-3-aged fill to exactly 50
+    "q_boss_ensemble_predict", "q_bossvs_predict", "q_shotgun_1nn",
+    "q_shotgun_ensemble_predict", "q_tfidf_fit", "q_tfidf_predict",
+    "q_index_range", "q_gopher_filter", "q_decontaminate",
 ]
 
 
