@@ -1574,3 +1574,12 @@ SELECT d.doc_id,
 FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 3 <> 0) d
 LEFT JOIN prior_hits p USING (doc_id)
 LEFT JOIN batch_hits h USING (doc_id)"""
+
+
+# q_quality_classifier — surrogate oracle (r6, upgraded from
+# rows-only): held-out doc identity + constant-TRUE invariants (pred
+# in {0,1}; held-out agreement with the SQL-mirrored Gopher rule
+# >= 0.85 — the distillation floor a broken solver would trip).
+ORACLES["q_quality_classifier"] = """SELECT doc_id,
+       TRUE AS pred_in_domain, TRUE AS rule_acc_floor_met
+FROM documents WHERE doc_id % 2 <> 0"""
