@@ -57,6 +57,23 @@ def main() -> None:
         f"{fresh['value'] / base['value']:6.2f}x" if base.get("value") else "   inf"
     )
     print(f"{'TOTAL':24s} {base['value']:8.3f} {fresh['value']:8.3f} {total_ratio}")
+    # second headline group (r6+): compare when both sides carry it
+    bm, fm = base.get("maintenance_queries"), fresh.get("maintenance_queries")
+    if bm and fm:
+        print(f"\n{'maintenance':24s} {'base':>8s} {'fresh':>8s} {'ratio':>7s}")
+        for name in sorted(set(bm) | set(fm)):
+            b, f = bm.get(name), fm.get(name)
+            if b is None or f is None:
+                continue
+            r = f / b if b else float("inf")
+            flag = "  <-- slower" if r > 1.3 else ""
+            if r > 1.3:
+                worse.append(name)
+            print(f"{name:24s} {b:8.3f} {f:8.3f} {r:6.2f}x{flag}")
+        print(
+            f"{'MAINT TOTAL':24s} {base['maintenance_total']:8.3f} "
+            f"{fresh['maintenance_total']:8.3f}"
+        )
     if worse:
         print("regressions (>1.3x):", ", ".join(worse))
 
