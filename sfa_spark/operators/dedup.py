@@ -74,23 +74,21 @@ def jaccard_pairs(
             .agg(F.count(F.lit(1)).alias("df"))
             .agg(F.max("df").alias("_max_df_seen"))
         )
-        gate = F.when(
-            F.col("_max_df_seen") > guard_max_df,
-            F.raise_error(
-                F.concat(
-                    F.lit(
-                        "jaccard_pairs(uncapped): hottest shingle df="
-                    ),
-                    F.col("_max_df_seen").cast("string"),
-                    F.lit(
-                        f" exceeds guard_max_df={guard_max_df}; the "
-                        "all-pairs join would be quadratic on this "
-                        "shingle — use the df-capped mode "
-                        "(max_df=...) at production scale"
-                    ),
-                )
-            ).isNull(),
-        ).otherwise(F.lit(True))
+        msg = F.concat(
+            F.lit("jaccard_pairs(uncapped): hottest shingle df="),
+            F.col("_max_df_seen").cast("string"),
+            F.lit(
+                f" exceeds guard_max_df={guard_max_df}; the "
+                "all-pairs join would be quadratic on this "
+                "shingle — use the df-capped mode "
+                "(max_df=...) at production scale"
+            ),
+        )
+        # assert_true: NULL when the condition holds, raises msg when
+        # not — the built-in form of an in-plan abort gate
+        gate = F.assert_true(
+            F.col("_max_df_seen") <= guard_max_df, msg
+        ).isNull()
         sh = (
             sh.join(F.broadcast(hottest), how="cross")
             .where(gate)

@@ -67,10 +67,11 @@ def _png_decode(data: bytes) -> np.ndarray:
             idat += chunk
         elif typ == b"IEND":
             break
-    if depth != 8 or interlace != 0:
+    if depth != 8 or interlace != 0 or ctype not in (0, 2, 4, 6):
         raise NotImplementedError(
-            f"PNG depth={depth}/interlace={interlace} unsupported by the "
-            "stdlib decoder (8-bit non-interlaced only)"
+            f"PNG depth={depth}/ctype={ctype}/interlace={interlace} "
+            "unsupported by the stdlib decoder (8-bit non-interlaced "
+            "gray/RGB/gray+alpha/RGBA only; palette PNGs need Pillow)"
         )
     nch = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
     raw = zlib.decompress(idat)
@@ -122,9 +123,16 @@ def _to_channels(arr: np.ndarray, channels: int) -> np.ndarray:
         return np.repeat(arr[:, :, :1], 3, axis=2)
     if channels == 1:
         if c >= 3:
+            # PIL's exact convert('L') fixed-point ITU-R 601 rounding —
+            # (R*19595 + G*38470 + B*7471 + 0x8000) >> 16 — so the
+            # stdlib path decodes bit-identically to the PIL path and
+            # results don't depend on whether Pillow is installed
             luma = (
-                0.299 * arr[:, :, 0] + 0.587 * arr[:, :, 1] + 0.114 * arr[:, :, 2]
-            )
+                arr[:, :, 0].astype(np.uint32) * 19595
+                + arr[:, :, 1].astype(np.uint32) * 38470
+                + arr[:, :, 2].astype(np.uint32) * 7471
+                + 0x8000
+            ) >> 16
             return luma.astype(np.uint8)[:, :, None]
         return arr[:, :, :1]
     raise NotImplementedError(f"conversion {c}→{channels} channels")

@@ -915,6 +915,10 @@ def q_quantile_sketch(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
     ps = [0.5, 0.95, 0.99]
     acc = 1000
+    # cache: the (group-cardinality-sized) sketch aggregate feeds BOTH
+    # the broadcast into the rank-count pass and the final join — one
+    # subtree ends in a BroadcastExchange so ReuseExchange can't dedupe
+    # them; without the cache the full scan+sketch would run twice
     agg = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.expr(
@@ -923,7 +927,7 @@ def q_quantile_sketch(spark, sf_dir):
         F.expr(
             f"percentile(value, array({','.join(map(str, ps))}))"
         ).alias("exact"),
-    )
+    ).cache()
     j = ev.join(
         F.broadcast(agg.select("event_type", "approx")), "event_type"
     )

@@ -72,7 +72,10 @@ def _predict_invariants(pred: "DataFrame", label_map: list[float]):
     finite = (
         F.size(
             F.filter(
-                F.col("scores"), lambda s: s.isNotNull() & ~F.isnan(s)
+                F.col("scores"),
+                lambda s: s.isNotNull()
+                & ~F.isnan(s)
+                & (F.abs(s) < F.lit(float("inf"))),
             )
         )
         == F.lit(k)

@@ -688,7 +688,10 @@ def q_quality_classifier(spark, sf_dir):
     pred = model.predict(docs.where(~train)).select(
         "doc_id", F.col("pred").cast("int").alias("pred")
     )
-    j = pred.join(kept, "doc_id")
+    # cache: j (held-out-doc-sized) feeds both the accuracy aggregate
+    # and the returned rows — without it the whole predict + gopher
+    # pipeline would execute twice
+    j = pred.join(kept, "doc_id").cache()
     acc = j.agg(
         (
             F.avg((F.col("pred") == F.col("label")).cast("double"))

@@ -177,11 +177,38 @@ def test_png_stdlib_decoder_roundtrip_all_filters():
         out = mm._png_decode(payload)
         assert out.shape == img.shape
         assert (out == img).all()
-    # channel conversion mirrors PIL convert semantics
+    # channel conversion mirrors PIL convert semantics EXACTLY —
+    # convert('L') is the fixed-point ITU-R 601 rounding
+    # (R*19595 + G*38470 + B*7471 + 0x8000) >> 16, so decode results
+    # cannot depend on whether Pillow is installed
     rgba = rng.integers(0, 256, (4, 4, 4), dtype=np.uint8)
     assert (mm._to_channels(rgba, 3) == rgba[:, :, :3]).all()
-    gray = mm._to_channels(rgba[:, :, :3], 1)
+    rgb = rgba[:, :, :3]
+    gray = mm._to_channels(rgb, 1)
+    want = (
+        rgb[:, :, 0].astype(np.uint32) * 19595
+        + rgb[:, :, 1].astype(np.uint32) * 38470
+        + rgb[:, :, 2].astype(np.uint32) * 7471
+        + 0x8000
+    ) >> 16
     assert gray.shape == (4, 4, 1)
+    assert (gray[:, :, 0] == want.astype(np.uint8)).all()
+    # pure green (0,255,0): PIL gives 150; float truncation would give 149
+    green = np.zeros((1, 1, 3), dtype=np.uint8)
+    green[0, 0, 1] = 255
+    assert mm._to_channels(green, 1)[0, 0, 0] == 150
+    # palette PNGs (ctype 3) fail with the documented error, not KeyError
+    import struct as _struct
+    import zlib as _zlib
+
+    ihdr = _struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)
+    pal_png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+        + _struct.pack(">I", _zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    with pytest.raises(NotImplementedError, match="palette"):
+        mm._png_decode(pal_png)
 
 
 def test_real_png_decode_through_spark(spark):
