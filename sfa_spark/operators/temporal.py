@@ -285,6 +285,80 @@ def scd2_history(
     )
 
 
+def scd2_apply(
+    history: DataFrame,
+    batch: DataFrame,
+    key_col: str = "user_id",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+) -> DataFrame:
+    """Incremental SCD2 maintenance: fold a NEW changelog batch into an
+    existing scd2_history table WITHOUT rebuilding it — the nightly
+    production shape (scd2_history is the from-scratch build; this is
+    its MERGE). Batch rows must sort strictly after each key's current
+    version (CDC deltas do).
+
+    Per affected key: the open (is_current) row closes at the batch's
+    first timestamp for that key; batch rows become new versions that
+    continue the key's version numbering and chain validity among
+    themselves; unaffected keys and already-closed rows PASS THROUGH
+    untouched. apply(history(prefix), batch(suffix)) ==
+    scd2_history(prefix ∪ suffix) exactly (property-tested).
+
+    Scale shape, O(delta): history is touched only via (a) one
+    broadcast-sized join of its CURRENT rows against the batch's
+    first-version/base-version table and (b) an anti-join key filter;
+    the window sort runs over the BATCH only. With history bucketed by
+    the key, the closed-row join and the pass-through filter keep the
+    bucketed partitioning (the apply_changes layout,
+    tests/test_bucketed_plans.py)."""
+    ts0 = order_cols[0]
+    ob = [F.col(c).asc() for c in order_cols]
+    firsts = batch.groupBy(key_col).agg(
+        F.min(F.struct(*order_cols)).alias("_first")
+    ).select(key_col, F.col(f"_first.{ts0}").alias("_first_ts"))
+    base = (
+        history.where(F.col("is_current"))
+        .select(key_col, F.col("version").alias("_base_v"))
+    )
+    # close the open row of every affected key at the batch's arrival
+    closed = (
+        history.where(F.col("is_current"))
+        .join(firsts, key_col)
+        .withColumn("valid_to", F.col("_first_ts"))
+        .withColumn("is_current", F.lit(False))
+        .drop("_first_ts")
+    )
+    # history rows that stay as they are: every non-current row, plus
+    # current rows of keys the batch doesn't touch
+    untouched = history.where(~F.col("is_current")).unionByName(
+        history.where(F.col("is_current")).join(
+            firsts.select(key_col), key_col, "left_anti"
+        )
+    )
+    w = Window.partitionBy(key_col).orderBy(*ob)
+    new_rows = (
+        batch.join(base, key_col, "left")
+        .withColumn(
+            "version",
+            (
+                F.row_number().over(w) + F.coalesce("_base_v", F.lit(0))
+            ).cast("int"),
+        )
+        .withColumn("valid_from", F.col(ts0))
+        .withColumn("valid_to", F.lead(ts0).over(w))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .drop("_base_v")
+    )
+    cols = [
+        c for c in history.columns
+    ]
+    return (
+        untouched.select(*cols)
+        .unionByName(closed.select(*cols))
+        .unionByName(new_rows.select(*cols))
+    )
+
+
 def pattern_detect(
     events: DataFrame,
     start: str,

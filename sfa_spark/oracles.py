@@ -1018,6 +1018,11 @@ SELECT user_id, event_id, event_type,
 FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)"""
 
 
+# q_scd2_apply: the incremental fold must equal the from-scratch
+# rebuild — same SQL as q_scd2_history.
+ORACLES["q_scd2_apply"] = ORACLES["q_scd2_history"]
+
+
 # q_rollup_revenue: identical grouping sets; DuckDB's GROUPING() bits
 # are assembled in Spark's grouping_id order (n_name high bit)
 ORACLES["q_rollup_revenue"] = """SELECT n_name,

@@ -676,6 +676,35 @@ def q_scd2_history(spark, sf_dir):
     )
 
 
+def q_scd2_apply(spark, sf_dir):
+    """Incremental SCD2 maintenance (temporal.scd2_apply): the
+    dimension history is built from each user's changelog MINUS its
+    last two events, then the day's delta (those last two) folds in —
+    open rows close at the delta's arrival, new versions continue the
+    numbering, untouched keys pass through. The oracle recomputes the
+    FULL history from scratch, so a hash match proves
+    apply(history(prefix), batch(suffix)) == rebuild(prefix ∪ suffix)
+    exactly — the same O(delta)-equals-recompute certificate as
+    q_incremental_agg."""
+    from sfa_spark.operators.temporal import scd2_apply, scd2_history
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    wo = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    ranked = ev.withColumn("_rn", F.row_number().over(wo)).withColumn(
+        "_cnt", F.count(F.lit(1)).over(Window.partitionBy("user_id"))
+    )
+    prefix = ranked.where(F.col("_rn") <= F.col("_cnt") - 2).drop("_rn", "_cnt")
+    batch = ranked.where(F.col("_rn") > F.col("_cnt") - 2).drop("_rn", "_cnt")
+    nxt = scd2_apply(scd2_history(prefix), batch)
+    return nxt.select(
+        "user_id", "event_id", "event_type", "version",
+        "valid_from", "valid_to", "is_current",
+        rnd("value", 4).alias("value"),
+    )
+
+
 def q_rollup_revenue(spark, sf_dir):
     """Hierarchical totals in ONE pass: revenue by (nation, order
     year) with ROLLUP — per-(nation, year) rows, per-nation subtotals,

@@ -325,3 +325,46 @@ def test_merge_aggregates_equals_full_recompute(spark):
     }
     got = {(r["k"], r["u"]): (r["v"], r["n"]) for r in merged.collect()}
     assert got == want
+
+
+def test_scd2_apply_equals_rebuild(spark):
+    """Property: folding any suffix batch into the prefix's history
+    reproduces the from-scratch history exactly — versions, validity
+    chain, is_current, pass-through of untouched keys."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from sfa_spark.operators.temporal import scd2_apply, scd2_history
+
+    rng = random.Random(13)
+    rows = []
+    eid = 0
+    for u in range(12):
+        for _ in range(rng.randint(1, 9)):
+            rows.append((eid, u, rng.choice("abc"), rng.randint(1, 500), float(rng.randint(0, 99))))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts long, value double"
+    )
+    for cut in (1, 2, 4):
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ranked = df.withColumn("_rn", F.row_number().over(w)).withColumn(
+            "_cnt", F.count(F.lit(1)).over(Window.partitionBy("user_id"))
+        )
+        prefix = ranked.where(F.col("_rn") <= F.col("_cnt") - cut).drop("_rn", "_cnt")
+        batch = ranked.where(F.col("_rn") > F.col("_cnt") - cut).drop("_rn", "_cnt")
+        got = {
+            (r["user_id"], r["event_id"]): (
+                r["version"], r["valid_from"], r["valid_to"], r["is_current"]
+            )
+            for r in scd2_apply(scd2_history(prefix), batch).collect()
+        }
+        want = {
+            (r["user_id"], r["event_id"]): (
+                r["version"], r["valid_from"], r["valid_to"], r["is_current"]
+            )
+            for r in scd2_history(df).collect()
+        }
+        assert got == want, f"cut={cut}"
