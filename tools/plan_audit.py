@@ -59,8 +59,16 @@ def main() -> None:
             continue
         try:
             d = qs[name](spark, sf_dir)
-            d.count()  # materialize so AQE's final plan is inspected
+            # collect d ITSELF: .count() would materialize a different
+            # plan tree, leaving d's executedPlan pre-AQE (duplicate
+            # subtrees printed instead of ReusedExchange)
+            d.collect()
             plan = d._jdf.queryExecution().executedPlan().toString()
+            # AQE prints "== Final Plan ==" AND "== Initial Plan ==" —
+            # count only the final one or every mark double-counts
+            cut = plan.find("== Initial Plan ==")
+            if cut >= 0:
+                plan = plan[:cut]
             counts = [plan.count(pat) for _, pat in MARKS]
             print(f"| {name} | " + " | ".join(str(c) for c in counts) + " |")
         except Exception as exc:  # noqa: BLE001 — audit must not abort on one query
