@@ -1583,3 +1583,63 @@ LEFT JOIN batch_hits h USING (doc_id)"""
 ORACLES["q_quality_classifier"] = """SELECT doc_id,
        TRUE AS pred_in_domain, TRUE AS rule_acc_floor_met
 FROM documents WHERE doc_id % 2 <> 0"""
+
+
+# q_curation_pipeline: the whole curation chain in ONE statement —
+# gopher verdict CTEs, exact-dedup keeper rule, rounded quality gate,
+# md5 split ladder, per-split report.
+ORACLES["q_curation_pipeline"] = f"""WITH t AS (
+  SELECT doc_id, text, {_TOKS} AS tk FROM documents
+),
+ts AS (
+  SELECT doc_id,
+         CAST(len(tk) AS BIGINT) AS n_tokens,
+         length(text) * 1.0 / len(tk) AS avg_tok_len,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / length(text) AS digit_ratio,
+         len(list_filter(tk, x -> x IN ('the','a','and','of','to'))) * 1.0 / len(tk) AS stopword_ratio
+  FROM t
+),
+tok AS (SELECT doc_id, unnest(tk) AS tok FROM t),
+per_tok AS (SELECT doc_id, tok, count(*) AS cnt FROM tok GROUP BY 1, 2),
+rs AS (
+  SELECT doc_id, sum(cnt) AS n_tok, count(*) AS n_distinct
+  FROM per_tok GROUP BY 1
+),
+bi AS (
+  SELECT doc_id, tk[j] || ' ' || tk[j+1] AS bigram
+  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS j FROM t)
+),
+per_bi AS (SELECT doc_id, bigram, count(*) AS cnt FROM bi GROUP BY 1, 2),
+bs AS (SELECT doc_id, max(cnt) AS top_cnt FROM per_bi GROUP BY 1),
+gk AS (
+  SELECT ts.doc_id
+  FROM ts JOIN rs USING (doc_id) LEFT JOIN bs USING (doc_id)
+  WHERE ts.n_tokens BETWEEN 10 AND 100000
+    AND ts.avg_tok_len BETWEEN 2.0 AND 12.0
+    AND ts.stopword_ratio * ts.n_tokens >= 0.5
+    AND 1.0 - rs.n_distinct * 1.0 / rs.n_tok <= 0.9
+    AND coalesce(bs.top_cnt * 2.0 / rs.n_tok, 0.0) <= 0.4
+),
+keepers AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+surv AS (
+  SELECT doc_id FROM gk
+  INTERSECT SELECT doc_id FROM keepers
+),
+sel AS (
+  SELECT s.doc_id, ts.n_tokens
+  FROM surv s JOIN ts USING (doc_id)
+  WHERE round(greatest(0.0,
+          1.0 - least(1.0, abs(ts.avg_tok_len - 5.0) / 10.0) * 0.4
+              - least(1.0, ts.digit_ratio * 5.0) * 0.3
+              - CASE WHEN ts.stopword_ratio <= 0.0 THEN 0.3 ELSE 0.0 END)
+        + 1e-9, 4) + 0.0 >= 0.5
+)
+SELECT CASE WHEN {_SPLIT_HUNIT} < 0.8 THEN 'train'
+            WHEN {_SPLIT_HUNIT} < 0.9 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM sel
+GROUP BY 1"""

@@ -788,6 +788,36 @@ def q_bpe_tokens(spark, sf_dir):
     )
 
 
+def q_curation_pipeline(spark, sf_dir):
+    """The whole curation tier composed END TO END as one plan — the
+    nightly corpus-build recipe a 100 TB pipeline actually runs:
+    Gopher rule filter → exact-dedup keepers → heuristic quality gate
+    (on the rounded score, the certified cross-engine bridge) →
+    deterministic hash split assignment → per-split doc/token report.
+    One registered query proves the operators COMPOSE (filters stay
+    row-local, the only shuffles are the dedup hash groupBy and the
+    final 3-row report aggregate) and the oracle mirrors the entire
+    chain in one SQL statement."""
+    from sfa_spark.operators import corpus
+    from sfa_spark.operators.sample import split_assign
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    kept = corpus.gopher_filter(docs).where(F.col("kept") == 1).select("doc_id")
+    keepers = dedup.exact_dedup(docs).select(
+        F.col("keeper_doc_id").alias("doc_id")
+    )
+    surv = docs.join(kept, "doc_id").join(keepers, "doc_id")
+    stats = text.quality_score(text.token_stats(surv))
+    sel = stats.where(rnd("quality", 4) >= 0.5).select("doc_id", "n_tokens")
+    sp = split_assign(
+        sel, "doc_id", [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    )
+    return sp.groupBy("split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
+
+
 def q_bpe_merges(spark, sf_dir):
     """The BPE FIT ARTIFACT itself as a gate row: the learned merge
     table (rank, lhs, rhs) for the same 120-merge min_freq=2 fit as
