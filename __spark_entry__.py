@@ -69,6 +69,7 @@ ROTATE_FIRST = [
     "q_tpch_supplier_variety",   # Q16 shape (broadcast anti join)
     "q_incremental_neardup",     # persisted-band-index near-dup probe
     "q_scd2_apply",              # incremental SCD2 == full rebuild
+    "q_curation_pipeline",       # whole curation tier composed, 1 plan
     # (c) implementation / oracle touched in r6
     "q_winsorize",               # NULL guard (ADVICE), oracle mirrored
     "q_jaccard_topk",            # guard_max_df raise_error gate
@@ -91,10 +92,12 @@ ROTATE_FIRST = [
     # (e) round-3-aged fill to exactly 50
     "q_boss_ensemble_predict", "q_bossvs_predict", "q_shotgun_1nn",
     "q_shotgun_ensemble_predict", "q_tfidf_fit", "q_tfidf_predict",
-    "q_index_range", "q_gopher_filter",
-    # (q_decontaminate dropped from the fill to keep exactly 50 when
-    # q_scd2_apply landed late in the round — it keeps its green r3
-    # row and is replayed in the closing full-registry run)
+    "q_index_range",
+    # (q_decontaminate and q_gopher_filter dropped from the fill to
+    # keep exactly 50 when q_scd2_apply / q_curation_pipeline landed
+    # late in the round — both keep their green r3 rows, the gopher
+    # rules additionally run INSIDE q_curation_pipeline's gate row,
+    # and both are replayed in the closing full-registry run)
 ]
 
 
