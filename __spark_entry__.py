@@ -4,10 +4,12 @@ entry(spark)   — flagship query (events → sliding z-norm → PAA →
                  equi-width SFA words → numerosity-reduced bags →
                  top-k patterns per entity) at sf0.001.
 queries()      — one entry per implemented SURVEY §2 operator.
-oracle_sql()   — matching DuckDB SQL for every SQL-expressible
-                 operator; non-SQL ops (FFT-based transforms, full SFA
-                 pipelines) are registered without an oracle and get
-                 the driver's rows-only check.
+oracle_sql()   — matching DuckDB SQL for EVERY registered query (159/
+                 159 since r6, zero rows-only): iterative fits are
+                 replayed exactly (recursive-CTE BPE trainer) or
+                 checked through invariant surrogate surfaces
+                 (_predict_invariants); everything else is mirrored
+                 directly.
 """
 
 from __future__ import annotations
@@ -43,7 +45,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # 50 registered queries each round; the union of rounds must cover all
 # registered queries with no stale greens. Round-6 gate leads with
 # (a) the four queries registered after the r5 cut that have NO gate
-# row anywhere (VERDICT r5 task 1 — the top item), (b) the seven
+# row anywhere (VERDICT r5 task 1 — the top item), (b) the ten
 # brand-new r6 queries, (c) every query whose implementation or oracle
 # changed in r6 (winsorize NULL guard; jaccard guard_max_df;
 # lsh_recall structural hash_sample slice — VALUES changed;
@@ -70,6 +72,7 @@ ROTATE_FIRST = [
     "q_incremental_neardup",     # persisted-band-index near-dup probe
     "q_scd2_apply",              # incremental SCD2 == full rebuild
     "q_curation_pipeline",       # whole curation tier composed, 1 plan
+    "q_stream_scd2",             # streaming SCD2 fold == batch rebuild
     # (c) implementation / oracle touched in r6
     "q_winsorize",               # NULL guard (ADVICE), oracle mirrored
     "q_jaccard_topk",            # guard_max_df raise_error gate
@@ -92,8 +95,7 @@ ROTATE_FIRST = [
     # (e) round-3-aged fill to exactly 50
     "q_boss_ensemble_predict", "q_bossvs_predict", "q_shotgun_1nn",
     "q_shotgun_ensemble_predict", "q_tfidf_fit", "q_tfidf_predict",
-    "q_index_range",
-    # (q_decontaminate and q_gopher_filter dropped from the fill to
+    # (q_index_range, q_decontaminate and q_gopher_filter dropped from the fill to
     # keep exactly 50 when q_scd2_apply / q_curation_pipeline landed
     # late in the round — both keep their green r3 rows, the gopher
     # rules additionally run INSIDE q_curation_pipeline's gate row,

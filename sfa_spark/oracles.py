@@ -1022,6 +1022,10 @@ FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)"""
 # rebuild — same SQL as q_scd2_history.
 ORACLES["q_scd2_apply"] = ORACLES["q_scd2_history"]
 
+# q_stream_scd2: the streaming fold over time-sliced micro-batches
+# must also equal the from-scratch rebuild.
+ORACLES["q_stream_scd2"] = ORACLES["q_scd2_history"]
+
 
 # q_rollup_revenue: identical grouping sets; DuckDB's GROUPING() bits
 # are assembled in Spark's grouping_id order (n_name high bit)

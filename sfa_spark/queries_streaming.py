@@ -487,3 +487,63 @@ def q_stream_debounce(spark, sf_dir):
     return spark.table(name).select(
         "event_id", "user_id", "event_type", "ts"
     )
+
+
+def q_stream_scd2(spark, sf_dir):
+    """Streaming SCD2 dimension maintenance (streaming/sinks.scd2_sink):
+    the per-user changelog (user_id < 20, the q_scd2_history corpus)
+    arrives as FOUR time-range slices (global ts quartiles, half-open —
+    ties can't straddle a boundary — delivered in order via
+    maxFilesPerTrigger=1 on mtime-ordered files); each micro-batch
+    folds into the live history with temporal.scd2_apply under the
+    versioned-pointer exactly-once publish. The final history must
+    equal the from-scratch batch rebuild, so this shares
+    q_scd2_history's SQL oracle — the streaming twin of the
+    q_scd2_apply == rebuild certificate."""
+    import os
+    import time
+
+    from sfa_spark.sources.events import load_table
+    from sfa_spark.streaming import sinks
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    qs = list(
+        ev.agg(
+            F.expr("percentile(ts, array(0.25, 0.5, 0.75))")
+        ).collect()[0][0]
+    )
+    src = tempfile.mkdtemp(prefix="sfa_scd2_src_")
+    bounds = [None, *qs, None]
+    for i in range(4):
+        lo, hi = bounds[i], bounds[i + 1]
+        sl = ev
+        if lo is not None:
+            sl = sl.where(F.col("ts") >= float(lo))
+        if hi is not None:
+            sl = sl.where(F.col("ts") < float(hi))
+        path = f"{src}/slice_{i}.parquet"
+        sl.coalesce(1).write.mode("overwrite").parquet(path + ".dir")
+        part = next(
+            p for p in os.listdir(path + ".dir") if p.endswith(".parquet")
+        )
+        os.rename(os.path.join(path + ".dir", part), path)
+        shutil.rmtree(path + ".dir")
+        # mtime strictly increasing so the file source delivers the
+        # slices in time order (scd2_apply's arrival-order contract)
+        t = time.time() - 40 + i * 10
+        os.utime(path, (t, t))
+    state_dir = tempfile.mkdtemp(prefix="sfa_scd2_state_")
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = sinks.scd2_sink(stream, state_dir)
+    q.awaitTermination(300)
+    st = sinks.read_state(spark, state_dir)
+    return st.select(
+        "user_id", "event_id", "event_type", "version",
+        "valid_from", "valid_to", "is_current",
+        rnd("value", 4).alias("value"),
+    )
