@@ -846,3 +846,69 @@ def test_debounce_stream_greedy_anchor_and_cross_batch_state(spark, tmp_path):
     # ANCHOR progression (10-0<=15 drop; 20-0>15 KEEP, re-arm at 20);
     # batch 2: 25-20<=15 drop; 45-20>15 keep.
     assert kept == [0, 20, 45]
+
+
+def test_scd2_sink_multibatch_equals_rebuild_and_replay_safe(spark, tmp_path):
+    """The foreachBatch SCD2 sink over ordered time-slice micro-batches
+    equals the from-scratch scd2_history rebuild, and replaying the
+    whole source against the published state (fresh checkpoint, same
+    batch ids) is a no-op — the pointer's applied-batch-id guard."""
+    import os
+    import time
+
+    from sfa_spark.operators.temporal import scd2_history
+    from sfa_spark.streaming import sinks
+
+    rows = []
+    eid = 0
+    for u in range(8):
+        for k in range(1 + u % 4):
+            rows.append((eid, 100 * k + u, u, f"s{k}", float(k)))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, event_type string, value double"
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # two ordered time slices (ts < 200 first)
+    for i, cond in enumerate(["ts < 200", "ts >= 200"]):
+        p = f"{src}/slice_{i}.parquet"
+        ev.where(cond).coalesce(1).write.parquet(p + ".dir")
+        part = next(x for x in os.listdir(p + ".dir") if x.endswith(".parquet"))
+        os.rename(os.path.join(p + ".dir", part), p)
+        import shutil as _sh
+
+        _sh.rmtree(p + ".dir")
+        t = time.time() - 20 + i * 10
+        os.utime(p, (t, t))
+    state_dir = str(tmp_path / "state")
+    schema = spark.read.parquet(src).schema
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = sinks.scd2_sink(stream, state_dir)
+        q.awaitTermination(120)
+
+    run()
+    key = lambda r: (r["user_id"], r["event_id"])  # noqa: E731
+    got = {
+        key(r): (r["version"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in sinks.read_state(spark, state_dir).collect()
+    }
+    want = {
+        key(r): (r["version"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in scd2_history(ev).collect()
+    }
+    assert got == want
+    # replay the whole source with a FRESH checkpoint: batch ids 0..1
+    # are <= the pointer's applied id, so the state must not change
+    run()
+    again = {
+        key(r): (r["version"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in sinks.read_state(spark, state_dir).collect()
+    }
+    assert again == got
