@@ -49,9 +49,37 @@ MAINTENANCE = [
 ]
 
 
+def _load_gate() -> dict:
+    """Refuse to measure on a busy box: wait (poll) until the 1-min
+    loadavg drops under SPARK_GRAFT_LOAD_GATE (default 2.0), up to
+    SPARK_GRAFT_LOAD_WAIT seconds (default 900). The r1-r6 series shows
+    headline walltime maps monotonically to loadavg (16.3 s at load
+    0.9 vs 17.9 s at load 10.8 on identical code), so an ungated
+    artifact measures the box, not the plans. If the box never quiets,
+    proceed anyway but flag it in the JSON so the number is read with
+    the load attached."""
+    gate = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "2.0"))
+    budget = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "900"))
+    t0 = time.time()
+    waited = 0.0
+    while os.getloadavg()[0] > gate and (waited := time.time() - t0) < budget:
+        print(
+            f"# load gate: 1-min loadavg {os.getloadavg()[0]:.2f} > {gate};"
+            f" waiting ({waited:.0f}s/{budget:.0f}s)",
+            file=sys.stderr,
+        )
+        time.sleep(30)
+    return {
+        "load_gate_threshold": gate,
+        "load_gate_waited_sec": round(waited, 1),
+        "load_gate_satisfied": os.getloadavg()[0] <= gate,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    gate_info = _load_gate()
 
     import __spark_entry__ as E
     from sfa_spark.session import get_spark
@@ -92,6 +120,11 @@ def main() -> None:
                 best = dt if best is None else min(best, dt)
             timings[name] = round(best, 3)
             runs[name] = samples
+            # drop operator-internal .cache() entries (e.g.
+            # lsh_verified_dedup's banded) between queries — each of
+            # the 3 runs builds fresh DataFrames, so entries accumulate
+            # 3× per query and would skew later queries' memory
+            spark.catalog.clearCache()
             print(
                 f"# {name}: {timings[name]}s ({n} rows) runs={samples}",
                 file=sys.stderr,
@@ -118,6 +151,7 @@ def main() -> None:
                 "maintenance_all_runs": m_runs,
                 "loadavg_before": [round(x, 2) for x in load_before],
                 "loadavg_after": [round(x, 2) for x in load_after],
+                **gate_info,
             }
         )
     )

@@ -149,11 +149,28 @@ def drift_psi(
                 ).alias("edges")
             )
         )
-        b = u.crossJoin(F.broadcast(edges)).select(
-            F.size(
-                F.filter("edges", lambda e: F.col("v") > e)
-            ).alias("bucket"),
-            "side",
+        # Loud degenerate-reference guard (the write_zordered all-NULL
+        # move): an empty or all-NULL old side makes percentile() NULL,
+        # which would silently bucket every row as NULL and collapse
+        # the PSI to nothing. assert_true aborts the plan instead.
+        gate = F.assert_true(
+            F.col("edges").isNotNull(),
+            F.lit(
+                "drift_psi(buckets='quantile'): reference (old) side "
+                "has no non-null values — quantile edges are "
+                "undefined; fix the reference snapshot or use "
+                "buckets='width'"
+            ),
+        ).isNull()
+        b = (
+            u.crossJoin(F.broadcast(edges))
+            .where(gate)
+            .select(
+                F.size(
+                    F.filter("edges", lambda e: F.col("v") > e)
+                ).alias("bucket"),
+                "side",
+            )
         )
     elif buckets == "width":
         r = u.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))

@@ -76,6 +76,17 @@ def _png_decode(data: bytes) -> np.ndarray:
     nch = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
     raw = zlib.decompress(idat)
     stride = w * nch
+    # Loud truncation/corruption guard: a well-signed PNG whose IDAT
+    # inflates to the wrong length (truncated upload, bit rot) must not
+    # surface as an opaque IndexError deep in the unfilter loop. Chunk
+    # CRCs are NOT checked (skipped above) — this length check is the
+    # integrity gate.
+    if len(raw) != h * (stride + 1):
+        raise ValueError(
+            f"corrupt PNG: inflated IDAT is {len(raw)} bytes, expected "
+            f"{h * (stride + 1)} for {w}x{h}x{nch} (truncated or "
+            "damaged stream; note chunk CRCs are not verified)"
+        )
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     for y in range(h):
@@ -141,9 +152,14 @@ def _to_channels(arr: np.ndarray, channels: int) -> np.ndarray:
 def _decode_one(payload: bytes, fmt: str, width: int, height: int, channels: int) -> np.ndarray:
     """Decode a media payload to (H, W, C) uint8.
 
-    The deterministic 'fake' codec always ships; png decodes REAL in
-    any environment (PIL when importable, else the pure-stdlib
-    _png_decode); jpeg needs PIL."""
+    The deterministic 'fake' codec always ships; png AND baseline jpeg
+    decode REAL in any environment (PIL when importable, else the
+    pure-stdlib _png_decode / jpeg.decode_baseline — r7 closed the
+    jpeg gap). Only progressive/12-bit jpeg, gif and video remain
+    PIL/PyAV-gated. Note jpeg is lossy reconstruction: the stdlib
+    float IDCT and libjpeg's integer IDCT may differ by ±1 LSB per
+    sample — inherent conformant-decoder variance, unlike the
+    bit-exact png path."""
     if fmt == "fake":
         seed = int.from_bytes(hashlib.md5(payload).digest()[:8], "big")
         rng = np.random.default_rng(seed)
@@ -158,6 +174,10 @@ def _decode_one(payload: bytes, fmt: str, width: int, height: int, channels: int
         return arr
     if fmt == "png":
         return _to_channels(_png_decode(payload), channels)
+    if fmt in ("jpeg", "jpg"):
+        from sfa_spark.operators.jpeg import decode_baseline
+
+        return _to_channels(decode_baseline(payload), channels)
     raise NotImplementedError(
         f"codec for format={fmt!r} not available in this environment; "
         "install Pillow/ffmpeg to enable real decode"

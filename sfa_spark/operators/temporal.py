@@ -295,7 +295,13 @@ def scd2_apply(
     existing scd2_history table WITHOUT rebuilding it — the nightly
     production shape (scd2_history is the from-scratch build; this is
     its MERGE). Batch rows must sort strictly after each key's current
-    version (CDC deltas do).
+    version (CDC deltas do) — and since r7 that precondition is
+    STRUCTURAL, not documentation: an in-plan assert_true on the
+    close join aborts the whole plan if any affected key's first batch
+    row does not sort strictly after the key's open row (a
+    late-arriving CDC row would otherwise silently produce overlapping
+    valid_from/valid_to intervals). The guard rides the join the close
+    step already does — no extra shuffle.
 
     Per affected key: the open (is_current) row closes at the batch's
     first timestamp for that key; batch rows become new versions that
@@ -315,18 +321,38 @@ def scd2_apply(
     ob = [F.col(c).asc() for c in order_cols]
     firsts = batch.groupBy(key_col).agg(
         F.min(F.struct(*order_cols)).alias("_first")
-    ).select(key_col, F.col(f"_first.{ts0}").alias("_first_ts"))
+    )
     base = (
         history.where(F.col("is_current"))
         .select(key_col, F.col("version").alias("_base_v"))
     )
-    # close the open row of every affected key at the batch's arrival
+    # close the open row of every affected key at the batch's arrival;
+    # the same join row carries the ordering guard — assert_true is
+    # NULL (filter passes every row) while the precondition holds and
+    # aborts the job with a named error the moment it doesn't
+    guard = F.assert_true(
+        F.col("_first") > F.struct(*order_cols),
+        F.concat(
+            F.lit(
+                "scd2_apply: out-of-order batch — key "
+            ),
+            F.col(key_col).cast("string"),
+            F.lit(
+                "'s first batch row does not sort strictly after its "
+                "open (is_current) version; a late CDC row would "
+                "create overlapping validity intervals. Re-slice the "
+                "feed in (ts, event_id) order or rebuild with "
+                "scd2_history."
+            ),
+        ),
+    ).isNull()
     closed = (
         history.where(F.col("is_current"))
         .join(firsts, key_col)
-        .withColumn("valid_to", F.col("_first_ts"))
+        .where(guard)
+        .withColumn("valid_to", F.col(f"_first.{ts0}"))
         .withColumn("is_current", F.lit(False))
-        .drop("_first_ts")
+        .drop("_first")
     )
     # history rows that stay as they are: every non-current row, plus
     # current rows of keys the batch doesn't touch

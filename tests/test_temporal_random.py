@@ -368,3 +368,46 @@ def test_scd2_apply_equals_rebuild(spark):
             for r in scd2_history(df).collect()
         }
         assert got == want, f"cut={cut}"
+
+
+def test_scd2_apply_ordering_guard(spark):
+    """The r7 structural precondition (VERDICT r6 task 4): a batch row
+    that does NOT sort strictly after its key's open version aborts the
+    plan in-flight (hot); an in-order batch — including a same-ts row
+    that wins only on the event_id tiebreak — passes untouched (cool)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from sfa_spark.operators.temporal import scd2_apply, scd2_history
+
+    schema = (
+        "event_id long, user_id long, event_type string, ts long, "
+        "value double"
+    )
+    hist = scd2_history(
+        spark.createDataFrame(
+            [(0, 1, "a", 100, 1.0), (5, 2, "a", 10, 0.5)], schema
+        )
+    )
+
+    # hot: late CDC row (ts 50 < open row's ts 100) → named abort
+    late = spark.createDataFrame([(9, 1, "b", 50, 2.0)], schema)
+    with pytest.raises(Exception, match="out-of-order batch"):
+        scd2_apply(hist, late).collect()
+
+    # hot: exact tie on (ts, event_id) is NOT strictly after → abort
+    tie = spark.createDataFrame([(0, 1, "b", 100, 2.0)], schema)
+    with pytest.raises(Exception, match="out-of-order batch"):
+        scd2_apply(hist, tie).collect()
+
+    # cool: same ts but larger event_id sorts strictly after → passes,
+    # and untouched key 2 flows through as-is
+    ok = spark.createDataFrame([(7, 1, "b", 100, 2.0)], schema)
+    out = scd2_apply(hist, ok)
+    got = {
+        (r["user_id"], r["event_id"]): (r["version"], r["is_current"])
+        for r in out.collect()
+    }
+    assert got == {(1, 0): (1, False), (1, 7): (2, True), (2, 5): (1, True)}
+    closed = out.where((F.col("user_id") == 1) & (F.col("event_id") == 0)).first()
+    assert closed["valid_to"] == 100

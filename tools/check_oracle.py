@@ -3,6 +3,15 @@ entry on Spark AND its oracle_sql() on DuckDB at the given sf dir,
 compare row-count + (sorted-column) values.
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
+
+Resource budget (r7, after the r6 sf0.1 sweep failures): the DuckDB
+side runs under an explicit memory_limit (SPARK_GRAFT_DUCK_MEM, default
+16GB) and spills to SPARK_GRAFT_DUCK_TMP (default /tmp/duck_spill) —
+NOT $CWD/.tmp, where a runaway oracle previously filled the root disk.
+The two heaviest classifier mirrors (q_boss_grid_predict,
+q_shotgun_ensemble_predict) OOM'd / spilled >30 GB at sf0.1 only when
+the sweep shared the box with an unbounded DuckDB and the Spark JVM;
+with the budget the spill is bounded and cleaned up on exit.
 """
 
 from __future__ import annotations
@@ -60,6 +69,30 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> str:
     return "OK"
 
 
+def _budgeted_connection() -> "duckdb.DuckDBPyConnection":
+    """A DuckDB connection with an explicit memory budget and a spill
+    directory OFF the repo disk. Without these, the heaviest classifier
+    mirrors at sf0.1 grow unbounded (shared box with the Spark JVM) and
+    spill files land in $CWD/.tmp — which can fill the root disk."""
+    import os
+    import tempfile
+
+    mem = os.environ.get("SPARK_GRAFT_DUCK_MEM", "16GB")
+    tmp_root = os.environ.get("SPARK_GRAFT_DUCK_TMP", "/tmp/duck_spill")
+    os.makedirs(tmp_root, exist_ok=True)
+    # per-process subdir so concurrent sweeps don't share spill files
+    tmp = tempfile.mkdtemp(prefix="oracle_", dir=tmp_root)
+    con = duckdb.connect()
+    con.execute(f"SET memory_limit='{mem}'")
+    con.execute(f"SET temp_directory='{tmp}'")
+    con.execute("SET max_temp_directory_size='40GB'")
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    return con
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
@@ -68,7 +101,7 @@ def main() -> int:
     from sfa_spark.session import get_spark
 
     spark = get_spark("check-oracle")
-    con = duckdb.connect()
+    con = _budgeted_connection()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
@@ -87,6 +120,12 @@ def main() -> int:
             print(f"{name:24s} SPARK-ERROR {type(exc).__name__}: {str(exc)[:200]}")
             failures += 1
             continue
+        # teardown: a handful of operators cache intermediates
+        # (incremental_lsh_dedup's banded, quantile_sketch's agg,
+        # quality_classifier's j); over a 159-query sweep those
+        # entries accumulate executor storage, so drop them between
+        # queries rather than relying on LRU eviction.
+        spark.catalog.clearCache()
         if name not in sqls:
             print(f"{name:24s} rows-only: {len(spdf)} rows  [{time.time()-t0:.1f}s]")
             if len(spdf) == 0:
