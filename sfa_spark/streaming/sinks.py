@@ -1,45 +1,59 @@
-"""Streaming UPSERT sink: materialize a latest-state table from an
-append changelog stream (the CDC compaction q_latest_state performs in
-batch, maintained incrementally).
+"""Streaming MERGE sinks: materialize a latest-state table (upsert)
+or an SCD2 dimension history from an append changelog stream — the
+batch compactions q_latest_state / scd2_history perform in one shot,
+maintained incrementally.
 
 Structured Streaming has no built-in MERGE sink, so the standard
 pattern is ``foreachBatch``: each micro-batch is compacted map-side
 (max_by per key — commutative, so batch boundaries cannot change the
-result), merged with the current state table, and the new state is
-published. On a lakehouse table format the ``_merge`` body becomes a
-single MERGE INTO; here the publish is a VERSIONED-DIRECTORY + pointer
-file protocol:
+result), merged with the current state, and the new state is
+published. On a lakehouse table format the merge body becomes a single
+MERGE INTO; here the publish is a BUCKETED versioned-directory +
+manifest protocol (r7 — replaces the r6 full-table rewrite, which was
+O(history) I/O per micro-batch and the repo's last named 100 TB
+scale-killer):
 
-  * each merge writes a fresh ``v<batch_id>`` directory (never touches
-    the live one);
-  * the ``CURRENT`` pointer file is swapped with ``os.replace`` — an
+  * the state table is hash-partitioned into ``n_buckets`` buckets by
+    ``pmod(hash(key), n_buckets)`` — the classic bucketed-table layout,
+    recomputable from the key on any session (Spark's hash is
+    deterministic Murmur3);
+  * each bucket lives in ``bucket=<i>/v<batch_id>/`` version
+    directories; a micro-batch rewrites ONLY the buckets that contain
+    batch keys — per-batch publish I/O is O(state touched by the
+    delta), not O(history). Compute was already O(delta) (the merge
+    joins state with a compacted delta); now the I/O matches;
+  * ONE manifest file (``CURRENT``, json) maps bucket → live version
+    and records the last applied batch id. It is the single commit
+    point: written to a temp file, fsynced, then ``os.replace``d — an
     atomic single-file rename, so readers resolve either the old or
-    the new version, never a half state (the crash-safe property a
-    directory-rename pair does NOT have: dying between two renames
-    would leave no live directory at all);
-  * the applied batch id is stored IN the pointer, so a replayed
-    micro-batch (checkpoint recovery re-delivers the last uncommitted
-    batch) is detected and skipped — exactly-once for every column,
-    including the accumulated ``n_versions`` count, without
-    transactional storage;
-  * power-loss durability and the reader race: the pointer bytes and
-    the directory entries are fsynced around the swap, and the
-    previous version directory is NOT deleted at publish — it is kept
-    until the NEXT merge (N-1 retention), so a crash always leaves a
-    durable resolvable version and a concurrent reader that resolved
-    the old pointer can finish its scan.
+    the new state across ALL buckets, never a half-merged one;
+  * a replayed micro-batch (checkpoint recovery re-delivers the last
+    uncommitted batch) is detected by the applied id in the manifest
+    and skipped — exactly-once for every column, including the
+    accumulated ``n_versions`` count, without transactional storage;
+  * power-loss durability and the reader race: the manifest bytes and
+    the directory entries are fsynced around the swap, and a touched
+    bucket's PREVIOUS version directory is NOT deleted at publish — it
+    is kept until the NEXT merge that touches the bucket (per-bucket
+    N-1 retention), so a crash always leaves a durable resolvable
+    version and a concurrent reader that resolved the old manifest can
+    finish its scan. UNTOUCHED buckets' files are never opened or
+    rewritten (tested byte-identical across a foreign batch).
 
 Scale/state notes:
-  * state size = one row per key — independent of stream length; the
-    merge joins state with a compacted DELTA (≤ one row per key seen
-    this batch), not with the raw batch.
-  * at 100 TB state, partition the state table by bucket(key) and
-    merge per-bucket; the versioned-parquet protocol is the
-    single-node stand-in for a table-format commit.
+  * upsert state size = one row per key — independent of stream
+    length; SCD2 state = one row per version. Both merges join state
+    with a compacted DELTA (≤ one row per key seen this batch).
+  * at 100 TB, ``n_buckets`` sizes the rewrite unit (state_bytes /
+    n_buckets ≈ a few hundred MB per bucket); a skewed batch touching
+    every bucket degrades to the full rewrite — the same worst case a
+    table-format MERGE has. ``os.rename`` of staged bucket dirs is the
+    single-node stand-in for an object-store manifest commit.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
@@ -67,13 +81,108 @@ def _compact(df: DataFrame, key_col: str) -> DataFrame:
     )
 
 
-def _read_pointer(state_dir: str) -> tuple[str | None, int]:
-    """(live version dir name, last applied batch id)."""
+def _bucket_of(key_col: str, n_buckets: int):
+    return F.pmod(F.hash(F.col(key_col)), F.lit(n_buckets)).cast("int")
+
+
+def _read_manifest(state_dir: str) -> dict:
+    """{"applied": last applied batch id, "buckets": {"<i>": "v<id>"}}."""
     ptr = os.path.join(state_dir, CURRENT)
     if not os.path.exists(ptr):
-        return None, -1
-    vname, batch = open(ptr).read().strip().split(":")
-    return vname, int(batch)
+        return {"applied": -1, "buckets": {}}
+    return json.loads(open(ptr).read())
+
+
+def _live_paths(
+    state_dir: str, manifest: dict, buckets: list[int] | None = None
+) -> list[str]:
+    """Version directories live in the manifest — all buckets, or only
+    the requested ones."""
+    items = manifest["buckets"].items()
+    if buckets is not None:
+        want = {str(b) for b in buckets}
+        items = [(b, v) for b, v in items if b in want]
+    return [
+        os.path.join(state_dir, f"bucket={b}", v) for b, v in items
+    ]
+
+
+def _publish_buckets(
+    state_dir: str,
+    merged: DataFrame,
+    touched: list[int],
+    batch_id: int,
+    manifest: dict,
+) -> None:
+    """The bucketed commit shared by the MERGE sinks (module docstring
+    for the protocol). ``merged`` must carry an int ``_bucket`` column
+    and contain the COMPLETE new content of every touched bucket; only
+    those buckets are staged, renamed into place, and flipped in the
+    fsynced manifest. Untouched buckets' directories are never written.
+    """
+    vname = f"v{batch_id}"
+    stage = os.path.join(state_dir, f"_stage_{vname}")
+    # one job writes every touched bucket's new version, partition-split
+    merged.write.mode("overwrite").partitionBy("_bucket").parquet(stage)
+    for b in touched:
+        src = os.path.join(stage, f"_bucket={b}")
+        if not os.path.isdir(src):  # merge produced no rows for b
+            # cannot happen for upsert/scd2 (rows never disappear), but
+            # stage an empty dir rather than dangle a manifest entry
+            os.makedirs(src, exist_ok=True)
+        bdir = os.path.join(state_dir, f"bucket={b}")
+        os.makedirs(bdir, exist_ok=True)
+        os.rename(src, os.path.join(bdir, vname))
+        dfd = os.open(bdir, os.O_RDONLY)
+        try:  # directory entry of the new version dir must be durable
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+    shutil.rmtree(stage, ignore_errors=True)
+    prev = {str(b): manifest["buckets"].get(str(b)) for b in touched}
+    new_manifest = {
+        "applied": batch_id,
+        "buckets": {
+            **manifest["buckets"],
+            **{str(b): vname for b in touched},
+        },
+    }
+    tmp = os.path.join(state_dir, CURRENT + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(json.dumps(new_manifest))
+        # durability, not just process-crash atomicity: fsync the
+        # manifest bytes, then the directory entry, so a power loss
+        # after the swap cannot leave CURRENT pointing at a
+        # not-yet-durable version
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(state_dir, CURRENT))  # atomic commit
+    dfd = os.open(state_dir, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
+    # deferred deletion, per bucket: keep the new version AND the
+    # previously live one (N-1 retention) so (a) a machine crash always
+    # leaves one durable version, (b) a concurrent reader that resolved
+    # the old manifest can finish its scan — the old version dies on
+    # the NEXT merge that touches the bucket, not while it may be live
+    for b in touched:
+        bdir = os.path.join(state_dir, f"bucket={b}")
+        keep = {vname, prev[str(b)]} - {None}
+        for entry in os.listdir(bdir):
+            if entry.startswith("v") and entry not in keep:
+                shutil.rmtree(
+                    os.path.join(bdir, entry), ignore_errors=True
+                )
+
+
+def read_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    man = _read_manifest(state_dir)
+    paths = _live_paths(state_dir, man)
+    if not paths:
+        raise ValueError(f"no published state under {state_dir}")
+    return spark.read.parquet(*paths)
 
 
 def upsert_latest(
@@ -81,6 +190,7 @@ def upsert_latest(
     state_dir: str,
     key_col: str = "user_id",
     checkpoint_dir: str | None = None,
+    n_buckets: int = 8,
 ):
     """Start the upsert stream; returns the StreamingQuery. Read the
     live state with ``read_state(spark, state_dir)``."""
@@ -88,89 +198,35 @@ def upsert_latest(
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        live, applied = _read_pointer(state_dir)
-        if batch_id <= applied:
+        man = _read_manifest(state_dir)
+        if batch_id <= man["applied"]:
             return  # checkpoint replay of an already-published batch
-        delta = _compact(batch_df, key_col)
-        if live is not None:
-            cur = spark.read.parquet(os.path.join(state_dir, live))
-            merged = _compact(cur.unionByName(delta), key_col)
-        else:
-            merged = delta
-        vname = f"v{batch_id}"
-        merged.write.mode("overwrite").parquet(
-            os.path.join(state_dir, vname)
+        delta = _compact(batch_df, key_col).withColumn(
+            "_bucket", _bucket_of(key_col, n_buckets)
         )
-        tmp = os.path.join(state_dir, CURRENT + ".tmp")
-        with open(tmp, "w") as f:
-            f.write(f"{vname}:{batch_id}")
-            # durability, not just process-crash atomicity: fsync the
-            # pointer bytes, then the directory entries, so a power
-            # loss after the swap cannot leave CURRENT pointing at a
-            # not-yet-durable version
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, os.path.join(state_dir, CURRENT))  # atomic
-        dfd = os.open(state_dir, os.O_RDONLY)
+        delta.cache()
         try:
-            os.fsync(dfd)
+            touched = sorted(
+                r[0] for r in delta.select("_bucket").distinct().collect()
+            )
+            if not touched:
+                return  # empty batch: nothing to merge or commit
+            live = _live_paths(state_dir, man, touched)
+            if live:
+                cur = spark.read.parquet(*live)
+                merged = _compact(
+                    cur.unionByName(delta.drop("_bucket")), key_col
+                ).withColumn("_bucket", _bucket_of(key_col, n_buckets))
+            else:
+                merged = delta
+            _publish_buckets(state_dir, merged, touched, batch_id, man)
         finally:
-            os.close(dfd)
-        # deferred deletion: keep the PREVIOUS version (N-1) and delete
-        # only versions older than it, so (a) a machine crash always
-        # leaves one durable version, (b) a concurrent reader that
-        # resolved the old pointer can finish its scan — it is deleted
-        # on the NEXT merge, not while it may still be live
-        keep = {vname, live} if live is not None else {vname}
-        for entry in os.listdir(state_dir):
-            if (
-                entry.startswith("v")
-                and entry not in keep
-                and os.path.isdir(os.path.join(state_dir, entry))
-            ):
-                shutil.rmtree(os.path.join(state_dir, entry), ignore_errors=True)
+            delta.unpersist()
 
     writer = stream.writeStream.foreachBatch(_merge).trigger(availableNow=True)
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
-
-
-def read_state(spark: SparkSession, state_dir: str) -> DataFrame:
-    vname, _ = _read_pointer(state_dir)
-    if vname is None:
-        raise ValueError(f"no published state under {state_dir}")
-    return spark.read.parquet(os.path.join(state_dir, vname))
-
-
-def _publish_version(
-    state_dir: str, df: DataFrame, batch_id: int, live: str | None
-) -> None:
-    """The versioned-directory + fsynced-pointer publish shared by the
-    foreachBatch MERGE sinks (see module docstring for the protocol:
-    fresh v<batch_id> dir, atomic CURRENT swap with fsync'd bytes and
-    directory entries, N-1 version retention)."""
-    vname = f"v{batch_id}"
-    df.write.mode("overwrite").parquet(os.path.join(state_dir, vname))
-    tmp = os.path.join(state_dir, CURRENT + ".tmp")
-    with open(tmp, "w") as f:
-        f.write(f"{vname}:{batch_id}")
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, os.path.join(state_dir, CURRENT))  # atomic
-    dfd = os.open(state_dir, os.O_RDONLY)
-    try:
-        os.fsync(dfd)
-    finally:
-        os.close(dfd)
-    keep = {vname, live} if live is not None else {vname}
-    for entry in os.listdir(state_dir):
-        if (
-            entry.startswith("v")
-            and entry not in keep
-            and os.path.isdir(os.path.join(state_dir, entry))
-        ):
-            shutil.rmtree(os.path.join(state_dir, entry), ignore_errors=True)
 
 
 def scd2_sink(
@@ -179,42 +235,48 @@ def scd2_sink(
     key_col: str = "user_id",
     order_cols: tuple[str, ...] = ("ts", "event_id"),
     checkpoint_dir: str | None = None,
+    n_buckets: int = 8,
 ):
     """Streaming SCD2 maintenance: each micro-batch of the changelog
     folds into the live dimension-history table with
     temporal.scd2_apply (open rows close, new versions append,
-    untouched keys pass through) under the same versioned-pointer
+    untouched keys pass through) under the same bucketed-manifest
     publish protocol as upsert_latest — exactly-once via the applied
-    batch id in the pointer, atomic swap, N-1 retention.
+    batch id in the manifest, atomic swap, per-bucket N-1 retention;
+    only buckets containing batch keys are read or rewritten.
 
-    Precondition (inherited from scd2_apply): batch arrival order must
-    respect each key's version order — CDC sources deliver that;
-    file sources must feed time-sliced files in order. The final state
-    equals scd2_history over the whole changelog (q_stream_scd2's
-    oracle is exactly the batch rebuild SQL).
-
-    At 100 TB: persist the state bucketed by the key and the
-    scd2_apply joins stay co-located (tests/test_bucketed_plans.py);
-    the per-batch cost is O(delta), never O(history)."""
-    import os as _os
-
+    Precondition (structural since r7, enforced in-plan by scd2_apply):
+    batch arrival order must respect each key's version order — CDC
+    sources deliver that; file sources must feed time-sliced files in
+    order. The final state equals scd2_history over the whole changelog
+    (q_stream_scd2's oracle is exactly the batch rebuild SQL)."""
     from sfa_spark.operators.temporal import scd2_apply, scd2_history
 
-    _os.makedirs(state_dir, exist_ok=True)
+    os.makedirs(state_dir, exist_ok=True)
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        live, applied = _read_pointer(state_dir)
-        if batch_id <= applied:
+        man = _read_manifest(state_dir)
+        if batch_id <= man["applied"]:
             return  # checkpoint replay of an already-published batch
         if batch_df.isEmpty():
             return
-        if live is None:
-            nxt = scd2_history(batch_df, key_col, order_cols)
-        else:
-            hist = spark.read.parquet(os.path.join(state_dir, live))
+        touched = sorted(
+            r[0]
+            for r in batch_df.select(
+                _bucket_of(key_col, n_buckets).alias("_bucket")
+            )
+            .distinct()
+            .collect()
+        )
+        live = _live_paths(state_dir, man, touched)
+        if live:
+            hist = spark.read.parquet(*live)
             nxt = scd2_apply(hist, batch_df, key_col, order_cols)
-        _publish_version(state_dir, nxt, batch_id, live)
+        else:  # no touched bucket has prior state — fresh histories
+            nxt = scd2_history(batch_df, key_col, order_cols)
+        merged = nxt.withColumn("_bucket", _bucket_of(key_col, n_buckets))
+        _publish_buckets(state_dir, merged, touched, batch_id, man)
 
     writer = stream.writeStream.foreachBatch(_merge).trigger(availableNow=True)
     if checkpoint_dir:

@@ -755,18 +755,21 @@ def test_upsert_sink_multibatch_parity_and_idempotent(spark, tmp_path):
         for r in sinks.read_state(spark, state_dir).collect()
     }
     assert after == got
-    # crash-safety shape: state is reachable via the atomic CURRENT
-    # pointer; the live version AND its predecessor remain (N-1
-    # retention closes the reader race and the power-loss window —
-    # older versions are garbage-collected on the next merge)
+    # crash-safety shape (r7 bucketed protocol): state is reachable via
+    # the atomic CURRENT manifest; every bucket named in it exists and
+    # holds its live version plus AT MOST one predecessor (per-bucket
+    # N-1 retention closes the reader race and the power-loss window —
+    # older versions are garbage-collected on the next touching merge)
     import os
 
     names = sorted(os.listdir(state_dir))
     assert sinks.CURRENT in names
-    vdirs = [n for n in names if n.startswith("v")]
-    assert len(vdirs) == 2
-    live, _ = sinks._read_pointer(state_dir)
-    assert live == max(vdirs, key=lambda n: int(n[1:]))
+    man = sinks._read_manifest(state_dir)
+    assert man["applied"] >= 2 and man["buckets"]
+    for b, v in man["buckets"].items():
+        bdir = os.path.join(state_dir, f"bucket={b}")
+        vdirs = [n for n in os.listdir(bdir) if n.startswith("v")]
+        assert v in vdirs and len(vdirs) <= 2, (b, vdirs)
 
 
 def test_observation_metrics_on_stream(spark, tmp_path):
@@ -912,3 +915,141 @@ def test_scd2_sink_multibatch_equals_rebuild_and_replay_safe(spark, tmp_path):
         for r in sinks.read_state(spark, state_dir).collect()
     }
     assert again == got
+
+
+def test_merge_sinks_rewrite_only_touched_buckets(spark, tmp_path):
+    """The r7 bucketed publish (VERDICT r6 task 3): a micro-batch whose
+    keys land in a strict subset of buckets leaves every OTHER bucket's
+    files byte-identical (same paths, same bytes — never opened for
+    write), while still folding exactly like the one-shot batch
+    rebuild. Covers both MERGE sinks, which share _publish_buckets.
+    Protocol detail exercised: run 2 uses a fresh checkpoint, so its
+    batch 0 is a REPLAY of already-applied content and must be skipped
+    by the manifest's applied-id guard before batch 1 merges."""
+    import hashlib
+    import os
+    import shutil as _sh
+
+    from pyspark.sql import functions as F
+
+    from sfa_spark.operators.temporal import scd2_history
+    from sfa_spark.streaming import sinks
+
+    n_buckets = 8
+
+    def snapshot(state_dir):
+        out = {}
+        for root, _dirs, files in os.walk(state_dir):
+            for fn in files:
+                p = os.path.join(root, fn)
+                rel = os.path.relpath(p, state_dir)
+                out[rel] = hashlib.sha256(open(p, "rb").read()).hexdigest()
+        return out
+
+    keys = list(range(40))
+    bmap = {
+        r["k"]: r["b"]
+        for r in spark.createDataFrame([(k,) for k in keys], "k long")
+        .select("k", F.pmod(F.hash("k"), F.lit(n_buckets)).cast("int").alias("b"))
+        .collect()
+    }
+    some_bucket = bmap[keys[0]]
+    batch2_keys = [k for k in keys if bmap[k] == some_bucket]
+    assert 0 < len(batch2_keys) < len(keys)
+
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double"
+    )
+    rows1 = [(i, 100 + i, k, "a", 1.0) for i, k in enumerate(keys)]
+    rows2 = [
+        (1000 + i, 1000 + i, k, "b", 2.0) for i, k in enumerate(batch2_keys)
+    ]
+
+    def write_slice(src, name, rows, mtime):
+        d = f"{src}/{name}.dir"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(d)
+        part = next(x for x in os.listdir(d) if x.endswith(".parquet"))
+        os.rename(os.path.join(d, part), f"{src}/{name}.parquet")
+        _sh.rmtree(d)
+        os.utime(f"{src}/{name}.parquet", (mtime, mtime))
+
+    import time as _time
+
+    for sink_fn, is_scd2 in ((sinks.upsert_latest, False), (sinks.scd2_sink, True)):
+        tag = "scd2" if is_scd2 else "upsert"
+        src = str(tmp_path / f"src_{tag}")
+        os.makedirs(src)
+        now = _time.time()
+        write_slice(src, "b0", rows1, now - 20)
+        state_dir = str(tmp_path / f"state_{tag}")
+        sschema = spark.read.parquet(f"{src}/b0.parquet").schema
+
+        def run():
+            stream = (
+                spark.readStream.schema(sschema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            q = sink_fn(stream, state_dir, n_buckets=n_buckets)
+            q.awaitTermination(120)
+
+        run()  # batch 0: all 40 keys
+        man = sinks._read_manifest(state_dir)
+        assert man["applied"] == 0
+        before = snapshot(state_dir)
+
+        write_slice(src, "b1", rows2, now - 10)
+        run()  # replayed batch 0 skipped; batch 1 touches ONE bucket
+        man = sinks._read_manifest(state_dir)
+        assert man["applied"] == 1
+        for b, v in man["buckets"].items():
+            assert v == ("v1" if int(b) == some_bucket else "v0"), (b, v)
+        after = snapshot(state_dir)
+        touched_prefix = f"bucket={some_bucket}/"
+        before_untouched = {
+            p: h for p, h in before.items()
+            if not p.startswith(touched_prefix) and p != sinks.CURRENT
+        }
+        after_untouched = {
+            p: h for p, h in after.items()
+            if not p.startswith(touched_prefix) and p != sinks.CURRENT
+        }
+        assert before_untouched == after_untouched  # byte-identical
+        # touched bucket: N-1 retention → v0 AND v1 present after merge
+        bdir = os.path.join(state_dir, f"bucket={some_bucket}")
+        assert sorted(
+            n for n in os.listdir(bdir) if n.startswith("v")
+        ) == ["v0", "v1"]
+
+        # result parity with the one-shot batch fold over ALL rows
+        ev = spark.createDataFrame(rows1 + rows2, schema)
+        if is_scd2:
+            got = {
+                (r["user_id"], r["event_id"]): (
+                    r["version"], r["valid_from"], r["valid_to"], r["is_current"]
+                )
+                for r in sinks.read_state(spark, state_dir).collect()
+            }
+            want = {
+                (r["user_id"], r["event_id"]): (
+                    r["version"], r["valid_from"], r["valid_to"], r["is_current"]
+                )
+                for r in scd2_history(ev).collect()
+            }
+        else:
+            got = {
+                r["user_id"]: (r["event_id"], r["event_type"], r["n_versions"])
+                for r in sinks.read_state(spark, state_dir).collect()
+            }
+            want = {
+                r["user_id"]: (r["event_id"], r["event_type"], r["n_versions"])
+                for r in ev.groupBy("user_id")
+                .agg(
+                    F.max_by("event_id", F.struct("ts", "event_id")).alias("event_id"),
+                    F.max_by("event_type", F.struct("ts", "event_id")).alias("event_type"),
+                    F.count(F.lit(1)).alias("n_versions"),
+                )
+                .collect()
+            }
+        assert got == want
