@@ -93,12 +93,21 @@ def test_frame_sample(spark):
 
 
 def test_real_codec_raises(spark):
+    # jpeg reaches the REAL stdlib decoder since r7 — a truncated
+    # payload fails with its corruption error through the Spark task;
+    # a format with no decoder at all still hits the codec gate
     jpg = spark.createDataFrame(
         [(1, b"\xff\xd8\xff", "jpeg", 4, 4, 3)],
         "media_id long, payload binary, format string, width int, height int, channels int",
     )
-    with pytest.raises(Exception, match="NotImplementedError|codec"):
+    with pytest.raises(Exception, match="corrupt JPEG|no SOS"):
         multimodal.extract_features(jpg).collect()
+    tiff = spark.createDataFrame(
+        [(1, b"II*\x00", "tiff", 4, 4, 3)],
+        "media_id long, payload binary, format string, width int, height int, channels int",
+    )
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        multimodal.extract_features(tiff).collect()
 
 
 def _png_encode(arr, row_filters=None):
@@ -241,16 +250,18 @@ def test_real_png_decode_through_spark(spark):
 
 
 def test_real_codec_gate():
-    """jpeg still requires PIL (raises without it); png is REAL in any
-    environment via the stdlib decoder; a corrupt signature fails
-    loudly."""
+    """png AND baseline jpeg are REAL in any environment via the stdlib
+    decoders (r7 closed the jpeg gap); corrupt/truncated inputs fail
+    loudly, not opaquely."""
     import pytest as _pytest
 
     from sfa_spark.operators import multimodal as mm
 
     if mm._PILImage is None:
-        with _pytest.raises(NotImplementedError):
-            mm._decode_one(b"\xff\xd8\xff", "jpeg", 4, 4, 3)
+        # a truncated jpeg now reaches the REAL decoder and fails with
+        # its corruption error, not the codec-missing gate
+        with _pytest.raises(ValueError, match="corrupt JPEG|no SOS"):
+            mm._decode_one(b"\xff\xd8\xff\xd9", "jpeg", 4, 4, 3)
     with _pytest.raises(ValueError, match="signature"):
         mm._png_decode(b"\x89PNG fake----")
 
@@ -454,3 +465,335 @@ def test_phash_neardup_pigeonhole_complete_and_image_path(spark):
         ).collect()
     }
     assert pairs == {(10, 11): 0}
+
+
+def test_png_truncated_idat_fails_loudly():
+    """r6 ADVICE: a well-signed PNG whose IDAT inflates short (or long)
+    must raise the documented ValueError, not an opaque IndexError deep
+    in the unfilter loop."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from sfa_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    good = _png_encode(img)
+
+    # rebuild the file with the IDAT payload cut to half its scanlines
+    def chunks(b):
+        pos = 8
+        while pos + 8 <= len(b):
+            (ln,) = struct.unpack(">I", b[pos : pos + 4])
+            typ = b[pos + 4 : pos + 8]
+            yield typ, b[pos + 8 : pos + 8 + ln]
+            pos += 12 + ln
+
+    parts = dict(chunks(good))
+    raw = zlib.decompress(parts[b"IDAT"])
+    short = zlib.compress(raw[: len(raw) // 2])
+
+    def chunk(typ, payload):
+        return (
+            struct.pack(">I", len(payload))
+            + typ
+            + payload
+            + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF)
+        )
+
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", parts[b"IHDR"])
+        + chunk(b"IDAT", short)
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="corrupt PNG"):
+        mm._png_decode(bad)
+    # the intact file still round-trips
+    assert (mm._png_decode(good) == img).all()
+
+
+def test_drift_psi_quantile_all_null_reference_aborts(spark):
+    """r6 ADVICE: quantile-bucket PSI with an empty/all-NULL reference
+    side must abort loudly (NULL decile edges would silently bucket
+    every row as NULL), while the width mode on the same data and a
+    healthy quantile run stay unaffected."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from sfa_spark.operators.audit import drift_psi
+
+    old = spark.range(5).select(F.lit(None).cast("double").alias("x"))
+    new = spark.range(100).select((F.col("id") * 1.0).alias("x"))
+    with _pytest.raises(Exception, match="no non-null values"):
+        drift_psi(old, new, "x", buckets="quantile").collect()
+    # healthy reference: runs and returns occupied buckets
+    ok_old = spark.range(100).select((F.col("id") * 1.0).alias("x"))
+    rows = drift_psi(ok_old, new, "x", buckets="quantile").collect()
+    assert len(rows) == 10
+
+
+# ---------------------------------------------------------------------------
+# test-side baseline JPEG encoder (public spec, ITU-T T.81): the FDCT +
+# Huffman side of what the stdlib decoder must invert. Uses all-ones
+# quantization (near-lossless: the only loss is coefficient rounding)
+# and flat fixed-length Huffman tables (12 DC symbols at 4 bits, 162 AC
+# symbols at 8 bits — canonical, prefix-free, spec-legal).
+
+
+def _jpeg_encode(arr, subsample=False, restart=0):
+    import struct
+
+    import numpy as np
+
+    from sfa_spark.operators.jpeg import _IDCT, _ZIGZAG
+
+    h, w, nc = arr.shape
+    dc_bits = [0, 0, 0, 12] + [0] * 12
+    dc_vals = bytes(range(12))
+    ac_syms = [0x00, 0xF0] + [
+        (r << 4) | s for r in range(16) for s in range(1, 11)
+    ]
+    ac_bits = [0, 0, 0, 0, 0, 0, 0, 162] + [0] * 8
+    ac_vals = bytes(ac_syms)
+
+    def canonical(bits, vals):
+        enc, code, k = {}, 0, 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                enc[vals[k]] = (code, ln)
+                k += 1
+                code += 1
+            code <<= 1
+        return enc
+
+    dc_enc = canonical(dc_bits, dc_vals)
+    ac_enc = canonical(ac_bits, ac_vals)
+
+    if nc == 3:
+        rgb = arr.astype(np.float64)
+        y = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+        cb = 128.0 - 0.168735892 * rgb[:, :, 0] - 0.331264108 * rgb[:, :, 1] + 0.5 * rgb[:, :, 2]
+        cr = 128.0 + 0.5 * rgb[:, :, 0] - 0.418687589 * rgb[:, :, 1] - 0.081312411 * rgb[:, :, 2]
+        if subsample:  # 4:2:0 by 2x2 box average
+            def down(p):
+                hh = (p.shape[0] + 1) // 2 * 2
+                ww = (p.shape[1] + 1) // 2 * 2
+                q = np.pad(p, ((0, hh - p.shape[0]), (0, ww - p.shape[1])), mode="edge")
+                return (q[0::2, 0::2] + q[0::2, 1::2] + q[1::2, 0::2] + q[1::2, 1::2]) / 4.0
+            planes = [(y, 2, 2), (down(cb), 1, 1), (down(cr), 1, 1)]
+        else:
+            planes = [(y, 1, 1), (cb, 1, 1), (cr, 1, 1)]
+    else:
+        planes = [(arr[:, :, 0].astype(np.float64), 1, 1)]
+    hmax = max(p[1] for p in planes)
+    vmax = max(p[2] for p in planes)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    padded = []
+    for p, ch, cv in planes:
+        ph, pw = mcuy * cv * 8, mcux * ch * 8
+        padded.append(
+            (np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), mode="edge"), ch, cv)
+        )
+
+    bits_out = []
+
+    def emit(code, ln):
+        for i in range(ln - 1, -1, -1):
+            bits_out.append((code >> i) & 1)
+
+    def emit_val(v, s):
+        if s:
+            emit(v if v >= 0 else v + (1 << s) - 1, s)
+
+    def size_of(v):
+        s = 0
+        a = abs(v)
+        while a:
+            s += 1
+            a >>= 1
+        return s
+
+    out_segments = []
+    pred = [0] * len(planes)
+    n_mcu = mcux * mcuy
+    for mcu in range(n_mcu):
+        if restart and mcu and mcu % restart == 0:
+            out_segments.append(bits_out)
+            bits_out = []
+            pred = [0] * len(planes)
+        my, mx = divmod(mcu, mcux)
+        for ci, (p, ch, cv) in enumerate(padded):
+            for by in range(cv):
+                for bx in range(ch):
+                    y0, x0 = (my * cv + by) * 8, (mx * ch + bx) * 8
+                    blk = p[y0 : y0 + 8, x0 : x0 + 8] - 128.0
+                    coef = _IDCT @ blk @ _IDCT.T  # orthonormal FDCT
+                    # zigzag order: zz[k] = coef[_ZIGZAG[k]]
+                    zz = np.rint(coef.flatten())[_ZIGZAG].astype(int)
+                    diff = int(zz[0]) - pred[ci]
+                    pred[ci] = int(zz[0])
+                    s = size_of(diff)
+                    emit(*dc_enc[s])
+                    emit_val(diff, s)
+                    k, run = 1, 0
+                    while k < 64:
+                        v = int(zz[k])
+                        if v == 0:
+                            run += 1
+                        else:
+                            while run > 15:
+                                emit(*ac_enc[0xF0])
+                                run -= 16
+                            s = size_of(v)
+                            emit(*ac_enc[(run << 4) | s])
+                            emit_val(v, s)
+                            run = 0
+                        k += 1
+                    if run:
+                        emit(*ac_enc[0x00])  # EOB
+    out_segments.append(bits_out)
+
+    def pack(bits):
+        while len(bits) % 8:
+            bits.append(1)  # pad with 1s per spec
+        raw = bytearray()
+        for i in range(0, len(bits), 8):
+            b = 0
+            for j in range(8):
+                b = (b << 1) | bits[i + j]
+            raw.append(b)
+        return bytes(raw).replace(b"\xff", b"\xff\x00")  # byte stuffing
+
+    entropy = bytearray()
+    for i, segbits in enumerate(out_segments):
+        entropy += pack(segbits)
+        if i < len(out_segments) - 1:
+            entropy += bytes([0xFF, 0xD0 + (i % 8)])
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    ones_zz = bytes([1] * 64)  # quant table in zigzag order, all ones
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + ones_zz)
+    comps_sof = bytearray([len(planes)])
+    for ci, (_, ch, cv) in enumerate(padded):
+        comps_sof += bytes([ci + 1, (ch << 4) | cv, 0])
+    out += seg(0xC0, bytes([8]) + struct.pack(">HH", h, w) + bytes(comps_sof))
+    out += seg(0xC4, bytes([0x00]) + bytes(dc_bits) + dc_vals)
+    out += seg(0xC4, bytes([0x10]) + bytes(ac_bits) + ac_vals)
+    if restart:
+        out += seg(0xDD, struct.pack(">H", restart))
+    sos = bytearray([len(planes)])
+    for ci in range(len(planes)):
+        sos += bytes([ci + 1, 0x00])  # DC table 0, AC table 0 for all
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, bytes(sos))
+    out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_stdlib_decoder_roundtrip_gray_and_444():
+    """The REAL baseline-jpeg branch executes in this container: with
+    all-ones quantization the only loss is coefficient rounding, so the
+    decode must reproduce the input within a tight bound (orthonormal
+    rounding error), for grayscale and 4:4:4 color, at non-multiple-
+    of-8 sizes (pad/crop path)."""
+    import numpy as np
+
+    from sfa_spark.operators import jpeg as J
+
+    rng = np.random.default_rng(3)
+    gray = rng.integers(32, 224, (13, 11, 1), dtype=np.uint8)
+    out = J.decode_baseline(_jpeg_encode(gray))
+    assert out.shape == gray.shape
+    assert np.abs(out.astype(int) - gray.astype(int)).max() <= 4
+
+    rgb = rng.integers(32, 224, (10, 18, 3), dtype=np.uint8)
+    out = J.decode_baseline(_jpeg_encode(rgb))
+    assert out.shape == rgb.shape
+    d = np.abs(out.astype(int) - rgb.astype(int))
+    assert d.max() <= 12 and d.mean() < 2.0
+
+
+def test_jpeg_stdlib_decoder_420_and_restart_markers():
+    """4:2:0 chroma subsampling (the generic MCU walk) and restart
+    intervals (predictor reset + byte alignment at RSTn). Constant
+    chroma makes 2x2 subsampling exact, so the same rounding bound
+    applies."""
+    import numpy as np
+
+    from sfa_spark.operators import jpeg as J
+
+    rng = np.random.default_rng(5)
+    luma = rng.integers(40, 210, (21, 19), dtype=np.uint8)
+    # constant color cast: every pixel same (Cb, Cr), varying luma
+    rgb = np.stack(
+        [
+            np.clip(luma.astype(int) + 20, 0, 255),
+            luma.astype(int),
+            np.clip(luma.astype(int) - 15, 0, 255),
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    out = J.decode_baseline(_jpeg_encode(rgb, subsample=True))
+    assert out.shape == rgb.shape
+    d = np.abs(out.astype(int) - rgb.astype(int))
+    assert d.max() <= 14 and d.mean() < 2.5
+
+    out2 = J.decode_baseline(_jpeg_encode(rgb, subsample=True, restart=2))
+    assert (out2 == out).all()  # restart markers change framing only
+
+    gray = rng.integers(32, 224, (17, 33, 1), dtype=np.uint8)
+    out3 = J.decode_baseline(_jpeg_encode(gray, restart=1))
+    assert np.abs(out3.astype(int) - gray.astype(int)).max() <= 4
+
+
+def test_jpeg_unsupported_variants_fail_loudly():
+    """Progressive (SOF2) and 12-bit precision raise the documented
+    NotImplementedError — the env-gated contract, not a crash."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from sfa_spark.operators import jpeg as J
+
+    gray = np.full((8, 8, 1), 100, dtype=np.uint8)
+    good = _jpeg_encode(gray)
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with _pytest.raises(NotImplementedError, match="SOF2"):
+        J.decode_baseline(prog)
+    # 12-bit: patch SOF0 precision byte (first payload byte after len)
+    i = good.index(b"\xff\xc0")
+    bad12 = good[: i + 4] + bytes([12]) + good[i + 5 :]
+    with _pytest.raises(NotImplementedError, match="12-bit"):
+        J.decode_baseline(bad12)
+
+
+def test_real_jpeg_decode_through_spark(spark):
+    """End-to-end: jpeg payloads flow through the mapInPandas feature
+    extractor with the REAL stdlib decode branch — mean/std of the
+    decoded pixels match the source image within the rounding bound."""
+    import numpy as np
+
+    from sfa_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(9)
+    rows, imgs = [], {}
+    for i in range(6):
+        img = rng.integers(32, 224, (16, 16, 3), dtype=np.uint8)
+        imgs[i] = img
+        rows.append((i, bytearray(_jpeg_encode(img)), "jpeg", 16, 16, 3))
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    feats = {r["media_id"]: r for r in mm.extract_features(media).collect()}
+    assert len(feats) == 6
+    for i, img in imgs.items():
+        assert abs(feats[i]["mean"] - img.mean()) < 2.0
+        assert abs(feats[i]["std"] - img.std()) < 2.0
