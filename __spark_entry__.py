@@ -43,63 +43,48 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Coverage rotation: the driver's correctness gate records the FIRST
 # 50 registered queries each round; the union of rounds must cover all
-# registered queries with no stale greens. Round-6 gate leads with
-# (a) the four queries registered after the r5 cut that have NO gate
-# row anywhere (VERDICT r5 task 1 — the top item), (b) the ten
-# brand-new r6 queries, (c) every query whose implementation or oracle
-# changed in r6 (winsorize NULL guard; jaccard guard_max_df;
-# lsh_recall structural hash_sample slice — VALUES changed;
-# BPE/predict/quality surrogate-oracle upgrades from rows-only;
-# phash popcount verify; index-knn join rewrite; jaccard_verify
-# distinct; apply_changes column drop; cross_run_dedup hash_col),
-# then (d) the 18 queries whose only gate rows are round 2 (oldest
-# coverage), and (e) round-3-aged queries filling to exactly 50.
-# Demoted queries keep their green r3/r4/r5 rows and are replayed with
+# registered queries with no stale greens. Round-7 gate leads with
+# (a) q_boss_grid_predict — the ONE query with no green gate row ever
+# (r3 row = no_oracle; its r4 oracle was never re-gated — VERDICT r6
+# task 1), (b) the three NEW r7 queries (TPC-H Q17/Q21/Q22 shapes),
+# (c) every query whose implementation changed in r7 (the scd2_apply
+# in-plan ordering guard; the bucketed-manifest rewrite of both
+# streaming MERGE sinks; the drift_psi quantile all-NULL guard),
+# (d) ALL 24 queries whose newest gate rows are round 3 (oldest
+# coverage — closes the r3 age tier entirely), and (e) round-4-aged
+# queries alphabetically filling to exactly 50 (the remaining 25 r4
+# rows lead r8's fill).
+# Demoted queries keep their green r4/r5/r6 rows and are replayed with
 # tools/check_oracle.py before the round closes (log in COVERAGE.md).
 ROTATE_FIRST = [
-    # (a) registered after the r5 gate cut — never gated
-    "q_debounce",
-    "q_rfm_segments",
-    "q_tpch_order_priority",
-    "q_tpch_returned_revenue",
-    # (b) NEW in r6
-    "q_drift_psi_quantile",      # decile-bin PSI (outlier-robust)
-    "q_bpe_merges",              # BPE fit artifact, trainer-replay oracle
-    "q_quantile_sketch",         # GK sketch + rank-error invariant
-    "q_tpch_shipmode_priority",  # Q12 shape
-    "q_tpch_big_orders",         # Q18 shape (HAVING pre-agg)
-    "q_tpch_supplier_variety",   # Q16 shape (broadcast anti join)
-    "q_incremental_neardup",     # persisted-band-index near-dup probe
-    "q_scd2_apply",              # incremental SCD2 == full rebuild
-    "q_curation_pipeline",       # whole curation tier composed, 1 plan
-    "q_stream_scd2",             # streaming SCD2 fold == batch rebuild
-    # (c) implementation / oracle touched in r6
-    "q_winsorize",               # NULL guard (ADVICE), oracle mirrored
-    "q_jaccard_topk",            # guard_max_df raise_error gate
-    "q_lsh_recall",              # structural hash_sample(0.7) slice
-    "q_bpe_tokens",              # rows-only -> recursive trainer replay
-    "q_weasel_predict",          # rows-only -> _predict_invariants
-    "q_muse_predict",            # rows-only -> _predict_invariants
-    "q_quality_classifier",      # rows-only -> rule-floor invariants
-    "q_phash_neardup",           # popcount verify (30 s -> 2.5 s)
-    "q_index_knn",               # broadcast/blocked path rewrite
-    "q_lsh_verified_dedup",      # jaccard_verify distinct()
-    "q_merge_changes",           # apply_changes dead column drop
-    "q_incremental_dedup",       # cross_run_dedup hash_col param
-    # (d) oldest coverage — only round-2 gate rows
-    "q_stratified_sample", "q_hash_top_n", "q_domain_cap",
-    "q_token_estimate", "q_pii_stats", "q_znorm", "q_rolling_stats",
-    "q_sliding_count", "q_disjoint_paa", "q_sfa_words", "q_bag_topk",
-    "q_equi_depth_bins", "q_equi_depth_hist", "q_word_bigrams",
-    "q_sfa_words_equidepth", "q_derivatives", "q_chi2", "q_chi2_capped",
-    # (e) round-3-aged fill to exactly 50
-    "q_boss_ensemble_predict", "q_bossvs_predict", "q_shotgun_1nn",
-    "q_shotgun_ensemble_predict", "q_tfidf_fit", "q_tfidf_predict",
-    # (q_index_range, q_decontaminate and q_gopher_filter dropped from the fill to
-    # keep exactly 50 when q_scd2_apply / q_curation_pipeline landed
-    # late in the round — both keep their green r3 rows, the gopher
-    # rules additionally run INSIDE q_curation_pipeline's gate row,
-    # and both are replayed in the closing full-registry run)
+    # (a) the last query without a green driver gate row
+    "q_boss_grid_predict",
+    # (b) NEW in r7
+    "q_tpch_small_qty",          # Q17 shape (decorrelated per-part avg)
+    "q_tpch_waiting_supplier",   # Q21 shape (semi+anti join pair)
+    "q_tpch_sales_opportunity",  # Q22 shape (scalar subquery + anti)
+    # (c) implementation touched in r7
+    "q_scd2_apply",              # structural ordering precondition
+    "q_stream_scd2",             # bucketed per-bucket merge sink
+    "q_stream_latest_state",     # bucketed per-bucket merge sink
+    "q_drift_psi_quantile",      # all-NULL reference abort guard
+    # (d) oldest coverage — newest gate rows are round 3 (all 24)
+    "q_anova_f", "q_boss_1nn", "q_cluster_balanced_sample",
+    "q_daily_revenue", "q_decontaminate", "q_dft_coefs",
+    "q_embed_clusters", "q_folds", "q_gopher_filter", "q_index_range",
+    "q_ivfpq_ann", "q_mft_sliding", "q_pla_segments", "q_pq_ann",
+    "q_repetition_stats", "q_revenue_by_nation", "q_sequence_pack",
+    "q_stream_ingest_gate", "q_stream_near_dup", "q_stream_sfa_words",
+    "q_stream_window_stats", "q_tfidf_accuracy", "q_top_customers",
+    "q_tpch_pricing",
+    # (e) round-4-aged fill to exactly 50 (alphabetical; the other 25
+    # r4 rows — q_lm_perplexity onward — lead r8)
+    "q_ann_recall", "q_asof_join", "q_bloom_decontaminate",
+    "q_cdc_chunks", "q_corr_pricing", "q_countmin_tokens",
+    "q_doc_chunks", "q_dup_spans", "q_dwt_coefs",
+    "q_event_cooccurrence", "q_funnel", "q_hard_negatives",
+    "q_hll_by_lang", "q_hll_distinct", "q_interval_join",
+    "q_jsonl_roundtrip", "q_latency_quantiles", "q_latest_state",
 ]
 
 

@@ -46,6 +46,7 @@ MAINTENANCE = [
     "q_phash_neardup",       # banded-Hamming image-dedup layout
     "q_winsorize",           # exact-percentile tail clipping
     "q_incremental_agg",     # O(delta) aggregate maintenance
+    "q_stream_scd2",         # r7 bucketed-manifest streaming SCD2 sink
 ]
 
 

@@ -1586,3 +1586,63 @@ FROM lineitem
 JOIN part ON l_partkey = p_partkey
 WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
 GROUP BY 1, 2"""
+
+
+# q_tpch_small_qty: Q17-shaped decorrelated per-part average (r7).
+ORACLES["q_tpch_small_qty"] = """WITH pavg AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+           / count(*) AS avg_qty
+  FROM lineitem GROUP BY 1
+)
+SELECT p_brand,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+             / 7.0 + 1e-9, 4) + 0.0 AS avg_yearly
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN pavg USING (l_partkey)
+WHERE p_size <= 10 AND l_quantity < 0.5 * avg_qty
+GROUP BY 1"""
+
+
+# q_tpch_waiting_supplier: Q21-shaped EXISTS/NOT-EXISTS pair (r7).
+ORACLES["q_tpch_waiting_supplier"] = """WITH lines AS (
+  SELECT l_orderkey, l_suppkey,
+         l_shipdate > o_orderdate + INTERVAL 90 DAY AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+), so AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lines
+), late AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lines WHERE late
+)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM late l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE EXISTS (
+    SELECT 1 FROM so l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey
+) AND NOT EXISTS (
+    SELECT 1 FROM late l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+)
+GROUP BY 1"""
+
+
+# q_tpch_sales_opportunity: Q22-shaped anti join + scalar subquery (r7).
+ORACLES["q_tpch_sales_opportunity"] = """WITH ab AS (
+  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+           / count(*) AS avg_bal
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT n_name, CAST(count(*) AS BIGINT) AS numcust,
+       round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+             + 1e-9, 4) + 0.0 AS totacctbal
+FROM customer CROSS JOIN ab
+JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > avg_bal
+  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderpriority = '1-URGENT')
+GROUP BY 1"""

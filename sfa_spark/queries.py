@@ -1476,3 +1476,133 @@ def q_tpch_supplier_variety(spark, sf_dir):
         ps.groupBy("p_brand", (F.col("p_size") % 5).cast("int").alias("size_class"))
         .agg(F.count_distinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
     )
+
+
+def q_tpch_small_qty(spark, sf_dir):
+    """TPC-H Q17-shaped small-quantity revenue: for small parts, the
+    would-be average yearly revenue from lineitems whose quantity is
+    under half the part's own average — the correlated-scalar-subquery
+    shape, decorrelated the way an optimizer must at scale: the
+    per-part average is ONE map-side-combinable pre-aggregate joined
+    back on the part key (lineitem and the part-sized aggregate
+    co-shuffle on l_partkey; the filtered part dim broadcasts). The
+    average uses an exact decimal sum / count double division so the
+    `quantity < 0.5*avg` boundary cannot flip on accumulation-order
+    ulps between engines (the dec_sum discipline).
+    Reference anchor for the shape: TPC-H spec Q17 (public)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    pavg = li.groupBy("l_partkey").agg(
+        (
+            dec_sum("l_quantity") / F.count(F.lit(1)).cast("double")
+        ).alias("avg_qty")
+    )
+    sel = part.where(F.col("p_size") <= 10).select("p_partkey", "p_brand")
+    j = (
+        li.select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(F.broadcast(sel), F.col("l_partkey") == sel.p_partkey)
+        .join(pavg, "l_partkey")
+        .where(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+    )
+    return j.groupBy("p_brand").agg(
+        rnd(dec_sum("l_extendedprice") / F.lit(7.0), 4).alias("avg_yearly")
+    )
+
+
+def q_tpch_waiting_supplier(spark, sf_dir):
+    """TPC-H Q21-shaped sole-late-supplier count, adapted to this
+    schema (no receipt/commit dates): a supplier 'kept an order
+    waiting' if it shipped a finalized multi-supplier order more than
+    90 days after the order date while EVERY other supplier on the
+    order shipped on time. The EXISTS / NOT-EXISTS pair becomes a
+    LEFT SEMI + LEFT ANTI join on the distinct (order, supplier)
+    relation — both co-shuffle on the order key (bucketable), no
+    correlated subquery, no row explosion; the supplier dim broadcasts
+    for naming. Reference anchor for the shape: TPC-H spec Q21."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    o = orders.where(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    lines = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        ).alias("late"),
+    )
+    # ONE distinct aggregation carries the late flag (max over the
+    # pair's lines); both the EXISTS relation and the late relation
+    # derive from it, so the expensive pair-dedup shuffle happens once
+    # (ReusedExchange under AQE) instead of twice
+    pairs = lines.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("late")
+    )
+    so = pairs.select("l_orderkey", "l_suppkey")
+    late = pairs.where("late").select("l_orderkey", "l_suppkey")
+    l2 = so.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = late.select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    sole_late = (
+        late.join(  # EXISTS: another supplier on the same order
+            l2,
+            (late.l_orderkey == l2.o2) & (late.l_suppkey != l2.s2),
+            "left_semi",
+        ).join(  # NOT EXISTS: another LATE supplier on the same order
+            l3,
+            (late.l_orderkey == l3.o3) & (late.l_suppkey != l3.s3),
+            "left_anti",
+        )
+    )
+    agg = sole_late.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("numwait")
+    )
+    return agg.join(
+        F.broadcast(supplier), agg.l_suppkey == supplier.s_suppkey
+    ).select("s_name", "numwait")
+
+
+def q_tpch_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22-shaped sales opportunity, adapted (no phone country
+    codes → nation names): per nation, the count and total balance of
+    above-average-balance customers who have never ordered. The scalar
+    subquery (global positive-balance average) is ONE single-row
+    aggregate broadcast into the filter; 'has never placed an URGENT
+    order' (this corpus's every customer has SOME order) is a LEFT
+    ANTI join against the distinct urgent-order custkeys — the NOT-IN
+    shape that stays an anti join at 100 TB, with the priority filter
+    pushed to the orders scan; the nation dim broadcasts. The average
+    uses dec_sum/count so the balance cutoff is engine-exact.
+    Reference anchor for the shape: TPC-H spec Q22."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    avg_bal = customer.where(F.col("c_acctbal") > 0).agg(
+        (
+            dec_sum("c_acctbal") / F.count(F.lit(1)).cast("double")
+        ).alias("avg_bal")
+    )
+    rich = customer.crossJoin(F.broadcast(avg_bal)).where(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    never = rich.join(
+        orders.where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct(),
+        rich.c_custkey == F.col("o_custkey"),
+        "left_anti",
+    )
+    return (
+        never.join(
+            F.broadcast(nation), never.c_nationkey == nation.n_nationkey
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("numcust"),
+            rnd(dec_sum("c_acctbal"), 4).alias("totacctbal"),
+        )
+    )

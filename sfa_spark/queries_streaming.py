@@ -496,7 +496,8 @@ def q_stream_scd2(spark, sf_dir):
     ties can't straddle a boundary — delivered in order via
     maxFilesPerTrigger=1 on mtime-ordered files); each micro-batch
     folds into the live history with temporal.scd2_apply under the
-    versioned-pointer exactly-once publish. The final history must
+    bucketed-manifest exactly-once publish (r7: only buckets touched
+    by the batch are rewritten). The final history must
     equal the from-scratch batch rebuild, so this shares
     q_scd2_history's SQL oracle — the streaming twin of the
     q_scd2_apply == rebuild certificate."""
