@@ -268,22 +268,23 @@ def split_mjpeg(payload: bytes) -> list[bytes]:
 
 
 def _gif_frames(payload: bytes) -> list[np.ndarray]:
-    """Decode GIF frames via the PIL escape hatch (env-gated: the
-    container ships no codecs, so this raises NotImplementedError
-    unless Pillow is installed — same contract as _decode_one)."""
-    if _PILImage is None:
-        raise NotImplementedError(
-            "GIF decode needs Pillow; install it to enable the real path"
-        )
-    import io
+    """Decode GIF frames to full-canvas RGB arrays: PIL when
+    importable, else the pure-stdlib LZW decoder (r7 — GIF is
+    palette + LZW, losslessly decodable with no codec library; see
+    operators/gif.py for the supported feature set)."""
+    if _PILImage is not None:
+        import io
 
-    from PIL import ImageSequence
+        from PIL import ImageSequence
 
-    img = _PILImage.open(io.BytesIO(payload))
-    return [
-        np.asarray(f.convert("RGB"), dtype=np.uint8)
-        for f in ImageSequence.Iterator(img)
-    ]
+        img = _PILImage.open(io.BytesIO(payload))
+        return [
+            np.asarray(f.convert("RGB"), dtype=np.uint8)
+            for f in ImageSequence.Iterator(img)
+        ]
+    from sfa_spark.operators.gif import decode_frames
+
+    return decode_frames(payload)
 
 
 try:  # real-codec escape hatch: PyAV decodes mp4/h264/webm when installed

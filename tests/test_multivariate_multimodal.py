@@ -292,17 +292,20 @@ def test_mjpeg_demux_frame_sample(spark):
 
 
 def test_gif_decode_gate(spark):
-    """GIF frame decode routes through the PIL hatch: parity with the
-    real decoder when Pillow is installed, NotImplementedError here."""
+    """GIF frame decode is REAL in any environment since r7 (stdlib
+    LZW decoder when Pillow is absent); corrupt streams fail loudly."""
+    import io
+
     import pytest
     from sfa_spark.operators import multimodal
 
     if multimodal._PILImage is None:
-        with pytest.raises(NotImplementedError, match="Pillow"):
-            multimodal._gif_frames(b"GIF89a-not-really")
+        with pytest.raises(ValueError, match="corrupt GIF|LZW"):
+            multimodal._gif_frames(
+                b"GIF89a" + b"\x01\x00\x01\x00\x00\x00\x00" + b"\x2c"
+                + b"\x00" * 9 + b"\x02\x01\x00\x00\x3b"
+            )
     else:  # env-gated real path: a 1x1 GIF must decode to one frame
-        import io
-
         img = multimodal._PILImage.new("RGB", (1, 1))
         buf = io.BytesIO()
         img.save(buf, format="GIF")
@@ -797,3 +800,198 @@ def test_real_jpeg_decode_through_spark(spark):
     for i, img in imgs.items():
         assert abs(feats[i]["mean"] - img.mean()) < 2.0
         assert abs(feats[i]["std"] - img.std()) < 2.0
+
+
+# ---------------------------------------------------------------------------
+# test-side GIF encoder (public spec, GIF89a): palette + LZW — the
+# compress side of what the stdlib decoder must invert. GIF is
+# lossless, so round-trips are EXACT.
+
+
+def _gif_lzw_encode(min_code_size, indices):
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nacc = 0
+
+    def emit(code, width):
+        nonlocal acc, nacc
+        acc |= code << nacc
+        nacc += width
+        while nacc >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    prev = b""
+    for b in bytes(indices):
+        cur = prev + bytes([b])
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev], width)
+        if next_code < 4096:
+            table[cur] = next_code
+            next_code += 1
+            # classic (gifcompr) growth: the width serves EMITTED codes
+            # (≤ next_code-1), so it grows only once next_code-1 itself
+            # would no longer fit — one add later than the naive
+            # next_code == 2^width rule, matching the decoder's lag
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        prev = bytes([b])
+    if prev:
+        emit(table[prev], width)
+    emit(eoi, width)
+    if nacc:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_interlace_rows(h):
+    return (
+        list(range(0, h, 8))
+        + list(range(4, h, 8))
+        + list(range(2, h, 4))
+        + list(range(1, h, 2))
+    )
+
+
+def _gif_encode(w, h, palette, frames, bg_idx=0):
+    """frames: list of dicts {idx: (ih,iw) uint8 array, x, y,
+    transparent: int|None, disposal: int, interlace: bool}."""
+    import struct
+
+    n = len(palette)
+    depth = max(2, (n - 1).bit_length())
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), bg_idx, 0)
+    pal = bytearray()
+    for r, g, b in palette:
+        pal += bytes([r, g, b])
+    pal += bytes(3 * ((1 << depth) - n))
+    out += pal
+    for f in frames:
+        if f.get("transparent") is not None or f.get("disposal"):
+            gflags = (f.get("disposal", 0) << 2) | (
+                1 if f.get("transparent") is not None else 0
+            )
+            out += bytes([0x21, 0xF9, 4, gflags, 0, 0,
+                          f.get("transparent") or 0, 0])
+        idx = f["idx"]
+        ih, iw = idx.shape
+        iflags = 0x40 if f.get("interlace") else 0
+        out += bytes([0x2C]) + struct.pack(
+            "<HHHHB", f.get("x", 0), f.get("y", 0), iw, ih, iflags
+        )
+        rows = idx
+        if f.get("interlace"):
+            rows = idx[_gif_interlace_rows(ih)]
+        mcs = max(2, depth)
+        out += bytes([mcs])
+        lzw = _gif_lzw_encode(mcs, rows.flatten())
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def test_gif_stdlib_decoder_roundtrip_exact():
+    """GIF is lossless: a random-palette random-index frame decodes to
+    EXACTLY palette[idx], plain and interlaced, including LZW table
+    growth and the KwKwK corner."""
+    import numpy as np
+
+    from sfa_spark.operators import gif as G
+
+    rng = np.random.default_rng(17)
+    palette = [tuple(int(v) for v in rng.integers(0, 256, 3)) for _ in range(256)]
+    idx = rng.integers(0, 256, (23, 31), dtype=np.uint8)
+    pal_arr = np.array(palette, dtype=np.uint8)
+    want = pal_arr[idx]
+
+    payload = _gif_encode(31, 23, palette, [{"idx": idx}])
+    frames = G.decode_frames(payload)
+    assert len(frames) == 1
+    assert (frames[0] == want).all()
+
+    inter = _gif_encode(31, 23, palette, [{"idx": idx, "interlace": True}])
+    frames = G.decode_frames(inter)
+    assert (frames[0] == want).all()
+
+    # KwKwK stress: long runs of one symbol force the cScSc pattern
+    runs = np.zeros((8, 64), dtype=np.uint8)
+    runs[:, 32:] = 1
+    payload = _gif_encode(64, 8, palette[:4], [{"idx": runs}])
+    assert (G.decode_frames(payload)[0] == np.array(palette[:4], np.uint8)[runs]).all()
+
+
+def test_gif_stdlib_decoder_animation_transparency_disposal():
+    """Multi-frame compositing: a sub-rect frame with a transparent
+    index keeps the canvas underneath; disposal 2 restores the region
+    to the background color before the next frame."""
+    import numpy as np
+
+    from sfa_spark.operators import gif as G
+
+    palette = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    pal = np.array(palette, dtype=np.uint8)
+    base = np.full((6, 6), 1, dtype=np.uint8)  # all red
+    patch = np.array([[2, 3], [3, 2]], dtype=np.uint8)
+    patch_t = np.array([[2, 0], [0, 2]], dtype=np.uint8)  # 0 transparent
+
+    payload = _gif_encode(
+        6, 6, palette,
+        [
+            {"idx": base, "disposal": 1},
+            {"idx": patch_t, "x": 2, "y": 1, "transparent": 0, "disposal": 2},
+            {"idx": patch, "x": 0, "y": 4, "disposal": 1},
+        ],
+    )
+    frames = G.decode_frames(payload)
+    assert len(frames) == 3
+    f0, f1, f2 = frames
+    assert (f0 == pal[base]).all()
+    # frame 1: green at (1,2) and (2,3); transparent cells keep red
+    want1 = pal[base].copy()
+    want1[1, 2] = pal[2]
+    want1[2, 3] = pal[2]
+    assert (f1 == want1).all()
+    # frame 2: disposal 2 restored the patch region to background
+    # (palette[0] = black), then the new patch landed at (4..5, 0..1)
+    want2 = pal[base].copy()
+    want2[1:3, 2:4] = pal[0]
+    want2[4:6, 0:2] = pal[np.array([[2, 3], [3, 2]])]
+    assert (f2 == want2).all()
+
+
+def test_gif_frame_sample_through_spark(spark):
+    """End-to-end: gif payloads flow through frame_sample's mapInPandas
+    with the REAL stdlib decode branch (when Pillow is absent)."""
+    import numpy as np
+
+    from sfa_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(21)
+    palette = [tuple(int(v) for v in rng.integers(0, 256, 3)) for _ in range(16)]
+    frames = [
+        {"idx": rng.integers(0, 16, (8, 8), dtype=np.uint8)} for _ in range(5)
+    ]
+    payload = _gif_encode(8, 8, palette, frames)
+    video = spark.createDataFrame(
+        [(1, bytearray(payload), "gif", 8, 8, 3)], mm.MEDIA_SCHEMA
+    )
+    out = mm.frame_sample(video, every_k=2).collect()
+    assert [r["frame_idx"] for r in out] == [0, 2, 4]
+    pal = np.array(palette, dtype=np.uint8)
+    for r in out:
+        got = np.frombuffer(bytes(r["frame"]), dtype=np.uint8).reshape(8, 8, 3)
+        want = pal[frames[r["frame_idx"]]["idx"]]
+        assert (got == want).all()
