@@ -132,7 +132,14 @@ def _publish_buckets(
             os.makedirs(src, exist_ok=True)
         bdir = os.path.join(state_dir, f"bucket={b}")
         os.makedirs(bdir, exist_ok=True)
-        os.rename(src, os.path.join(bdir, vname))
+        dst = os.path.join(bdir, vname)
+        # crash recovery: a previous attempt at this batch that died
+        # between the renames and the manifest swap left an orphan
+        # v<batch_id> dir. It cannot be live (the manifest's applied id
+        # would have skipped this merge), so replace it.
+        if os.path.isdir(dst):
+            shutil.rmtree(dst)
+        os.rename(src, dst)
         dfd = os.open(bdir, os.O_RDONLY)
         try:  # directory entry of the new version dir must be durable
             os.fsync(dfd)

@@ -1053,3 +1053,52 @@ def test_merge_sinks_rewrite_only_touched_buckets(spark, tmp_path):
                 .collect()
             }
         assert got == want
+
+
+def test_merge_sink_recovers_from_crashed_publish_attempt(spark, tmp_path):
+    """Crash window: an attempt that staged and renamed bucket version
+    dirs but died BEFORE the manifest swap leaves orphan v<batch> dirs.
+    The replayed batch (manifest still at the old applied id) must
+    replace the orphans and publish normally — not fail on the
+    existing directory."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sfa_spark.streaming import sinks
+
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double"
+    )
+    rows = [(i, 100 + i, i % 5, "a", 1.0) for i in range(20)]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+    state_dir = str(tmp_path / "state")
+    os.makedirs(state_dir)
+    # simulate the dead attempt: orphan v0 dirs with garbage content in
+    # every bucket batch 0 will touch, and no manifest
+    bmap = {
+        r["b"]
+        for r in spark.createDataFrame([(k,) for k in range(5)], "k long")
+        .select(F.pmod(F.hash("k"), F.lit(8)).cast("int").alias("b"))
+        .collect()
+    }
+    for b in bmap:
+        orphan = os.path.join(state_dir, f"bucket={b}", "v0")
+        os.makedirs(orphan)
+        open(os.path.join(orphan, "garbage.parquet"), "w").write("junk")
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    q = sinks.upsert_latest(stream, state_dir, n_buckets=8)
+    q.awaitTermination(120)
+    got = {
+        r["user_id"]: r["n_versions"]
+        for r in sinks.read_state(spark, state_dir).collect()
+    }
+    assert got == {k: 4 for k in range(5)}
+    # the garbage file is gone — orphans were replaced, not merged into
+    for b in bmap:
+        vdir = os.path.join(state_dir, f"bucket={b}", "v0")
+        assert not os.path.exists(os.path.join(vdir, "garbage.parquet"))
