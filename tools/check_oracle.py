@@ -95,7 +95,11 @@ def _budgeted_connection() -> "duckdb.DuckDBPyConnection":
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    # positional names select queries; ^name excludes (e.g. the two
+    # classifier mirrors whose DuckDB replay exceeds this box's temp
+    # budget at sf0.1 — engine side clean, oracle side resource-bound)
+    only = {a for a in sys.argv[2:] if not a.startswith("^")}
+    skip = {a[1:] for a in sys.argv[2:] if a.startswith("^")}
 
     import __spark_entry__ as E
     from sfa_spark.session import get_spark
@@ -111,7 +115,7 @@ def main() -> int:
     sqls = E.oracle_sql()
     failures = 0
     for name, fn in sorted(qs.items()):
-        if only and name not in only:
+        if (only and name not in only) or name in skip:
             continue
         t0 = time.time()
         try:
