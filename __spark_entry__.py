@@ -4,8 +4,8 @@ entry(spark)   — flagship query (events → sliding z-norm → PAA →
                  equi-width SFA words → numerosity-reduced bags →
                  top-k patterns per entity) at sf0.001.
 queries()      — one entry per implemented SURVEY §2 operator.
-oracle_sql()   — matching DuckDB SQL for EVERY registered query (159/
-                 159 since r6, zero rows-only): iterative fits are
+oracle_sql()   — matching DuckDB SQL for EVERY registered query (162/
+                 162 in r7, zero rows-only): iterative fits are
                  replayed exactly (recursive-CTE BPE trainer) or
                  checked through invariant surrogate surfaces
                  (_predict_invariants); everything else is mirrored
