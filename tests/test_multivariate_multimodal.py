@@ -546,7 +546,7 @@ def test_drift_psi_quantile_all_null_reference_aborts(spark):
 # symbols at 8 bits — canonical, prefix-free, spec-legal).
 
 
-def _jpeg_encode(arr, subsample=False, restart=0):
+def _jpeg_encode(arr, subsample=None, restart=0):
     import struct
 
     import numpy as np
@@ -580,13 +580,19 @@ def _jpeg_encode(arr, subsample=False, restart=0):
         y = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
         cb = 128.0 - 0.168735892 * rgb[:, :, 0] - 0.331264108 * rgb[:, :, 1] + 0.5 * rgb[:, :, 2]
         cr = 128.0 + 0.5 * rgb[:, :, 0] - 0.418687589 * rgb[:, :, 1] - 0.081312411 * rgb[:, :, 2]
-        if subsample:  # 4:2:0 by 2x2 box average
+        if subsample == "420":  # 2x2 box average
             def down(p):
                 hh = (p.shape[0] + 1) // 2 * 2
                 ww = (p.shape[1] + 1) // 2 * 2
                 q = np.pad(p, ((0, hh - p.shape[0]), (0, ww - p.shape[1])), mode="edge")
                 return (q[0::2, 0::2] + q[0::2, 1::2] + q[1::2, 0::2] + q[1::2, 1::2]) / 4.0
             planes = [(y, 2, 2), (down(cb), 1, 1), (down(cr), 1, 1)]
+        elif subsample == "422":  # horizontal-only 1x2 average
+            def downh(p):
+                ww = (p.shape[1] + 1) // 2 * 2
+                q = np.pad(p, ((0, 0), (0, ww - p.shape[1])), mode="edge")
+                return (q[:, 0::2] + q[:, 1::2]) / 2.0
+            planes = [(y, 2, 1), (downh(cb), 1, 1), (downh(cr), 1, 1)]
         else:
             planes = [(y, 1, 1), (cb, 1, 1), (cr, 1, 1)]
     else:
@@ -745,12 +751,12 @@ def test_jpeg_stdlib_decoder_420_and_restart_markers():
         ],
         axis=2,
     ).astype(np.uint8)
-    out = J.decode_baseline(_jpeg_encode(rgb, subsample=True))
+    out = J.decode_baseline(_jpeg_encode(rgb, subsample="420"))
     assert out.shape == rgb.shape
     d = np.abs(out.astype(int) - rgb.astype(int))
     assert d.max() <= 14 and d.mean() < 2.5
 
-    out2 = J.decode_baseline(_jpeg_encode(rgb, subsample=True, restart=2))
+    out2 = J.decode_baseline(_jpeg_encode(rgb, subsample="420", restart=2))
     assert (out2 == out).all()  # restart markers change framing only
 
     gray = rng.integers(32, 224, (17, 33, 1), dtype=np.uint8)
@@ -995,3 +1001,27 @@ def test_gif_frame_sample_through_spark(spark):
         got = np.frombuffer(bytes(r["frame"]), dtype=np.uint8).reshape(8, 8, 3)
         want = pal[frames[r["frame_idx"]]["idx"]]
         assert (got == want).all()
+
+
+def test_jpeg_stdlib_decoder_422():
+    """4:2:2 (horizontal-only chroma subsampling) exercises the
+    asymmetric h/v sampling-factor path of the generic MCU walk.
+    Horizontally-constant chroma makes the 1x2 subsample exact."""
+    import numpy as np
+
+    from sfa_spark.operators import jpeg as J
+
+    rng = np.random.default_rng(13)
+    luma = rng.integers(40, 210, (12, 22), dtype=np.uint8)
+    rgb = np.stack(
+        [
+            np.clip(luma.astype(int) + 10, 0, 255),
+            luma.astype(int),
+            np.clip(luma.astype(int) - 10, 0, 255),
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    out = J.decode_baseline(_jpeg_encode(rgb, subsample="422"))
+    assert out.shape == rgb.shape
+    d = np.abs(out.astype(int) - rgb.astype(int))
+    assert d.max() <= 14 and d.mean() < 2.5
