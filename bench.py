@@ -63,9 +63,19 @@ def _load_gate() -> dict:
     budget = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "900"))
     t0 = time.time()
     waited = 0.0
-    while os.getloadavg()[0] > gate and (waited := time.time() - t0) < budget:
+
+    def busy() -> float:
+        # max of the 1- AND 5-min averages: a box that just drained a
+        # heavy job reads quiet on the 1-min average while caches/
+        # scheduler state are still settling — the r7 measurement at
+        # 1-min 0.16 / 5-min 3.96 showed the same uniform ~1.2x
+        # inflation as an outright loaded box
+        l1, l5, _ = os.getloadavg()
+        return max(l1, l5)
+
+    while busy() > gate and (waited := time.time() - t0) < budget:
         print(
-            f"# load gate: 1-min loadavg {os.getloadavg()[0]:.2f} > {gate};"
+            f"# load gate: loadavg {os.getloadavg()[:2]} > {gate};"
             f" waiting ({waited:.0f}s/{budget:.0f}s)",
             file=sys.stderr,
         )
@@ -73,7 +83,7 @@ def _load_gate() -> dict:
     return {
         "load_gate_threshold": gate,
         "load_gate_waited_sec": round(waited, 1),
-        "load_gate_satisfied": os.getloadavg()[0] <= gate,
+        "load_gate_satisfied": busy() <= gate,
     }
 
 
