@@ -86,11 +86,22 @@ def _bucket_of(key_col: str, n_buckets: int):
 
 
 def _read_manifest(state_dir: str) -> dict:
-    """{"applied": last applied batch id, "buckets": {"<i>": "v<id>"}}."""
+    """{"applied": last applied batch id, "buckets": {"<i>": "v<id>"},
+    "n_buckets": bucket count the table was created with}."""
     ptr = os.path.join(state_dir, CURRENT)
     if not os.path.exists(ptr):
         return {"applied": -1, "buckets": {}}
     return json.loads(open(ptr).read())
+
+
+def _effective_buckets(manifest: dict, requested: int) -> int:
+    """The bucket count is a TABLE property, not a call parameter: key→
+    bucket assignment must match the layout on disk, or a merge would
+    read the wrong subset and silently duplicate keys across buckets.
+    The first publish fixes it in the manifest; later calls adopt the
+    stored value (re-bucketing requires a full rewrite, out of scope
+    for a sink)."""
+    return int(manifest.get("n_buckets", requested))
 
 
 def _live_paths(
@@ -149,6 +160,7 @@ def _publish_buckets(
     prev = {str(b): manifest["buckets"].get(str(b)) for b in touched}
     new_manifest = {
         "applied": batch_id,
+        "n_buckets": manifest["n_buckets"],
         "buckets": {
             **manifest["buckets"],
             **{str(b): vname for b in touched},
@@ -208,8 +220,10 @@ def upsert_latest(
         man = _read_manifest(state_dir)
         if batch_id <= man["applied"]:
             return  # checkpoint replay of an already-published batch
+        nb = _effective_buckets(man, n_buckets)
+        man["n_buckets"] = nb
         delta = _compact(batch_df, key_col).withColumn(
-            "_bucket", _bucket_of(key_col, n_buckets)
+            "_bucket", _bucket_of(key_col, nb)
         )
         delta.cache()
         try:
@@ -223,7 +237,7 @@ def upsert_latest(
                 cur = spark.read.parquet(*live)
                 merged = _compact(
                     cur.unionByName(delta.drop("_bucket")), key_col
-                ).withColumn("_bucket", _bucket_of(key_col, n_buckets))
+                ).withColumn("_bucket", _bucket_of(key_col, nb))
             else:
                 merged = delta
             _publish_buckets(state_dir, merged, touched, batch_id, man)
@@ -268,10 +282,12 @@ def scd2_sink(
             return  # checkpoint replay of an already-published batch
         if batch_df.isEmpty():
             return
+        nb = _effective_buckets(man, n_buckets)
+        man["n_buckets"] = nb
         touched = sorted(
             r[0]
             for r in batch_df.select(
-                _bucket_of(key_col, n_buckets).alias("_bucket")
+                _bucket_of(key_col, nb).alias("_bucket")
             )
             .distinct()
             .collect()
@@ -282,7 +298,7 @@ def scd2_sink(
             nxt = scd2_apply(hist, batch_df, key_col, order_cols)
         else:  # no touched bucket has prior state — fresh histories
             nxt = scd2_history(batch_df, key_col, order_cols)
-        merged = nxt.withColumn("_bucket", _bucket_of(key_col, n_buckets))
+        merged = nxt.withColumn("_bucket", _bucket_of(key_col, nb))
         _publish_buckets(state_dir, merged, touched, batch_id, man)
 
     writer = stream.writeStream.foreachBatch(_merge).trigger(availableNow=True)

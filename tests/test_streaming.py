@@ -1102,3 +1102,67 @@ def test_merge_sink_recovers_from_crashed_publish_attempt(spark, tmp_path):
     for b in bmap:
         vdir = os.path.join(state_dir, f"bucket={b}", "v0")
         assert not os.path.exists(os.path.join(vdir, "garbage.parquet"))
+
+
+def test_merge_sink_bucket_count_is_a_table_property(spark, tmp_path):
+    """n_buckets is fixed by the FIRST publish and stored in the
+    manifest: a later run passing a different value adopts the stored
+    layout instead of silently mis-bucketing reads (which would leave
+    stale duplicate keys in buckets the new assignment never probes)."""
+    import json
+    import os
+
+    from sfa_spark.streaming import sinks
+
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double"
+    )
+    src1 = str(tmp_path / "s1")
+    src2 = str(tmp_path / "s2")
+    spark.createDataFrame(
+        [(i, 100 + i, i % 7, "a", 1.0) for i in range(21)], schema
+    ).coalesce(1).write.parquet(src1)
+    spark.createDataFrame(
+        [(100 + i, 1000 + i, i % 7, "b", 2.0) for i in range(21)], schema
+    ).coalesce(1).write.parquet(src2)
+    state_dir = str(tmp_path / "state")
+    sschema = spark.read.parquet(src1).schema
+
+    q = sinks.upsert_latest(
+        spark.readStream.schema(sschema).parquet(src1),
+        state_dir,
+        n_buckets=4,
+    )
+    q.awaitTermination(120)
+    man = json.loads(open(os.path.join(state_dir, sinks.CURRENT)).read())
+    assert man["n_buckets"] == 4
+
+    # second run REQUESTS 16 buckets; the sink must keep the table's 4
+    both = str(tmp_path / "both")
+    os.makedirs(both)
+    for i, s in enumerate([src1, src2]):
+        part = next(
+            p for p in os.listdir(s) if p.endswith(".parquet")
+        )
+        os.link(os.path.join(s, part), os.path.join(both, f"b{i}.parquet"))
+        t = os.path.getmtime(os.path.join(both, f"b{i}.parquet"))
+        os.utime(os.path.join(both, f"b{i}.parquet"), (t - 20 + i * 10,) * 2)
+    q2 = sinks.upsert_latest(
+        spark.readStream.schema(sschema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(both),
+        state_dir,
+        n_buckets=16,
+    )
+    q2.awaitTermination(120)
+    man = json.loads(open(os.path.join(state_dir, sinks.CURRENT)).read())
+    assert man["n_buckets"] == 4
+    assert all(int(b) < 4 for b in man["buckets"])
+    got = {
+        r["user_id"]: (r["event_type"], r["n_versions"])
+        for r in sinks.read_state(spark, state_dir).collect()
+    }
+    # every key upgraded exactly once (no stale duplicates): batch 0 of
+    # run 2 was a replay (skipped), batch 1 merged the 'b' rows
+    assert got == {k: ("b", 6) for k in range(7)}
