@@ -4,8 +4,8 @@ entry(spark)   — flagship query (events → sliding z-norm → PAA →
                  equi-width SFA words → numerosity-reduced bags →
                  top-k patterns per entity) at sf0.001.
 queries()      — one entry per implemented SURVEY §2 operator.
-oracle_sql()   — matching DuckDB SQL for EVERY registered query (162/
-                 162 in r7, zero rows-only): iterative fits are
+oracle_sql()   — matching DuckDB SQL for EVERY registered query (163/
+                 163 in r7, zero rows-only): iterative fits are
                  replayed exactly (recursive-CTE BPE trainer) or
                  checked through invariant surrogate surfaces
                  (_predict_invariants); everything else is mirrored
@@ -46,14 +46,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # registered queries with no stale greens. Round-7 gate leads with
 # (a) q_boss_grid_predict — the ONE query with no green gate row ever
 # (r3 row = no_oracle; its r4 oracle was never re-gated — VERDICT r6
-# task 1), (b) the three NEW r7 queries (TPC-H Q17/Q21/Q22 shapes),
+# task 1), (b) the four NEW r7 queries (TPC-H Q17/Q21/Q22/Q15 shapes),
 # (c) every query whose implementation changed in r7 (the scd2_apply
 # in-plan ordering guard; the bucketed-manifest rewrite of both
 # streaming MERGE sinks; the drift_psi quantile all-NULL guard),
 # (d) ALL 24 queries whose newest gate rows are round 3 (oldest
 # coverage — closes the r3 age tier entirely), and (e) round-4-aged
-# queries alphabetically filling to exactly 50 (the remaining 25 r4
-# rows lead r8's fill).
+# queries alphabetically filling to exactly 50 (the remaining 26 r4
+# rows — q_latest_state, q_lm_perplexity alphabetically onward — lead
+# r8's fill; all were replayed green this round in the sf0.1 sweep
+# AND the full sf0.01 registry replay).
 # Demoted queries keep their green r4/r5/r6 rows and are replayed with
 # tools/check_oracle.py before the round closes (log in COVERAGE.md).
 ROTATE_FIRST = [
@@ -63,6 +65,7 @@ ROTATE_FIRST = [
     "q_tpch_small_qty",          # Q17 shape (decorrelated per-part avg)
     "q_tpch_waiting_supplier",   # Q21 shape (semi+anti join pair)
     "q_tpch_sales_opportunity",  # Q22 shape (scalar subquery + anti)
+    "q_tpch_top_supplier",       # Q15 shape (scalar-max selection)
     # (c) implementation touched in r7
     "q_scd2_apply",              # structural ordering precondition
     "q_stream_scd2",             # bucketed per-bucket merge sink
@@ -77,14 +80,14 @@ ROTATE_FIRST = [
     "q_stream_ingest_gate", "q_stream_near_dup", "q_stream_sfa_words",
     "q_stream_window_stats", "q_tfidf_accuracy", "q_top_customers",
     "q_tpch_pricing",
-    # (e) round-4-aged fill to exactly 50 (alphabetical; the other 25
-    # r4 rows — q_lm_perplexity onward — lead r8)
+    # (e) round-4-aged fill to exactly 50 (alphabetical; the other 26
+    # r4 rows — q_latest_state, q_lm_perplexity onward — lead r8)
     "q_ann_recall", "q_asof_join", "q_bloom_decontaminate",
     "q_cdc_chunks", "q_corr_pricing", "q_countmin_tokens",
     "q_doc_chunks", "q_dup_spans", "q_dwt_coefs",
     "q_event_cooccurrence", "q_funnel", "q_hard_negatives",
     "q_hll_by_lang", "q_hll_distinct", "q_interval_join",
-    "q_jsonl_roundtrip", "q_latency_quantiles", "q_latest_state",
+    "q_jsonl_roundtrip", "q_latency_quantiles",
 ]
 
 

@@ -1646,3 +1646,19 @@ WHERE c_acctbal > avg_bal
   AND c_custkey NOT IN (SELECT o_custkey FROM orders
                         WHERE o_orderpriority = '1-URGENT')
 GROUP BY 1"""
+
+
+# q_tpch_top_supplier: Q15-shaped scalar-max selection (r7).
+ORACLES["q_tpch_top_supplier"] = """WITH rev AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                       AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+    AND l_shipdate < TIMESTAMP '1996-01-01'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name,
+       round(total_revenue + 1e-9, 4) + 0.0 AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)"""

@@ -1606,3 +1606,33 @@ def q_tpch_sales_opportunity(spark, sf_dir):
             rnd(dec_sum("c_acctbal"), 4).alias("totacctbal"),
         )
     )
+
+
+def q_tpch_top_supplier(spark, sf_dir):
+    """TPC-H Q15-shaped top supplier: the supplier(s) whose discounted
+    revenue over one ship-year equals the global maximum. The revenue
+    view is ONE map-side-combinable groupBy (supplier-sized output);
+    the scalar max is a single-row aggregate broadcast back as a
+    cross join — the HAVING-equals-subquery shape with no window and
+    no second scan of lineitem. Revenue uses the exact decimal sum
+    (dec_sum) so the equality against the max cannot miss on
+    accumulation-order ulps. Reference anchor: TPC-H spec Q15."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        dec_sum(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        ).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    top = rev.crossJoin(F.broadcast(mx)).where(
+        F.col("total_revenue") == F.col("max_revenue")
+    )
+    return top.join(
+        F.broadcast(supplier), top.l_suppkey == supplier.s_suppkey
+    ).select(
+        "s_suppkey", "s_name", rnd("total_revenue", 4).alias("total_revenue")
+    )

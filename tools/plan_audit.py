@@ -30,9 +30,9 @@ DEFAULT = [
     "q_quantile_sketch", "q_drift_psi_quantile",
     "q_tpch_shipmode_priority", "q_tpch_big_orders",
     "q_tpch_supplier_variety",
-    # r7 additions: Q17/Q21/Q22 shapes
+    # r7 additions: Q17/Q21/Q22/Q15 shapes
     "q_tpch_small_qty", "q_tpch_waiting_supplier",
-    "q_tpch_sales_opportunity",
+    "q_tpch_sales_opportunity", "q_tpch_top_supplier",
 ]
 
 MARKS = [
