@@ -204,6 +204,47 @@ def read_state(spark: SparkSession, state_dir: str) -> DataFrame:
     return spark.read.parquet(*paths)
 
 
+def read_key(
+    spark: SparkSession,
+    state_dir: str,
+    key,
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Point lookup against the bucketed state: compute the key's
+    bucket (the same Murmur3 `pmod(hash(key), n_buckets)` the writer
+    used — evaluated through Spark so the function is identical by
+    construction) and scan ONLY that bucket's live version directory.
+    At 100 TB state this is the layout's payoff: a keyed read touches
+    state/n_buckets bytes instead of the whole table. A key whose
+    bucket has never been written returns an empty frame with the
+    state schema."""
+    man = _read_manifest(state_dir)
+    if not man["buckets"]:
+        raise ValueError(f"no published state under {state_dir}")
+    nb = int(man["n_buckets"])
+    # Murmur3 is TYPE-dependent (hash(0 as int) != hash(0 as long)), so
+    # the probe literal must be cast to the state's key column type
+    # before hashing — otherwise the lookup probes the wrong bucket.
+    ktype = read_state(spark, state_dir).schema[key_col].dataType
+    bucket = (
+        spark.range(1)
+        .select(_bucket_of_lit(key, nb, ktype).alias("b"))
+        .first()["b"]
+    )
+    paths = _live_paths(state_dir, man, [bucket])
+    if not paths:
+        return read_state(spark, state_dir).where(F.lit(False))
+    return spark.read.parquet(*paths).where(
+        F.col(key_col) == F.lit(key).cast(ktype)
+    )
+
+
+def _bucket_of_lit(key, n_buckets: int, ktype):
+    return F.pmod(
+        F.hash(F.lit(key).cast(ktype)), F.lit(n_buckets)
+    ).cast("int")
+
+
 def upsert_latest(
     stream: DataFrame,
     state_dir: str,

@@ -1166,3 +1166,66 @@ def test_merge_sink_bucket_count_is_a_table_property(spark, tmp_path):
     # every key upgraded exactly once (no stale duplicates): batch 0 of
     # run 2 was a replay (skipped), batch 1 merged the 'b' rows
     assert got == {k: ("b", 6) for k in range(7)}
+
+
+def test_read_key_scans_one_bucket(spark, tmp_path):
+    """Point lookup: read_key returns exactly the full-scan rows for
+    the key while its plan reads ONLY the key's bucket directory —
+    the bucketed layout's O(state/n_buckets) payoff."""
+    from pyspark.sql import functions as F
+
+    from sfa_spark.streaming import sinks
+
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double"
+    )
+    rows = [(i, 100 + i, i % 9, "a", float(i)) for i in range(45)]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+    state_dir = str(tmp_path / "state")
+    q = sinks.upsert_latest(
+        spark.readStream.schema(spark.read.parquet(src).schema).parquet(src),
+        state_dir,
+        n_buckets=8,
+    )
+    q.awaitTermination(120)
+
+    for key in (0, 5, 8):
+        got = sinks.read_key(spark, state_dir, key).collect()
+        want = (
+            sinks.read_state(spark, state_dir)
+            .where(F.col("user_id") == key)
+            .collect()
+        )
+        assert [tuple(r) for r in got] == [tuple(r) for r in want]
+        assert len(got) == 1
+        # structural: the lookup's scan reads one bucket directory only
+        import re
+
+        files = sinks.read_key(spark, state_dir, key).inputFiles()
+        assert files, "lookup must read some files"
+        dirs = {re.search(r"bucket=\d+", f).group(0) for f in files}
+        assert len(dirs) == 1, dirs
+        all_dirs = {
+            re.search(r"bucket=\d+", f).group(0)
+            for f in sinks.read_state(spark, state_dir).inputFiles()
+        }
+        assert len(all_dirs) > 1  # the full scan touches many buckets
+
+    # a key hashing to a never-written bucket yields an empty frame
+    # (probe many candidates to find one, if any bucket is unused)
+    man = sinks._read_manifest(state_dir)
+    if len(man["buckets"]) < 8:
+        used = {int(b) for b in man["buckets"]}
+        for cand in range(100, 200):
+            from pyspark.sql.types import LongType
+
+            b = (
+                spark.range(1)
+                .select(sinks._bucket_of_lit(cand, 8, LongType()).alias("b"))
+                .first()["b"]
+            )
+            if b not in used:
+                assert sinks.read_key(spark, state_dir, cand).count() == 0
+                break
