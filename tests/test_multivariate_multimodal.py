@@ -1025,3 +1025,44 @@ def test_jpeg_stdlib_decoder_422():
     assert out.shape == rgb.shape
     d = np.abs(out.astype(int) - rgb.astype(int))
     assert d.max() <= 14 and d.mean() < 2.5
+
+
+def test_gif_lzw_roundtrip_property():
+    """Property: for random index streams over random alphabet sizes,
+    encoder→decoder is the identity — exercises width growth at every
+    alphabet size, long runs (KwKwK chains), and the 4096-entry cap."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from sfa_spark.operators.gif import _lzw_decode
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.integers(min_value=2, max_value=8).flatmap(
+            lambda mcs: st.tuples(
+                st.just(mcs),
+                st.lists(
+                    st.integers(min_value=0, max_value=(1 << mcs) - 1),
+                    min_size=1,
+                    max_size=4000,
+                ),
+            )
+        )
+    )
+    def check(case):
+        mcs, data = case
+        payload = _gif_lzw_encode(mcs, bytes(data))
+        out = _lzw_decode(mcs, payload, len(data))
+        assert list(out) == data
+
+    check()
+
+    # deterministic cap stress: 30k bytes at mcs=8 drives the table
+    # past 4096 entries — both sides must stop adding in lockstep
+    import numpy as np
+
+    rng = np.random.default_rng(29)
+    big = rng.integers(0, 256, 30000, dtype=np.uint8).tobytes()
+    from sfa_spark.operators.gif import _lzw_decode as dec
+
+    assert dec(8, _gif_lzw_encode(8, big), len(big)) == big
