@@ -225,7 +225,10 @@ def read_key(
     # Murmur3 is TYPE-dependent (hash(0 as int) != hash(0 as long)), so
     # the probe literal must be cast to the state's key column type
     # before hashing — otherwise the lookup probes the wrong bucket.
-    ktype = read_state(spark, state_dir).schema[key_col].dataType
+    # One bucket's parquet footer is enough for the schema: don't list
+    # every live path for a point lookup.
+    any_path = _live_paths(state_dir, man)[0]
+    ktype = spark.read.parquet(any_path).schema[key_col].dataType
     bucket = (
         spark.range(1)
         .select(_bucket_of_lit(key, nb, ktype).alias("b"))
