@@ -4,8 +4,8 @@ entry(spark)   — flagship query (events → sliding z-norm → PAA →
                  equi-width SFA words → numerosity-reduced bags →
                  top-k patterns per entity) at sf0.001.
 queries()      — one entry per implemented SURVEY §2 operator.
-oracle_sql()   — matching DuckDB SQL for EVERY registered query (163/
-                 163 in r7, zero rows-only): iterative fits are
+oracle_sql()   — matching DuckDB SQL for EVERY registered query (169/
+                 169 in r7, zero rows-only): iterative fits are
                  replayed exactly (recursive-CTE BPE trainer) or
                  checked through invariant surrogate surfaces
                  (_predict_invariants); everything else is mirrored
@@ -66,6 +66,12 @@ ROTATE_FIRST = [
     "q_tpch_waiting_supplier",   # Q21 shape (semi+anti join pair)
     "q_tpch_sales_opportunity",  # Q22 shape (scalar subquery + anti)
     "q_tpch_top_supplier",       # Q15 shape (scalar-max selection)
+    "q_tpch_forecast_revenue",   # Q6 shape (pure pushdown scan-agg)
+    "q_tpch_volume_shipping",    # Q7 shape (bilateral nation pair)
+    "q_tpch_product_profit",     # Q9 shape (multi-dim broadcast chain)
+    "q_tpch_customer_distribution",  # Q13 shape (left-join double agg)
+    "q_tpch_promo_effect",       # Q14 shape (conditional-agg ratio)
+    "q_tpch_discounted_brands",  # Q19 shape (disjunctive predicates)
     # (c) implementation touched in r7
     "q_scd2_apply",              # structural ordering precondition
     "q_stream_scd2",             # bucketed per-bucket merge sink
@@ -80,14 +86,13 @@ ROTATE_FIRST = [
     "q_stream_ingest_gate", "q_stream_near_dup", "q_stream_sfa_words",
     "q_stream_window_stats", "q_tfidf_accuracy", "q_top_customers",
     "q_tpch_pricing",
-    # (e) round-4-aged fill to exactly 50 (alphabetical; the other 26
-    # r4 rows — q_latest_state, q_lm_perplexity onward — lead r8)
+    # (e) round-4-aged fill to exactly 50 (alphabetical; the remaining
+    # r4 rows — q_hard_negatives, q_hll_by_lang onward — lead r8's
+    # fill; all hold green r4 rows and were replayed green this round)
     "q_ann_recall", "q_asof_join", "q_bloom_decontaminate",
     "q_cdc_chunks", "q_corr_pricing", "q_countmin_tokens",
     "q_doc_chunks", "q_dup_spans", "q_dwt_coefs",
-    "q_event_cooccurrence", "q_funnel", "q_hard_negatives",
-    "q_hll_by_lang", "q_hll_distinct", "q_interval_join",
-    "q_jsonl_roundtrip", "q_latency_quantiles",
+    "q_event_cooccurrence", "q_funnel",
 ]
 
 

@@ -1662,3 +1662,98 @@ SELECT s_suppkey, s_name,
        round(total_revenue + 1e-9, 4) + 0.0 AS total_revenue
 FROM rev JOIN supplier ON l_suppkey = s_suppkey
 WHERE total_revenue = (SELECT max(total_revenue) FROM rev)"""
+
+
+# q_tpch_forecast_revenue: Q6-shaped single-scan pushdown sum (r7).
+ORACLES["q_tpch_forecast_revenue"] = """SELECT
+  round(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))
+             AS DOUBLE) + 1e-9, 4) + 0.0 AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24.0"""
+
+
+# q_tpch_volume_shipping: Q7-shaped bilateral nation-pair revenue (r7).
+ORACLES["q_tpch_volume_shipping"] = """WITH sn AS (
+  SELECT s_suppkey, n_name AS supp_nation
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+), cn AS (
+  SELECT c_custkey, n_name AS cust_nation
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+)
+SELECT supp_nation, cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                           AS DECIMAL(18,6))) AS DOUBLE) + 1e-9, 4) + 0.0
+         AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN sn ON l_suppkey = s_suppkey
+JOIN cn ON o_custkey = c_custkey
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND supp_nation <> cust_nation
+GROUP BY 1, 2, 3"""
+
+
+# q_tpch_product_profit: Q9-shaped profit (retail-price cost stand-in,
+# r7) — the per-row amount is IEEE-double per row on both engines, so
+# the decimal cast sees identical values; only the sum is decimal.
+ORACLES["q_tpch_product_profit"] = """SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS INT) AS o_year,
+       round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                           - 0.1 * p_retailprice * l_quantity
+                           AS DECIMAL(18,6))) AS DOUBLE) + 1e-9, 4) + 0.0
+         AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2"""
+
+
+# q_tpch_customer_distribution: Q13-shaped left-join double agg (r7).
+ORACLES["q_tpch_customer_distribution"] = """WITH per_cust AS (
+  SELECT o_custkey, count(*) AS k
+  FROM orders WHERE o_orderpriority <> '1-URGENT'
+  GROUP BY 1
+)
+SELECT CAST(coalesce(k, 0) AS BIGINT) AS c_count,
+       CAST(count(*) AS BIGINT) AS custdist
+FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
+GROUP BY 1"""
+
+
+# q_tpch_promo_effect: Q14-shaped conditional-aggregate ratio (r7).
+ORACLES["q_tpch_promo_effect"] = """SELECT
+  round(100.0
+        * CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+                             THEN l_extendedprice * (1.0 - l_discount)
+                             ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE)
+        / CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                        AS DECIMAL(18,6))) AS DOUBLE)
+        + 1e-9, 4) + 0.0 AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l_shipdate < TIMESTAMP '1996-04-01'"""
+
+
+# q_tpch_discounted_brands: Q19-shaped disjunctive predicates (r7).
+ORACLES["q_tpch_discounted_brands"] = """SELECT p_brand,
+       round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                           AS DECIMAL(18,6))) AS DOUBLE) + 1e-9, 4) + 0.0
+         AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1.0 AND 11.0
+       AND p_size BETWEEN 1 AND 5)
+   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10.0 AND 20.0
+       AND p_size BETWEEN 1 AND 10)
+   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20.0 AND 30.0
+       AND p_size BETWEEN 1 AND 15)
+GROUP BY 1"""

@@ -1636,3 +1636,225 @@ def q_tpch_top_supplier(spark, sf_dir):
     ).select(
         "s_suppkey", "s_name", rnd("total_revenue", 4).alias("total_revenue")
     )
+
+
+def q_tpch_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6-shaped revenue-change forecast: discount revenue that
+    would be recovered by dropping a discount band, over one ship-year
+    and a quantity cap. The whole query is ONE scan with every
+    predicate PUSHED to parquet (shipdate range, discount band,
+    quantity cap are all row-local min/max-prunable) feeding a
+    map-side-combinable global sum — the canonical predicate-pushdown
+    showcase; at 100 TB the scan reads only row groups whose stats
+    overlap the year. dec_sum keeps the single output value
+    engine-exact. Reference anchor: TPC-H spec Q6 (public)."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24.0)
+    )
+    return li.agg(
+        rnd(dec_sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
+            "revenue"
+        )
+    )
+
+
+def q_tpch_volume_shipping(spark, sf_dir):
+    """TPC-H Q7-shaped bilateral volume shipping: discounted revenue
+    flowing between two nations, per (supplier nation, customer
+    nation, ship year), both directions. Shape at 100 TB: the nation
+    pair filter lands on the two DIM sides first (supplier⋈nation and
+    customer⋈nation both broadcast — nation is tiny, the filtered
+    supplier/customer key lists are small), so the two big-big joins
+    (lineitem ⋈ orders on orderkey, then the broadcast probes) never
+    carry rows outside the pair; one final groupBy on three low-card
+    keys. Reference anchor: TPC-H spec Q7 (public)."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    # 4-nation trading bloc (a 2-nation pair yields zero rows at the
+    # smallest test scale; the disjoint supp<>cust shape is identical)
+    pair = ("NATION_1", "NATION_2", "NATION_3", "NATION_4")
+    sn = (
+        supplier.join(
+            F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+        )
+        .where(F.col("n_name").isin(*pair))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cn = (
+        customer.join(
+            F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+        )
+        .where(F.col("n_name").isin(*pair))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .join(F.broadcast(cn), orders.o_custkey == cn.c_custkey)
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        j.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            rnd(
+                dec_sum(
+                    F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+                ),
+                4,
+            ).alias("revenue")
+        )
+    )
+
+
+def q_tpch_product_profit(spark, sf_dir):
+    """TPC-H Q9-shaped product-line profit, adapted to this schema (no
+    partsupp, so supply cost is stood in by a fixed fraction of the
+    part's retail price): per (supplier nation, order year), the sum of
+    discounted revenue minus stand-in cost over parts whose name
+    contains a token. Shape at 100 TB: the p_name filter shrinks the
+    part dim BEFORE it broadcasts into the lineitem scan (the probe
+    side never widens); supplier→nation is a second broadcast chain;
+    the only big-big join is lineitem ⋈ orders on the order key
+    (bucketable), and the final groupBy has nation×year cardinality.
+    The per-row amount is computed in DOUBLE (deterministic IEEE per
+    row) and summed via dec_sum. Reference anchor: TPC-H spec Q9."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_name").contains("red")
+    )
+    sn = supplier.join(
+        F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    amount = F.col("l_extendedprice") * (
+        F.lit(1.0) - F.col("l_discount")
+    ) - F.lit(0.1) * F.col("p_retailprice") * F.col("l_quantity")
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+    )
+    return (
+        j.groupBy(
+            "nation", F.year("o_orderdate").cast("int").alias("o_year")
+        )
+        .agg(rnd(dec_sum(amount), 4).alias("sum_profit"))
+    )
+
+
+def q_tpch_customer_distribution(spark, sf_dir):
+    """TPC-H Q13-shaped customer order-count distribution: how many
+    customers placed exactly k qualifying orders, INCLUDING the
+    zero-order customers — the left-outer-join-then-double-aggregate
+    shape. At 100 TB the first aggregate (orders per custkey, with the
+    priority exclusion pushed to the orders scan) is map-side
+    combinable and customer-sized; the LEFT join against the customer
+    key set preserves never-ordered customers as count 0; the second
+    groupBy is on the tiny count domain. No correlated subquery, no
+    row explosion. Reference anchor: TPC-H spec Q13 (public)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    c_counts = (
+        customer.select("c_custkey")
+        .join(per_cust, customer.c_custkey == per_cust.o_custkey, "left")
+        .select(F.coalesce(F.col("k"), F.lit(0)).cast("bigint").alias("c_count"))
+    )
+    return c_counts.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("bigint").alias("custdist")
+    )
+
+
+def q_tpch_promo_effect(spark, sf_dir):
+    """TPC-H Q14-shaped promotion effect: the percentage of one ship-
+    month's discounted revenue that came from PROMO-type parts. Shape
+    at 100 TB: the month filter pushes to the lineitem scan; the part
+    dim broadcasts; ONE conditional aggregate produces both the promo
+    and total sums in a single pass (no second scan, no join back).
+    Both sums are exact decimals; only the final ratio is a double
+    division, rounded — so the percentage cannot drift on
+    accumulation order. Reference anchor: TPC-H spec Q14 (public)."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return j.agg(
+        rnd(
+            F.lit(100.0)
+            * dec_sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+            / dec_sum(rev),
+            4,
+        ).alias("promo_revenue_pct")
+    )
+
+
+def q_tpch_discounted_brands(spark, sf_dir):
+    """TPC-H Q19-shaped disjunctive-predicate revenue: discounted
+    revenue per brand over three (brand, quantity band, size band)
+    predicate groups OR'd together. The classic disjunction shape: the
+    OR cannot push past the join as a whole, but its brand/size legs
+    prune the PART side and the union of quantity bands prunes the
+    LINEITEM scan (row-local conjuncts Catalyst extracts as common
+    filters); the joined disjunction then runs as one CASE-free
+    boolean filter on the broadcast-joined rows — never three scans
+    unioned. Reference anchor: TPC-H spec Q19 (public)."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_quantity") >= 1.0) & (F.col("l_quantity") <= 30.0)
+    )
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+        & (F.col("p_size") >= 1)
+    )
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    grp = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("l_quantity").between(1.0, 11.0)
+            & F.col("p_size").between(1, 5)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("l_quantity").between(10.0, 20.0)
+            & F.col("p_size").between(1, 10)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("l_quantity").between(20.0, 30.0)
+            & F.col("p_size").between(1, 15)
+        )
+    )
+    return (
+        j.where(grp)
+        .groupBy("p_brand")
+        .agg(
+            rnd(
+                dec_sum(
+                    F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+                ),
+                4,
+            ).alias("revenue")
+        )
+    )
