@@ -166,13 +166,28 @@ def _publish_buckets(
             **{str(b): vname for b in touched},
         },
     }
+    _commit_manifest(state_dir, new_manifest)
+    # deferred deletion, per bucket: keep the new version AND the
+    # previously live one (N-1 retention) so (a) a machine crash always
+    # leaves one durable version, (b) a concurrent reader that resolved
+    # the old manifest can finish its scan — the old version dies on
+    # the NEXT merge that touches the bucket, not while it may be live
+    for b in touched:
+        _retain(
+            os.path.join(state_dir, f"bucket={b}"),
+            {vname, prev[str(b)]} - {None},
+        )
+
+
+def _commit_manifest(state_dir: str, manifest: dict) -> None:
+    """The single commit point shared by merge publish and compaction:
+    fsync the manifest bytes, atomic-replace CURRENT, fsync the
+    directory entry — durability, not just process-crash atomicity (a
+    power loss after the swap cannot leave CURRENT pointing at a
+    not-yet-durable version)."""
     tmp = os.path.join(state_dir, CURRENT + ".tmp")
     with open(tmp, "w") as f:
-        f.write(json.dumps(new_manifest))
-        # durability, not just process-crash atomicity: fsync the
-        # manifest bytes, then the directory entry, so a power loss
-        # after the swap cannot leave CURRENT pointing at a
-        # not-yet-durable version
+        f.write(json.dumps(manifest))
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, os.path.join(state_dir, CURRENT))  # atomic commit
@@ -181,19 +196,13 @@ def _publish_buckets(
         os.fsync(dfd)
     finally:
         os.close(dfd)
-    # deferred deletion, per bucket: keep the new version AND the
-    # previously live one (N-1 retention) so (a) a machine crash always
-    # leaves one durable version, (b) a concurrent reader that resolved
-    # the old manifest can finish its scan — the old version dies on
-    # the NEXT merge that touches the bucket, not while it may be live
-    for b in touched:
-        bdir = os.path.join(state_dir, f"bucket={b}")
-        keep = {vname, prev[str(b)]} - {None}
-        for entry in os.listdir(bdir):
-            if entry.startswith("v") and entry not in keep:
-                shutil.rmtree(
-                    os.path.join(bdir, entry), ignore_errors=True
-                )
+
+
+def _retain(bdir: str, keep: set) -> None:
+    """Delete every version directory of a bucket except ``keep``."""
+    for entry in os.listdir(bdir):
+        if entry.startswith("v") and entry not in keep:
+            shutil.rmtree(os.path.join(bdir, entry), ignore_errors=True)
 
 
 def read_state(spark: SparkSession, state_dir: str) -> DataFrame:
@@ -349,3 +358,97 @@ def scd2_sink(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def compact_state(
+    spark: SparkSession,
+    state_dir: str,
+    target_bytes: int = 128 << 20,
+    min_files: int = 2,
+) -> dict:
+    """Per-bucket small-file compaction of the bucketed MERGE state —
+    the OPTIMIZE pass the sinks need over time: every micro-batch
+    publish writes a fresh version directory, so a hot bucket's live
+    version accretes one file per merge task and a long-running stream
+    leaves each bucket fragmented (the classic small-file problem the
+    batch-table twin solves in sources/maintenance.compact_small_files).
+
+    Each live bucket version holding more than ``min_files`` files AND
+    more files than ceil(bytes/target_bytes) is rewritten into
+    ceil(bytes/target_bytes) files as a NEW version directory and
+    flipped in the manifest under the SAME commit protocol as a merge
+    (_commit_manifest): atomic CURRENT swap, fsync'd durability,
+    per-bucket N-1 retention (the pre-compaction version survives until
+    the next write to the bucket), and a crash anywhere before the swap
+    leaves the old version live with orphan staging cleaned up on the
+    next attempt. The ``applied`` batch id is UNCHANGED — compaction is
+    not a batch, so checkpoint-replay detection is unaffected and a
+    concurrent merge of the next micro-batch still lands exactly-once.
+    Buckets below the thresholds are never opened or rewritten.
+
+    Row contents are untouched (rewrite = read + repartition + write);
+    returns {bucket: (files_before, files_after)} for the buckets it
+    rewrote. Compaction version dirs are named ``v<applied>c<k>`` —
+    the 'v' prefix keeps them inside the retention sweep, the c-suffix
+    cannot collide with a merge's ``v<batch_id>``, and ``k`` increments
+    across repeated compactions at the same applied id.
+
+    At 100 TB this is the maintenance job an operator schedules beside
+    the stream: per-bucket, so its unit of work is state/n_buckets
+    bytes, and bucket-parallel across a cluster.
+    """
+    from sfa_spark.sources.maintenance import dir_stats
+
+    man = _read_manifest(state_dir)
+    if not man["buckets"]:
+        raise ValueError(f"no published state under {state_dir}")
+    done: dict[int, tuple[int, int]] = {}
+    new_buckets = dict(man["buckets"])
+    for b, ver in sorted(man["buckets"].items(), key=lambda kv: int(kv[0])):
+        bdir = os.path.join(state_dir, f"bucket={b}")
+        live = os.path.join(bdir, ver)
+        n_files, total = dir_stats(live)
+        n_out = max(1, -(-total // target_bytes))
+        if n_files <= max(min_files, n_out):
+            continue  # already compact — never opened
+        seq = 1 + max(
+            (
+                int(e.rsplit("c", 1)[1])
+                for e in os.listdir(bdir)
+                if e.startswith("v") and "c" in e and e.rsplit("c", 1)[1].isdigit()
+            ),
+            default=0,
+        )
+        vname = f"v{man['applied']}c{seq}"
+        stage = os.path.join(state_dir, f"_stage_{vname}_b{b}")
+        shutil.rmtree(stage, ignore_errors=True)  # crashed prior attempt
+        spark.read.parquet(live).repartition(n_out).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        dst = os.path.join(bdir, vname)
+        if os.path.isdir(dst):  # crashed between rename and commit
+            shutil.rmtree(dst)
+        os.rename(stage, dst)
+        dfd = os.open(bdir, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+        new_buckets[b] = vname
+        done[int(b)] = (n_files, dir_stats(dst)[0])
+    if not done:
+        return done
+    _commit_manifest(
+        state_dir,
+        {
+            "applied": man["applied"],
+            "n_buckets": man["n_buckets"],
+            "buckets": new_buckets,
+        },
+    )
+    for b in done:
+        _retain(
+            os.path.join(state_dir, f"bucket={b}"),
+            {new_buckets[str(b)], man["buckets"][str(b)]},
+        )
+    return done

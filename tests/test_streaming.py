@@ -1229,3 +1229,120 @@ def test_read_key_scans_one_bucket(spark, tmp_path):
             if b not in used:
                 assert sinks.read_key(spark, state_dir, cand).count() == 0
                 break
+
+
+def test_compact_state_preserves_rows_and_untouched_buckets(spark, tmp_path):
+    """compact_state rewrites only fragmented buckets (fewer files, same
+    rows), leaves compact buckets byte-identical, keeps the applied
+    batch id (compaction is not a batch), and the NEXT merge lands
+    exactly-once on the compacted layout."""
+    import os
+
+    from sfa_spark.streaming import sinks
+
+    rows = [
+        (i, 100 + i, uid, "a", float(i))
+        for i, uid in enumerate([10, 11, 12, 13, 14, 15, 10, 11, 12, 13])
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, event_type string, value double"
+    )
+    src = str(tmp_path / "src")
+    # several input files → several micro-batches → fragmented versions
+    ev.repartition(5).write.parquet(src)
+    state_dir = str(tmp_path / "state")
+    chk = str(tmp_path / "chk")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sinks.upsert_latest(
+        stream, state_dir, n_buckets=4, checkpoint_dir=chk
+    ).awaitTermination(120)
+
+    before_rows = sorted(
+        tuple(r) for r in sinks.read_state(spark, state_dir).collect()
+    )
+    # AQE coalesces each tiny merge to one file per bucket, so fragment
+    # ONE bucket by hand the way a wide merge would: rewrite its live
+    # version as 4 files under a new version dir and flip the manifest
+    # through the module's own commit (content identical)
+    man_pre = sinks._read_manifest(state_dir)
+    # the most-populated bucket (≥2 keys by pigeonhole: 6 keys, 4
+    # buckets) so the 4-way repartition really produces ≥2 files
+    from pyspark.sql import functions as F
+
+    frag_b = str(
+        sinks.read_state(spark, state_dir)
+        .groupBy(sinks._bucket_of("user_id", man_pre["n_buckets"]).alias("b"))
+        .count()
+        .orderBy(F.desc("count"), "b")
+        .first()["b"]
+    )
+    frag_live = os.path.join(
+        state_dir, f"bucket={frag_b}", man_pre["buckets"][frag_b]
+    )
+    frag_new = os.path.join(state_dir, f"bucket={frag_b}", "v900")
+    spark.read.parquet(frag_live).repartition(4).write.parquet(frag_new)
+    man_pre["buckets"][frag_b] = "v900"
+    sinks._commit_manifest(state_dir, man_pre)
+    man0 = sinks._read_manifest(state_dir)
+
+    def bucket_bytes(man):
+        out = {}
+        for b, v in man["buckets"].items():
+            vd = os.path.join(state_dir, f"bucket={b}", v)
+            out[b] = sorted(
+                (f, os.path.getsize(os.path.join(vd, f)))
+                for f in os.listdir(vd)
+                if f.endswith(".parquet")
+            )
+        return out
+
+    bytes0 = bucket_bytes(man0)
+    done = sinks.compact_state(spark, state_dir, min_files=1)
+    assert done, "expected at least one fragmented bucket"
+    man1 = sinks._read_manifest(state_dir)
+    assert man1["applied"] == man0["applied"]  # not a batch
+    assert man1["n_buckets"] == man0["n_buckets"]
+    for b, (nb, na) in done.items():
+        assert na < nb, (b, nb, na)
+        assert man1["buckets"][str(b)].startswith("v") and "c" in man1["buckets"][str(b)]
+    bytes1 = bucket_bytes(man1)
+    for b in man0["buckets"]:
+        if int(b) not in done:  # untouched bucket: files never rewritten
+            assert man1["buckets"][b] == man0["buckets"][b]
+            assert bytes1[b] == bytes0[b]
+    after_rows = sorted(
+        tuple(r) for r in sinks.read_state(spark, state_dir).collect()
+    )
+    assert after_rows == before_rows
+
+    # idempotent second pass: everything is compact now → no-op
+    assert sinks.compact_state(spark, state_dir, min_files=1) == {}
+    assert sinks._read_manifest(state_dir) == man1
+
+    # the next merge still lands exactly-once on the compacted layout:
+    # new files under the SAME checkpoint continue the batch numbering
+    # past the state's applied watermark (a fresh checkpoint would
+    # restart at 0 and be replay-skipped — that is the protocol)
+    ev2 = spark.createDataFrame(
+        [(99, 999, 10, "z", 9.9)],
+        "event_id long, ts long, user_id long, event_type string, value double",
+    )
+    ev2.write.mode("append").parquet(src)
+    stream2 = (
+        spark.readStream.schema(ev2.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sinks.upsert_latest(
+        stream2, state_dir, checkpoint_dir=chk
+    ).awaitTermination(120)
+    got = {
+        r["user_id"]: (r["event_id"], r["event_type"], r["n_versions"])
+        for r in sinks.read_state(spark, state_dir).collect()
+    }
+    assert got[10] == (99, "z", 3)  # 2 pre-compaction versions + 1
+    assert len(got) == 6
