@@ -49,6 +49,32 @@ MAINTENANCE = [
     "q_stream_scd2",         # r7 bucketed-manifest streaming SCD2 sink
 ]
 
+# Third headline group (r7): the TPC-H-shaped relational family — one
+# number for OLAP throughput across all 16 shapes, so a plan regression
+# in the join/agg layer is visible without touching the r1-r6 headline
+# series.
+TPCH = [
+    "q_tpch_pricing",              # Q1  scan-agg
+    "q_tpch_shipping",             # Q3  top-k join
+    "q_tpch_order_priority",       # Q4  semi-join count
+    "q_tpch_local_supplier",       # Q5  multi-dim join chain
+    "q_tpch_forecast_revenue",     # Q6  pure-pushdown scan
+    "q_tpch_volume_shipping",      # Q7  bilateral nation bloc
+    "q_tpch_market_share",         # Q8  share-of-total
+    "q_tpch_product_profit",       # Q9  profit rollup
+    "q_tpch_returned_revenue",     # Q10 returned-item revenue
+    "q_tpch_shipmode_priority",    # Q12 big-big join + CASE counts
+    "q_tpch_customer_distribution",  # Q13 left-join double agg
+    "q_tpch_promo_effect",         # Q14 conditional-agg ratio
+    "q_tpch_top_supplier",         # Q15 scalar-max selection
+    "q_tpch_supplier_variety",     # Q16 anti-join count-distinct
+    "q_tpch_small_qty",            # Q17 decorrelated scalar subquery
+    "q_tpch_big_orders",           # Q18 HAVING pre-aggregation
+    "q_tpch_discounted_brands",    # Q19 disjunctive predicates
+    "q_tpch_waiting_supplier",     # Q21 semi+anti pair
+    "q_tpch_sales_opportunity",    # Q22 scalar subquery + anti
+]
+
 
 def _load_gate() -> dict:
     """Refuse to measure on a busy box: wait (poll) until the 1-min
@@ -144,6 +170,7 @@ def main() -> None:
 
     timings, runs = run_group(HEADLINE)
     m_timings, m_runs = run_group(MAINTENANCE)
+    t_timings, t_runs = run_group(TPCH)
 
     load_after = os.getloadavg()
     total = round(sum(timings.values()), 3)
@@ -160,6 +187,9 @@ def main() -> None:
                 "maintenance_total": round(sum(m_timings.values()), 3),
                 "maintenance_queries": m_timings,
                 "maintenance_all_runs": m_runs,
+                "tpch_total": round(sum(t_timings.values()), 3),
+                "tpch_queries": t_timings,
+                "tpch_all_runs": t_runs,
                 "loadavg_before": [round(x, 2) for x in load_before],
                 "loadavg_after": [round(x, 2) for x in load_after],
                 **gate_info,

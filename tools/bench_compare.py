@@ -74,6 +74,23 @@ def main() -> None:
             f"{'MAINT TOTAL':24s} {base['maintenance_total']:8.3f} "
             f"{fresh['maintenance_total']:8.3f}"
         )
+    # third headline group (r7+): the TPC-H relational family
+    bt, ft = base.get("tpch_queries"), fresh.get("tpch_queries")
+    if bt and ft:
+        print(f"\n{'tpch':24s} {'base':>8s} {'fresh':>8s} {'ratio':>7s}")
+        for name in sorted(set(bt) | set(ft)):
+            b, f = bt.get(name), ft.get(name)
+            if b is None or f is None:
+                continue
+            r = f / b if b else float("inf")
+            flag = "  <-- slower" if r > 1.3 else ""
+            if r > 1.3:
+                worse.append(name)
+            print(f"{name:24s} {b:8.3f} {f:8.3f} {r:6.2f}x{flag}")
+        print(
+            f"{'TPCH TOTAL':24s} {base['tpch_total']:8.3f} "
+            f"{fresh['tpch_total']:8.3f}"
+        )
     if worse:
         print("regressions (>1.3x):", ", ".join(worse))
 

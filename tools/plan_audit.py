@@ -33,6 +33,10 @@ DEFAULT = [
     # r7 additions: Q17/Q21/Q22/Q15 shapes
     "q_tpch_small_qty", "q_tpch_waiting_supplier",
     "q_tpch_sales_opportunity", "q_tpch_top_supplier",
+    # r7 late additions: Q6/Q7/Q9/Q13/Q14/Q19 shapes
+    "q_tpch_forecast_revenue", "q_tpch_volume_shipping",
+    "q_tpch_product_profit", "q_tpch_customer_distribution",
+    "q_tpch_promo_effect", "q_tpch_discounted_brands",
 ]
 
 MARKS = [
