@@ -50,7 +50,7 @@ MAINTENANCE = [
 ]
 
 # Third headline group (r7): the TPC-H-shaped relational family — one
-# number for OLAP throughput across all 16 shapes, so a plan regression
+# number for OLAP throughput across all 19 shapes, so a plan regression
 # in the join/agg layer is visible without touching the r1-r6 headline
 # series.
 TPCH = [
