@@ -63,20 +63,28 @@ from pyspark.sql import functions as F
 CURRENT = "CURRENT"
 
 
-def _compact(df: DataFrame, key_col: str) -> DataFrame:
-    """One row per key: all columns taken from the (ts, event_id)-max
-    row, n_versions summed (so it accumulates across merges)."""
-    ver = F.struct(F.col("ts"), F.col("event_id"))
+def _compact(
+    df: DataFrame,
+    key_col: str,
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+) -> DataFrame:
+    """One row per key: every column taken from the key's order_cols-max
+    row (max_by against the version struct — schema-agnostic, so the
+    sink upserts ANY table, not just the events shape), n_versions
+    summed so it accumulates across merges. Column order is preserved
+    from the input frame."""
+    ver = F.struct(*[F.col(c) for c in order_cols])
     nv = (
         F.sum("n_versions")
         if "n_versions" in df.columns
         else F.count(F.lit(1))
     )
     return df.groupBy(key_col).agg(
-        F.max_by("event_id", ver).alias("event_id"),
-        F.max("ts").alias("ts"),
-        F.max_by("event_type", ver).alias("event_type"),
-        F.max_by("value", ver).alias("value"),
+        *[
+            F.max_by(c, ver).alias(c)
+            for c in df.columns
+            if c not in (key_col, "n_versions")
+        ],
         nv.cast("bigint").alias("n_versions"),
     )
 
@@ -263,9 +271,12 @@ def upsert_latest(
     key_col: str = "user_id",
     checkpoint_dir: str | None = None,
     n_buckets: int = 8,
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
 ):
     """Start the upsert stream; returns the StreamingQuery. Read the
-    live state with ``read_state(spark, state_dir)``."""
+    live state with ``read_state(spark, state_dir)``. Schema-agnostic:
+    any stream upserts on ``key_col`` with versions ordered by
+    ``order_cols`` (every other column rides along via max_by)."""
     os.makedirs(state_dir, exist_ok=True)
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
@@ -275,7 +286,7 @@ def upsert_latest(
             return  # checkpoint replay of an already-published batch
         nb = _effective_buckets(man, n_buckets)
         man["n_buckets"] = nb
-        delta = _compact(batch_df, key_col).withColumn(
+        delta = _compact(batch_df, key_col, order_cols).withColumn(
             "_bucket", _bucket_of(key_col, nb)
         )
         delta.cache()
@@ -289,7 +300,7 @@ def upsert_latest(
             if live:
                 cur = spark.read.parquet(*live)
                 merged = _compact(
-                    cur.unionByName(delta.drop("_bucket")), key_col
+                    cur.unionByName(delta.drop("_bucket")), key_col, order_cols
                 ).withColumn("_bucket", _bucket_of(key_col, nb))
             else:
                 merged = delta

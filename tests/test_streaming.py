@@ -1346,3 +1346,53 @@ def test_compact_state_preserves_rows_and_untouched_buckets(spark, tmp_path):
     }
     assert got[10] == (99, "z", 3)  # 2 pre-compaction versions + 1
     assert len(got) == 6
+
+
+def test_upsert_sink_schema_agnostic(spark, tmp_path):
+    """The upsert sink is not welded to the events shape: a documents-
+    like stream keyed by doc_id, version-ordered by (rev, src_file),
+    upserts with every other column riding along and n_versions
+    accumulating — same protocol, different schema."""
+    from sfa_spark.streaming import sinks
+
+    rows = [
+        (1, 1, "f0", "hello", "en"),
+        (2, 1, "f0", "welt", "de"),
+        (1, 2, "f1", "hello v2", "en"),
+        (3, 1, "f1", "bonjour", "fr"),
+        (1, 3, "f2", "hello v3", "uk"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, rev int, src_file string, body string, lang string"
+    )
+    src = str(tmp_path / "docs_src")
+    df.repartition(3).write.parquet(src)
+    state_dir = str(tmp_path / "docs_state")
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sinks.upsert_latest(
+        stream,
+        state_dir,
+        key_col="doc_id",
+        n_buckets=4,
+        order_cols=("rev", "src_file"),
+    ).awaitTermination(120)
+    state = sinks.read_state(spark, state_dir)
+    assert state.columns == [
+        "doc_id", "rev", "src_file", "body", "lang", "n_versions"
+    ]
+    got = {
+        r["doc_id"]: (r["rev"], r["body"], r["lang"], r["n_versions"])
+        for r in state.collect()
+    }
+    assert got == {
+        1: (3, "hello v3", "uk", 3),
+        2: (1, "welt", "de", 1),
+        3: (1, "bonjour", "fr", 1),
+    }
+    # keyed point lookup works over the foreign schema too
+    one = sinks.read_key(spark, state_dir, 1, key_col="doc_id").collect()
+    assert len(one) == 1 and one[0]["body"] == "hello v3"
