@@ -463,3 +463,27 @@ def compact_state(
             {new_buckets[str(b)], man["buckets"][str(b)]},
         )
     return done
+
+
+def read_asof(
+    spark: SparkSession,
+    state_dir: str,
+    key,
+    ts,
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Point-in-time lookup over a bucketed SCD2 state: the version of
+    ``key`` that was valid at ``ts`` — ``valid_from <= ts AND
+    (valid_to IS NULL OR ts < valid_to)``, the interval semantics
+    scd2_history defines (operators/temporal.py:258). Rides read_key,
+    so only the key's OWN bucket is scanned: at 100 TB dimension
+    history this is the time-travel read the bucketed layout exists
+    for — state/n_buckets bytes touched, not the table. Returns zero
+    or one row (intervals within a key are disjoint by construction;
+    zero when the key did not exist yet at ``ts``)."""
+    hist = read_key(spark, state_dir, key, key_col)
+    t = F.lit(ts).cast(hist.schema["valid_from"].dataType)
+    return hist.where(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (t < F.col("valid_to")))
+    )

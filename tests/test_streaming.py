@@ -1396,3 +1396,44 @@ def test_upsert_sink_schema_agnostic(spark, tmp_path):
     # keyed point lookup works over the foreign schema too
     one = sinks.read_key(spark, state_dir, 1, key_col="doc_id").collect()
     assert len(one) == 1 and one[0]["body"] == "hello v3"
+
+
+def test_read_asof_point_in_time_over_scd2_state(spark, tmp_path):
+    """read_asof returns the version valid at the probe ts (zero or one
+    row) and scans only the key's own bucket — the time-travel read the
+    bucketed SCD2 layout exists for."""
+    import os
+
+    from sfa_spark.streaming import sinks
+
+    # user 7 has versions at ts 7, 107, 207, 307 (k = 0..3)
+    rows = []
+    eid = 0
+    for u in range(8):
+        for k in range(1 + u % 4):
+            rows.append((eid, 100 * k + u, u, f"s{k}", float(k)))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, event_type string, value double"
+    )
+    src = str(tmp_path / "src")
+    ev.coalesce(1).write.parquet(src)
+    state_dir = str(tmp_path / "state")
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    sinks.scd2_sink(stream, state_dir, n_buckets=4).awaitTermination(120)
+
+    # before the key existed → no row
+    assert sinks.read_asof(spark, state_dir, 7, 0).count() == 0
+    # mid-interval: ts=150 falls in [107, 207) → version 2 (k=1)
+    mid = sinks.read_asof(spark, state_dir, 7, 150).collect()
+    assert len(mid) == 1 and mid[0]["event_type"] == "s1"
+    assert mid[0]["valid_from"] == 107 and mid[0]["valid_to"] == 207
+    # boundary: ts exactly at a version start belongs to that version
+    at = sinks.read_asof(spark, state_dir, 7, 207).collect()
+    assert len(at) == 1 and at[0]["event_type"] == "s2"
+    # after the last version → the open (is_current) row
+    cur = sinks.read_asof(spark, state_dir, 7, 10**9).collect()
+    assert len(cur) == 1 and cur[0]["is_current"] and cur[0]["event_type"] == "s3"
+    # single-bucket scan: the probe plan reads files from ONE bucket dir
+    files = sinks.read_asof(spark, state_dir, 7, 150).inputFiles()
+    assert files and len({f.split("/bucket=")[1].split("/")[0] for f in files}) == 1
