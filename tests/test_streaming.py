@@ -1437,3 +1437,52 @@ def test_read_asof_point_in_time_over_scd2_state(spark, tmp_path):
     # single-bucket scan: the probe plan reads files from ONE bucket dir
     files = sinks.read_asof(spark, state_dir, 7, 150).inputFiles()
     assert files and len({f.split("/bucket=")[1].split("/")[0] for f in files}) == 1
+
+
+def test_compact_fold_split_invariant_random(spark):
+    """The sink's correctness core: _compact folded over ANY ordered
+    batch split equals _compact of the whole changelog — the max_by
+    fold is associative and n_versions accumulates exactly. Random
+    data with ts ties (the (ts, event_id) struct breaks them) and
+    random split points, driver-checked against a per-key python
+    evaluation."""
+    import numpy as np
+
+    from sfa_spark.streaming.sinks import _compact
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (
+            int(i),
+            int((rng.integers(0, 50) // 7) * 7),  # forced ts ties
+            int(rng.integers(0, 6)),
+            str(rng.choice(["a", "b", "c"])),
+            float(rng.integers(0, 100)),
+        )
+        for i in range(60)
+    ]
+    schema = "event_id long, ts long, user_id long, event_type string, value double"
+    whole = spark.createDataFrame(rows, schema)
+    want = {
+        r["user_id"]: tuple(r)
+        for r in _compact(whole, "user_id").collect()
+    }
+    # python oracle: max by (ts, event_id) per key + count
+    for u in {r[2] for r in rows}:
+        mine = [r for r in rows if r[2] == u]
+        top = max(mine, key=lambda r: (r[1], r[0]))
+        assert want[u] == (u, top[0], top[1], top[3], top[4], len(mine))
+    for seed in (1, 2, 3):
+        srng = np.random.default_rng(seed)
+        cuts = sorted(srng.choice(range(1, 60), size=3, replace=False))
+        parts = np.split(np.arange(60), cuts)
+        state = None
+        for part in parts:
+            batch = spark.createDataFrame([rows[i] for i in part], schema)
+            state = (
+                _compact(batch, "user_id")
+                if state is None
+                else _compact(state.unionByName(_compact(batch, "user_id")), "user_id")
+            )
+        got = {r["user_id"]: tuple(r) for r in state.collect()}
+        assert got == want, f"split seed {seed}"

@@ -14,6 +14,10 @@ sys.path.insert(0, ".")
 DEFAULT_QUERIES = [
     "q_tpch_pricing", "q_top_customers", "q_znorm", "q_bag_topk",
     "q_boss_1nn", "q_cosine_topk", "q_jaccard_topk", "q_index_knn",
+    # r7: the canonical pushdown showcase — every Q6 predicate must
+    # appear in PushedFilters and the plan must be Exchange-free up to
+    # the single-row aggregate
+    "q_tpch_forecast_revenue",
 ]
 
 
@@ -28,7 +32,13 @@ def audit(name: str, df) -> None:
         "| sort-merge joins:",
         len(re.findall(r"SortMergeJoin", plan)),
     )
-    pf = [x for x in re.findall(r"PushedFilters: \[([^\]]*)\]", plan) if x]
+    # the scan node's toString is width-truncated ("...") — capture to
+    # end of line, not to the closing bracket, or real pushdowns vanish
+    pf = [
+        x.split("], ")[0].rstrip("]")
+        for x in re.findall(r"PushedFilters: \[([^\n]*)", plan)
+    ]
+    pf = [x for x in pf if x]
     if pf:
         print("  pushed filters:", pf[:3])
     part = re.findall(r"PartitionFilters: \[([^\]]+)\]", plan)
