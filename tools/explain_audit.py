@@ -35,7 +35,7 @@ def audit(name: str, df) -> None:
     # the scan node's toString is width-truncated ("...") — capture to
     # end of line, not to the closing bracket, or real pushdowns vanish
     pf = [
-        x.split("], ")[0].rstrip("]")
+        re.split(r"\], |, ReadSchema|, Format", x)[0].rstrip("]")
         for x in re.findall(r"PushedFilters: \[([^\n]*)", plan)
     ]
     pf = [x for x in pf if x]
