@@ -182,3 +182,29 @@ def test_market_share_join_bucketed_elides_big_join_exchange(
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_li")
         spark.sql("DROP TABLE IF EXISTS bkt_ord")
+
+
+def test_q6_shape_full_pushdown_zero_shuffle(spark, sf_dir):
+    """The Q6 shape's claims are structural: every predicate reaches
+    the parquet scan (PushedFilters carries the shipdate bounds, the
+    discount band, and the quantity cap), the scan reads ONLY the four
+    referenced columns, and the plan has no hash-partitioning Exchange
+    (the single global sum is map-side combinable into one
+    SinglePartition gather)."""
+    from sfa_spark import queries as Q
+
+    df = Q.q_tpch_forecast_revenue(spark, sf_dir)
+    plan = _final_plan(df)
+    assert "Exchange hashpartitioning" not in plan, plan
+    scan = next(ln for ln in plan.splitlines() if "FileScan parquet" in ln)
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in scan, scan
+    assert "GreaterThanOrEqual(l_shipda" in scan, scan
+    # column pruning: the scan's projected schema is exactly the four
+    # referenced columns
+    import re
+
+    cols = re.search(r"FileScan parquet \[([^\]]*)\]", scan).group(1)
+    names = {c.split("#")[0] for c in cols.split(",")}
+    assert names == {
+        "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"
+    }, names
