@@ -4,8 +4,8 @@ entry(spark)   — flagship query (events → sliding z-norm → PAA →
                  equi-width SFA words → numerosity-reduced bags →
                  top-k patterns per entity) at sf0.001.
 queries()      — one entry per implemented SURVEY §2 operator.
-oracle_sql()   — matching DuckDB SQL for EVERY registered query (169/
-                 169 in r7, zero rows-only): iterative fits are
+oracle_sql()   — matching DuckDB SQL for EVERY registered query (172/
+                 172 in r7, zero rows-only): iterative fits are
                  replayed exactly (recursive-CTE BPE trainer) or
                  checked through invariant surrogate surfaces
                  (_predict_invariants); everything else is mirrored
@@ -72,6 +72,9 @@ ROTATE_FIRST = [
     "q_tpch_customer_distribution",  # Q13 shape (left-join double agg)
     "q_tpch_promo_effect",       # Q14 shape (conditional-agg ratio)
     "q_tpch_discounted_brands",  # Q19 shape (disjunctive predicates)
+    "q_tpch_min_cost_supplier",  # Q2 shape (decorrelated min-per-part)
+    "q_tpch_important_stock",    # Q11 shape (share-of-global HAVING)
+    "q_tpch_excess_stock_supplier",  # Q20 shape (flattened EXISTS chain)
     # (c) implementation touched in r7
     "q_scd2_apply",              # structural ordering precondition
     "q_stream_scd2",             # bucketed per-bucket merge sink
@@ -91,8 +94,7 @@ ROTATE_FIRST = [
     # fill; all hold green r4 rows and were replayed green this round)
     "q_ann_recall", "q_asof_join", "q_bloom_decontaminate",
     "q_cdc_chunks", "q_corr_pricing", "q_countmin_tokens",
-    "q_doc_chunks", "q_dup_spans", "q_dwt_coefs",
-    "q_event_cooccurrence", "q_funnel",
+    "q_doc_chunks", "q_dup_spans",
 ]
 
 

@@ -50,11 +50,12 @@ MAINTENANCE = [
 ]
 
 # Third headline group (r7): the TPC-H-shaped relational family — one
-# number for OLAP throughput across all 19 shapes, so a plan regression
+# number for OLAP throughput across all 22 shapes, so a plan regression
 # in the join/agg layer is visible without touching the r1-r6 headline
 # series.
 TPCH = [
     "q_tpch_pricing",              # Q1  scan-agg
+    "q_tpch_min_cost_supplier",    # Q2  decorrelated min-per-part
     "q_tpch_shipping",             # Q3  top-k join
     "q_tpch_order_priority",       # Q4  semi-join count
     "q_tpch_local_supplier",       # Q5  multi-dim join chain
@@ -63,6 +64,7 @@ TPCH = [
     "q_tpch_market_share",         # Q8  share-of-total
     "q_tpch_product_profit",       # Q9  profit rollup
     "q_tpch_returned_revenue",     # Q10 returned-item revenue
+    "q_tpch_important_stock",      # Q11 share-of-global HAVING
     "q_tpch_shipmode_priority",    # Q12 big-big join + CASE counts
     "q_tpch_customer_distribution",  # Q13 left-join double agg
     "q_tpch_promo_effect",         # Q14 conditional-agg ratio
@@ -71,6 +73,7 @@ TPCH = [
     "q_tpch_small_qty",            # Q17 decorrelated scalar subquery
     "q_tpch_big_orders",           # Q18 HAVING pre-aggregation
     "q_tpch_discounted_brands",    # Q19 disjunctive predicates
+    "q_tpch_excess_stock_supplier",  # Q20 flattened EXISTS chain
     "q_tpch_waiting_supplier",     # Q21 semi+anti pair
     "q_tpch_sales_opportunity",    # Q22 scalar subquery + anti
 ]

@@ -1757,3 +1757,86 @@ WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1.0 AND 11.0
    OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20.0 AND 30.0
        AND p_size BETWEEN 1 AND 15)
 GROUP BY 1"""
+
+
+# Shared derived-partsupp CTE for the Q2/Q11/Q20 shapes (r7): one row
+# per observed (partkey, suppkey) pair with exact shipped qty and
+# key-derived cost/stock — pure integer arithmetic, engine-identical.
+_PS = """ps AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+           AS ps_shipped_qty,
+         CAST((l_partkey * 37 + l_suppkey * 17) % 1000 AS DOUBLE) / 100.0
+           + 1.0 AS ps_supplycost,
+         CAST((l_partkey * 31 + l_suppkey * 7) % 50 + 1 AS BIGINT)
+           AS ps_availqty
+  FROM lineitem GROUP BY 1, 2
+)"""
+
+
+# q_tpch_min_cost_supplier: Q2-shaped decorrelated MIN-per-part (r7).
+ORACLES["q_tpch_min_cost_supplier"] = f"""WITH {_PS},
+eu AS (
+  SELECT s_suppkey, s_name, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+pse AS (
+  SELECT ps.*, eu.s_name, eu.n_name
+  FROM ps JOIN eu ON ps_suppkey = s_suppkey
+),
+minc AS (
+  SELECT ps_partkey, min(ps_supplycost) AS min_cost FROM pse GROUP BY 1
+)
+SELECT ps_partkey, p_brand, s_name, n_name,
+       round(ps_supplycost + 1e-9, 4) + 0.0 AS supplycost
+FROM pse
+JOIN minc USING (ps_partkey)
+JOIN part ON ps_partkey = p_partkey
+WHERE ps_supplycost = min_cost AND p_type = 'LARGE'"""
+
+
+# q_tpch_important_stock: Q11-shaped share-of-global HAVING (r7).
+ORACLES["q_tpch_important_stock"] = f"""WITH {_PS},
+asia AS (
+  SELECT s_suppkey FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+),
+val AS (
+  SELECT ps_partkey,
+         CAST(sum(CAST(ps_supplycost * ps_availqty AS DECIMAL(18,6)))
+              AS DOUBLE) AS value
+  FROM ps
+  WHERE ps_suppkey IN (SELECT s_suppkey FROM asia)
+  GROUP BY 1
+),
+mv AS (
+  SELECT CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+           AS mean_value
+  FROM val
+)
+SELECT ps_partkey, round(value + 1e-9, 4) + 0.0 AS value
+FROM val CROSS JOIN mv
+WHERE value > 2.0 * mean_value"""
+
+
+# q_tpch_excess_stock_supplier: Q20-shaped flattened EXISTS chain (r7).
+ORACLES["q_tpch_excess_stock_supplier"] = f"""WITH {_PS},
+hits AS (
+  SELECT ps_suppkey, CAST(count(*) AS BIGINT) AS n_excess_parts
+  FROM ps
+  WHERE ps_partkey IN (SELECT p_partkey FROM part
+                       WHERE p_name LIKE '%red%')
+    AND CAST(ps_availqty AS DOUBLE) > 0.5 * ps_shipped_qty
+  GROUP BY 1
+)
+SELECT s_name, n_name, n_excess_parts
+FROM hits
+JOIN supplier ON ps_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'AMERICA'"""

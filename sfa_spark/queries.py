@@ -1858,3 +1858,163 @@ def q_tpch_discounted_brands(spark, sf_dir):
             ).alias("revenue")
         )
     )
+
+
+def _partsupp(li):
+    """Deterministic partsupp stand-in (this schema ships no partsupp
+    table): one row per OBSERVED (partkey, suppkey) pair in lineitem,
+    with the pair's exact shipped quantity plus a key-derived supply
+    cost and stock level — pure integer arithmetic on the keys, so any
+    engine derives the identical relation. Supplier-sized output from
+    one map-side-combinable groupBy; at 100 TB this is the standard
+    trick of materializing a missing dimension from the fact table's
+    own key domain."""
+    return (
+        li.groupBy(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .agg(dec_sum("l_quantity").alias("ps_shipped_qty"))
+        .select(
+            "ps_partkey",
+            "ps_suppkey",
+            "ps_shipped_qty",
+            (
+                ((F.col("ps_partkey") * 37 + F.col("ps_suppkey") * 17) % 1000)
+                .cast("double")
+                / F.lit(100.0)
+                + F.lit(1.0)
+            ).alias("ps_supplycost"),
+            (((F.col("ps_partkey") * 31 + F.col("ps_suppkey") * 7) % 50) + 1)
+            .cast("bigint")
+            .alias("ps_availqty"),
+        )
+    )
+
+
+def q_tpch_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2-shaped minimum-cost supplier: for each LARGE part, the
+    European supplier(s) offering it at the region's minimum cost.
+    The correlated MIN subquery decorrelated the way Q17's average
+    was: one part-keyed MIN pre-aggregate joined back on the part key
+    (both sides co-partition on ps_partkey); the supplier⋈nation⋈
+    region dim chain broadcasts INTO the partsupp derivation so
+    non-European pairs never reach the aggregate; the part filter
+    broadcasts. Reference anchor: TPC-H spec Q2 (public)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    part = load_table(spark, sf_dir, "part")
+    eu = (
+        supplier.join(
+            F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+        )
+        .join(
+            F.broadcast(region.where(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    ps = _partsupp(li).join(
+        F.broadcast(eu), F.col("ps_suppkey") == eu.s_suppkey
+    )
+    minc = ps.groupBy("ps_partkey").agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    sel = part.where(F.col("p_type") == "LARGE").select("p_partkey", "p_brand")
+    return (
+        ps.join(minc, "ps_partkey")
+        .where(F.col("ps_supplycost") == F.col("min_cost"))
+        .join(F.broadcast(sel), F.col("ps_partkey") == sel.p_partkey)
+        .select(
+            "ps_partkey",
+            "p_brand",
+            "s_name",
+            "n_name",
+            rnd("ps_supplycost", 4).alias("supplycost"),
+        )
+    )
+
+
+def q_tpch_important_stock(spark, sf_dir):
+    """TPC-H Q11-shaped important stock: per part, the stock value
+    (supplycost × availqty over Asian suppliers), keeping parts whose
+    value exceeds 2× the mean part value — the share-of-global HAVING:
+    the global scalar (total value / part count) is ONE single-row
+    aggregate broadcast back into the filter, never a second scan of
+    the fact side. Reference anchor: TPC-H spec Q11 (public)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    asia = (
+        supplier.join(
+            F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+        )
+        .join(
+            F.broadcast(region.where(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey")
+    )
+    ps = _partsupp(li).join(
+        F.broadcast(asia), F.col("ps_suppkey") == asia.s_suppkey, "left_semi"
+    )
+    val = ps.groupBy("ps_partkey").agg(
+        dec_sum(F.col("ps_supplycost") * F.col("ps_availqty")).alias("value")
+    )
+    mean = val.agg(
+        (dec_sum("value") / F.count(F.lit(1)).cast("double")).alias("mean_value")
+    )
+    return (
+        val.crossJoin(F.broadcast(mean))
+        .where(F.col("value") > 2.0 * F.col("mean_value"))
+        .select("ps_partkey", rnd("value", 4).alias("value"))
+    )
+
+
+def q_tpch_excess_stock_supplier(spark, sf_dir):
+    """TPC-H Q20-shaped excess-stock supplier: American suppliers
+    holding more stock of some red part than half of what they ever
+    shipped of it. Q20's nested EXISTS chain flattened: the correlated
+    half-of-shipped threshold is row-local on the derived partsupp
+    (the pair's shipped quantity is already aggregated there); the red
+    part filter is a broadcast SEMI join; suppliers with ≥1 passing
+    pair reach the output through ONE distinct-aggregate, with the
+    nation dim broadcast for naming. Reference anchor: TPC-H spec Q20
+    (public)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    part = load_table(spark, sf_dir, "part")
+    red = part.where(F.col("p_name").contains("red")).select("p_partkey")
+    ps = (
+        _partsupp(li)
+        .join(
+            F.broadcast(red),
+            F.col("ps_partkey") == red.p_partkey,
+            "left_semi",
+        )
+        .where(
+            F.col("ps_availqty").cast("double")
+            > 0.5 * F.col("ps_shipped_qty")
+        )
+    )
+    am = (
+        supplier.join(
+            F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+        )
+        .join(
+            F.broadcast(region.where(F.col("r_name") == "AMERICA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    hits = ps.groupBy("ps_suppkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_excess_parts")
+    )
+    return hits.join(
+        F.broadcast(am), hits.ps_suppkey == am.s_suppkey
+    ).select("s_name", "n_name", "n_excess_parts")

@@ -37,6 +37,9 @@ DEFAULT = [
     "q_tpch_forecast_revenue", "q_tpch_volume_shipping",
     "q_tpch_product_profit", "q_tpch_customer_distribution",
     "q_tpch_promo_effect", "q_tpch_discounted_brands",
+    # r7 final additions: Q2/Q11/Q20 over the derived partsupp
+    "q_tpch_min_cost_supplier", "q_tpch_important_stock",
+    "q_tpch_excess_stock_supplier",
 ]
 
 MARKS = [
