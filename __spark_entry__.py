@@ -90,8 +90,10 @@ ROTATE_FIRST = [
     "q_stream_window_stats", "q_tfidf_accuracy", "q_top_customers",
     "q_tpch_pricing",
     # (e) round-4-aged fill to exactly 50 (alphabetical; the remaining
-    # r4 rows — q_hard_negatives, q_hll_by_lang onward — lead r8's
-    # fill; all hold green r4 rows and were replayed green this round)
+    # r4 rows — q_dwt_coefs, q_event_cooccurrence, q_funnel,
+    # q_hard_negatives, q_hll_by_lang onward — lead r8's fill; all
+    # hold green r4 rows and were replayed green this round in the
+    # full 172-query sf0.01 sweep)
     "q_ann_recall", "q_asof_join", "q_bloom_decontaminate",
     "q_cdc_chunks", "q_corr_pricing", "q_countmin_tokens",
     "q_doc_chunks", "q_dup_spans",
