@@ -53,14 +53,43 @@ Scale/state notes:
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
 import shutil
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 CURRENT = "CURRENT"
+LOCKFILE = "LOCK"
+
+
+@contextmanager
+def _state_lock(state_dir: str):
+    """Exclusive advisory lock (fcntl flock on ``<state_dir>/LOCK``)
+    serializing every manifest COMMIT section: merge publish and
+    compaction each hold it across re-read-manifest → decide →
+    _commit_manifest → _retain. The expensive work (Spark rewrite of
+    bucket data) happens OUTSIDE the lock against staged directories;
+    only the cheap pointer surgery is serialized, so a compaction
+    running beside a live stream cannot clobber a merge's committed
+    buckets (the r7 race: compaction's unlocked read-modify-write of
+    CURRENT could overwrite a concurrent merge's applied id and bucket
+    pointers, after which retention deleted the merged data). flock is
+    per-open-file-description, so concurrent PROCESSES on one host
+    serialize too; on a cluster the equivalent commit token is the
+    object store's conditional put."""
+    fd = os.open(
+        os.path.join(state_dir, LOCKFILE), os.O_CREAT | os.O_RDWR, 0o644
+    )
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        yield
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
 
 
 def _compact(
@@ -72,7 +101,17 @@ def _compact(
     row (max_by against the version struct — schema-agnostic, so the
     sink upserts ANY table, not just the events shape), n_versions
     summed so it accumulates across merges. Column order is preserved
-    from the input frame."""
+    from the input frame.
+
+    REQUIREMENT: ``order_cols`` must be a unique key per row WITHIN a
+    key (the default ``(ts, event_id)`` is; a bare non-unique timestamp
+    is not). With ties, max_by picks an arbitrary tied row per
+    partition, so the fold-over-splits invariant the sink's
+    exactly-once story rests on is no longer deterministic — the same
+    changelog could compact to different "latest" rows depending on
+    batch boundaries. Callers with a non-unique ordering column must
+    append a deterministic tiebreaker (an id, a line number) to
+    ``order_cols``."""
     ver = F.struct(*[F.col(c) for c in order_cols])
     nv = (
         F.sum("n_versions")
@@ -165,26 +204,39 @@ def _publish_buckets(
         finally:
             os.close(dfd)
     shutil.rmtree(stage, ignore_errors=True)
-    prev = {str(b): manifest["buckets"].get(str(b)) for b in touched}
-    new_manifest = {
-        "applied": batch_id,
-        "n_buckets": manifest["n_buckets"],
-        "buckets": {
-            **manifest["buckets"],
-            **{str(b): vname for b in touched},
-        },
-    }
-    _commit_manifest(state_dir, new_manifest)
-    # deferred deletion, per bucket: keep the new version AND the
-    # previously live one (N-1 retention) so (a) a machine crash always
-    # leaves one durable version, (b) a concurrent reader that resolved
-    # the old manifest can finish its scan — the old version dies on
-    # the NEXT merge that touches the bucket, not while it may be live
-    for b in touched:
-        _retain(
-            os.path.join(state_dir, f"bucket={b}"),
-            {vname, prev[str(b)]} - {None},
-        )
+    # Commit under the state lock, against a FRESH manifest read: a
+    # concurrent compact_state may have flipped buckets (touched or
+    # not) since this merge snapshotted ``manifest`` at batch start.
+    # Starting from the fresh pointer map keeps those flips; the
+    # retention keep-set uses the fresh previous version so a bucket
+    # compacted mid-merge retires its pre-compaction dir, not the
+    # live compacted one. (Merges of one stream are serialized by
+    # foreachBatch, so fresh.applied < batch_id always; max() is
+    # defensive.)
+    with _state_lock(state_dir):
+        fresh = _read_manifest(state_dir)
+        fresh.setdefault("n_buckets", manifest["n_buckets"])
+        prev = {str(b): fresh["buckets"].get(str(b)) for b in touched}
+        new_manifest = {
+            "applied": max(batch_id, fresh.get("applied", -1)),
+            "n_buckets": fresh["n_buckets"],
+            "buckets": {
+                **fresh["buckets"],
+                **{str(b): vname for b in touched},
+            },
+        }
+        _commit_manifest(state_dir, new_manifest)
+        # deferred deletion, per bucket: keep the new version AND the
+        # previously live one (N-1 retention) so (a) a machine crash
+        # always leaves one durable version, (b) a concurrent reader
+        # that resolved the old manifest can finish its scan — the old
+        # version dies on the NEXT merge that touches the bucket, not
+        # while it may be live
+        for b in touched:
+            _retain(
+                os.path.join(state_dir, f"bucket={b}"),
+                {vname, prev[str(b)]} - {None},
+            )
 
 
 def _commit_manifest(state_dir: str, manifest: dict) -> None:
@@ -276,7 +328,9 @@ def upsert_latest(
     """Start the upsert stream; returns the StreamingQuery. Read the
     live state with ``read_state(spark, state_dir)``. Schema-agnostic:
     any stream upserts on ``key_col`` with versions ordered by
-    ``order_cols`` (every other column rides along via max_by)."""
+    ``order_cols`` (every other column rides along via max_by).
+    ``order_cols`` must uniquely order rows within a key — see
+    _compact's requirement note."""
     os.makedirs(state_dir, exist_ok=True)
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
@@ -393,9 +447,24 @@ def compact_state(
     the next write to the bucket), and a crash anywhere before the swap
     leaves the old version live with orphan staging cleaned up on the
     next attempt. The ``applied`` batch id is UNCHANGED — compaction is
-    not a batch, so checkpoint-replay detection is unaffected and a
-    concurrent merge of the next micro-batch still lands exactly-once.
+    not a batch, so checkpoint-replay detection is unaffected.
     Buckets below the thresholds are never opened or rewritten.
+
+    Concurrency (r8): safe to schedule beside the live stream. The
+    expensive rewrite runs UNLOCKED against staged directories reading
+    a snapshot manifest; the commit (_commit_compaction) then holds the
+    state lock, re-reads the manifest, and flips ONLY buckets whose
+    live version is still the one the rewrite read — a bucket a
+    concurrent merge rewrote meanwhile keeps the merge's pointer and
+    the now-stale staged rewrite is discarded (compaction is free to
+    redo it next pass; losing idempotent maintenance work is the cheap
+    side of the race). The merge publish holds the same lock across
+    its own re-read → commit → retain, so neither writer can overwrite
+    the other's committed pointers or applied id (the r7 VERDICT's
+    unlocked read-modify-write). One residual reader caveat: a bucket
+    compacted mid-scan retains its pre-compaction version only until
+    the NEXT write to that bucket — the same N-1 window every reader
+    already has.
 
     Row contents are untouched (rewrite = read + repartition + write);
     returns {bucket: (files_before, files_after)} for the buckets it
@@ -413,8 +482,11 @@ def compact_state(
     man = _read_manifest(state_dir)
     if not man["buckets"]:
         raise ValueError(f"no published state under {state_dir}")
-    done: dict[int, tuple[int, int]] = {}
-    new_buckets = dict(man["buckets"])
+    # Phase 1 (UNLOCKED, the expensive part): rewrite each fragmented
+    # bucket's live version into a staged directory, reading the
+    # snapshot manifest. A concurrent merge may flip buckets meanwhile
+    # — phase 2 detects that per bucket and discards the stale rewrite.
+    staged: dict[str, tuple[str, str, str, int]] = {}
     for b, ver in sorted(man["buckets"].items(), key=lambda kv: int(kv[0])):
         bdir = os.path.join(state_dir, f"bucket={b}")
         live = os.path.join(bdir, ver)
@@ -436,32 +508,60 @@ def compact_state(
         spark.read.parquet(live).repartition(n_out).write.mode(
             "overwrite"
         ).parquet(stage)
-        dst = os.path.join(bdir, vname)
-        if os.path.isdir(dst):  # crashed between rename and commit
-            shutil.rmtree(dst)
-        os.rename(stage, dst)
-        dfd = os.open(bdir, os.O_RDONLY)
-        try:
-            os.fsync(dfd)
-        finally:
-            os.close(dfd)
-        new_buckets[b] = vname
-        done[int(b)] = (n_files, dir_stats(dst)[0])
-    if not done:
-        return done
-    _commit_manifest(
-        state_dir,
-        {
-            "applied": man["applied"],
-            "n_buckets": man["n_buckets"],
-            "buckets": new_buckets,
-        },
-    )
-    for b in done:
-        _retain(
-            os.path.join(state_dir, f"bucket={b}"),
-            {new_buckets[str(b)], man["buckets"][str(b)]},
+        staged[b] = (ver, vname, stage, n_files)
+    if not staged:
+        return {}
+    return _commit_compaction(state_dir, staged)
+
+
+def _commit_compaction(
+    state_dir: str, staged: dict[str, tuple[str, str, str, int]]
+) -> dict[int, tuple[int, int]]:
+    """Phase 2 of compact_state, split out so tests can interleave a
+    merge between the phases. Under the state lock: re-read the
+    manifest; for each staged bucket, flip it ONLY if its live version
+    is still the one the rewrite read (else discard the stale stage —
+    a concurrent merge superseded it); rename staged dirs into place
+    (inside the lock, so a merge's _retain can never sweep a
+    renamed-but-uncommitted compaction dir); commit with the FRESH
+    applied id and pointer map; retain N-1 per flipped bucket."""
+    from sfa_spark.sources.maintenance import dir_stats
+
+    done: dict[int, tuple[int, int]] = {}
+    with _state_lock(state_dir):
+        fresh = _read_manifest(state_dir)
+        flips: dict[str, str] = {}
+        old: dict[str, str] = {}
+        for b, (ver, vname, stage, n_before) in staged.items():
+            bdir = os.path.join(state_dir, f"bucket={b}")
+            if fresh["buckets"].get(b) != ver:
+                shutil.rmtree(stage, ignore_errors=True)  # stale rewrite
+                continue
+            dst = os.path.join(bdir, vname)
+            if os.path.isdir(dst):  # crashed between rename and commit
+                shutil.rmtree(dst)
+            os.rename(stage, dst)
+            dfd = os.open(bdir, os.O_RDONLY)
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
+            flips[b], old[b] = vname, ver
+            done[int(b)] = (n_before, dir_stats(dst)[0])
+        if not flips:
+            return {}
+        _commit_manifest(
+            state_dir,
+            {
+                "applied": fresh["applied"],
+                "n_buckets": fresh["n_buckets"],
+                "buckets": {**fresh["buckets"], **flips},
+            },
         )
+        for b in flips:
+            _retain(
+                os.path.join(state_dir, f"bucket={b}"), {flips[b], old[b]}
+            )
     return done
 
 

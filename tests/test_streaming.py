@@ -1486,3 +1486,126 @@ def test_compact_fold_split_invariant_random(spark):
             )
         got = {r["user_id"]: tuple(r) for r in state.collect()}
         assert got == want, f"split seed {seed}"
+
+
+def test_compaction_commit_discards_stale_buckets_after_concurrent_merge(
+    spark, tmp_path
+):
+    """The r7 ADVICE race, made deterministic by the two-phase split:
+    compaction's rewrite reads a snapshot manifest; a merge commits to
+    one of the staged buckets before compaction's commit. The locked
+    _commit_compaction must (a) DISCARD the stale staged bucket — the
+    merge's committed pointer and data survive untouched, (b) still
+    flip the bucket the merge did not supersede, and (c) carry the
+    merge's applied id forward instead of reverting it."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from sfa_spark.streaming import sinks
+
+    state_dir = str(tmp_path / "state")
+    os.makedirs(state_dir)
+    nb = 4
+    schema = "user_id long, event_id long, ts long, val string"
+
+    def publish(rows, batch_id, man):
+        df = spark.createDataFrame(rows, schema).withColumn(
+            "_bucket", sinks._bucket_of("user_id", nb)
+        )
+        touched = sorted(
+            r[0] for r in df.select("_bucket").distinct().collect()
+        )
+        sinks._publish_buckets(state_dir, df, touched, batch_id, man)
+        return touched
+
+    # batch 0: enough keys to hit >=2 distinct buckets
+    rows0 = [(k, 1, 100, "a") for k in range(12)]
+    man = {"applied": -1, "n_buckets": nb, "buckets": {}}
+    publish(rows0, 0, man)
+    man0 = sinks._read_manifest(state_dir)
+    assert man0["applied"] == 0
+    populated = sorted(man0["buckets"], key=int)
+    assert len(populated) >= 2
+    b_raced, b_clean = populated[0], populated[1]
+
+    # phase 1 by hand for BOTH buckets (what compact_state does before
+    # the lock): rewrite each live version into a 1-file stage dir
+    staged = {}
+    for b in (b_raced, b_clean):
+        live = os.path.join(state_dir, f"bucket={b}", man0["buckets"][b])
+        vname = f"v{man0['applied']}c1"
+        stage = os.path.join(state_dir, f"_stage_{vname}_b{b}")
+        spark.read.parquet(live).repartition(1).write.parquet(stage)
+        staged[b] = (man0["buckets"][b], vname, stage, 99)
+
+    # concurrent merge lands on b_raced before compaction commits: pick
+    # a batch-0 key living in that bucket and upsert it
+    key_in_raced = (
+        spark.createDataFrame([(k,) for k in range(12)], "user_id long")
+        .where(sinks._bucket_of("user_id", nb) == int(b_raced))
+        .first()["user_id"]
+    )
+    full_bucket = (
+        spark.read.parquet(
+            os.path.join(state_dir, f"bucket={b_raced}", man0["buckets"][b_raced])
+        )
+        .withColumn(
+            "val",
+            F.when(F.col("user_id") == key_in_raced, F.lit("MERGED")).otherwise(
+                F.col("val")
+            ),
+        )
+        .withColumn("_bucket", F.lit(int(b_raced)).cast("int"))
+    )
+    sinks._publish_buckets(
+        state_dir, full_bucket, [int(b_raced)], 1, sinks._read_manifest(state_dir)
+    )
+    man_after_merge = sinks._read_manifest(state_dir)
+    merged_ver = man_after_merge["buckets"][b_raced]
+    assert man_after_merge["applied"] == 1 and merged_ver == "v1"
+
+    done = sinks._commit_compaction(state_dir, staged)
+    man2 = sinks._read_manifest(state_dir)
+    # (a) stale bucket: merge's pointer + data survive, stage is gone
+    assert man2["buckets"][b_raced] == merged_ver
+    assert int(b_raced) not in done
+    assert not os.path.exists(staged[b_raced][2])
+    assert not os.path.isdir(
+        os.path.join(state_dir, f"bucket={b_raced}", staged[b_raced][1])
+    )
+    # (b) unsuperseded bucket flipped to its compacted version
+    assert man2["buckets"][b_clean] == staged[b_clean][1]
+    assert int(b_clean) in done
+    # (c) applied id is the merge's, not reverted to the snapshot's
+    assert man2["applied"] == 1
+    got = {
+        r["user_id"]: r["val"]
+        for r in sinks.read_state(spark, state_dir).collect()
+    }
+    assert got[key_in_raced] == "MERGED"
+    assert len(got) == 12
+
+    # symmetric direction: a merge whose manifest SNAPSHOT predates a
+    # compaction flip must not revert the compacted pointer of a bucket
+    # it does not touch — _publish_buckets re-reads fresh under the lock
+    stale_man = sinks._read_manifest(state_dir)
+    live_clean = os.path.join(
+        state_dir, f"bucket={b_clean}", man2["buckets"][b_clean]
+    )
+    vname2, stage2 = "v1c2", os.path.join(state_dir, f"_stage_v1c2_b{b_clean}")
+    spark.read.parquet(live_clean).repartition(1).write.parquet(stage2)
+    assert sinks._commit_compaction(
+        state_dir, {b_clean: (man2["buckets"][b_clean], vname2, stage2, 99)}
+    )
+    full_raced2 = spark.read.parquet(
+        os.path.join(state_dir, f"bucket={b_raced}", merged_ver)
+    ).withColumn("_bucket", F.lit(int(b_raced)).cast("int"))
+    sinks._publish_buckets(
+        state_dir, full_raced2, [int(b_raced)], 2, stale_man
+    )
+    man3 = sinks._read_manifest(state_dir)
+    assert man3["buckets"][b_clean] == vname2  # compaction flip survives
+    assert man3["applied"] == 2
+    shutil.rmtree(state_dir)

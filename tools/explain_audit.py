@@ -33,9 +33,13 @@ def audit(name: str, df) -> None:
         len(re.findall(r"SortMergeJoin", plan)),
     )
     # the scan node's toString is width-truncated ("...") — capture to
-    # end of line, not to the closing bracket, or real pushdowns vanish
+    # end of line, not to the closing bracket, or real pushdowns vanish.
+    # Anchor the end delimiter to the known following keys ("],
+    # ReadSchema"/"], Format"): a bare "], " also occurs INSIDE
+    # value-list filters like In(col, [a, b]), which would truncate the
+    # reported list mid-filter.
     pf = [
-        re.split(r"\], |, ReadSchema|, Format", x)[0].rstrip("]")
+        re.split(r"\], ReadSchema|\], Format", x)[0].rstrip("]")
         for x in re.findall(r"PushedFilters: \[([^\n]*)", plan)
     ]
     pf = [x for x in pf if x]
