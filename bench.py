@@ -199,6 +199,29 @@ def main() -> None:
             }
         )
     )
+    # LAST line: a compact summary small enough (<1 KB) that a
+    # tail-truncated capture of stdout still contains every group total
+    # + the load context — BENCH_r07.json's 2 KB tail window cut the
+    # full JSON mid-line and lost the headline number entirely. The
+    # full per-query detail is the (larger) line above.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_walltime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "headline": total,
+                "maintenance": round(sum(m_timings.values()), 3),
+                "tpch": round(sum(t_timings.values()), 3),
+                "n_queries": len(timings) + len(m_timings) + len(t_timings),
+                "loadavg_before": [round(x, 2) for x in load_before],
+                "loadavg_after": [round(x, 2) for x in load_after],
+                **gate_info,
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

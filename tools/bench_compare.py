@@ -18,8 +18,13 @@ def load(path_or_stdin):
         txt = open(path_or_stdin).read()
     # bench driver files wrap the line in {"n":..,"parsed": {...}} (and
     # may be pretty-printed across lines); accept a raw one-line JSON, a
-    # whole-file JSON document, or any line whose object nests "queries"
+    # whole-file JSON document, or any line whose object nests "queries".
+    # bench.py (r8+) prints TWO lines — full detail, then a compact
+    # tail-truncation-proof summary — so among parseable candidates
+    # prefer the one with per-group query maps (the full line) over the
+    # compact one, which carries totals only.
     candidates = [txt] + list(reversed([l for l in txt.splitlines() if l.strip()]))
+    found = []
     for chunk in candidates:
         try:
             obj = json.loads(chunk)
@@ -28,10 +33,15 @@ def load(path_or_stdin):
         if not isinstance(obj, dict):
             continue
         if "queries" in obj:
-            return obj
+            found.append(obj)
         for v in obj.values():
             if isinstance(v, dict) and "queries" in v:
-                return v
+                found.append(v)
+    for obj in found:
+        if "maintenance_queries" in obj:
+            return obj
+    if found:
+        return found[0]
     raise SystemExit(f"no bench JSON found in {path_or_stdin}")
 
 

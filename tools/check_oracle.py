@@ -31,6 +31,45 @@ TABLES = [
 ]
 
 
+# NULL timestamp sentinel: epoch timestamps are ~1.7e18 ns (positive),
+# so a large negative int64 is unambiguous and sorts deterministically
+_TS_NULL = -(2**62)
+
+
+def _ts_to_micros(df: pd.DataFrame, c: str) -> None:
+    """Rewrite a timestamp-valued column as exact int64 MICROS (NULL →
+    sentinel). Two shapes arrive here: real datetime64 columns, and the
+    valid_to-style bigint-ns-with-NULLs that pandas silently promotes
+    to float64 — where float tolerance is poison: rtol=1e-9 at epoch-ns
+    scale is ±1.7 s, wide enough to hide a real one-second drift behind
+    an 'ok' verdict. Micros survive the float64 round-trip exactly
+    (ulp at 1.7e18 is 256 ns < 0.5 us), so the compare is bit-exact."""
+    s = df[c]
+    if pd.api.types.is_datetime64_any_dtype(s):
+        v = s.values.astype("datetime64[us]").astype("int64")
+        df[c] = np.where(s.isna().to_numpy(), _TS_NULL, v)
+        return
+    v = s.to_numpy(dtype=float)
+    nan = np.isnan(v)
+    out = np.full(len(v), _TS_NULL, dtype=np.int64)
+    out[~nan] = np.round(v[~nan] / 1000.0).astype(np.int64)
+    df[c] = out
+
+
+def _looks_like_epoch_ns(s: pd.Series) -> bool:
+    """A float64 column whose non-NaN values are all integral and at
+    epoch-ns magnitude (≥ 2^53, past float64's exact-integer range) is
+    an int64 nanosecond timestamp that went through a NULL-promotion —
+    nothing else in these schemas lives at 1e18."""
+    if not np.issubdtype(s.dtype, np.floating):
+        return False
+    v = s.to_numpy()
+    v = v[~np.isnan(v)]
+    if len(v) == 0:
+        return False
+    return bool(np.all(np.abs(v) >= 2**53) and np.all(v == np.round(v)))
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
@@ -39,6 +78,10 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
                 df[c] = pd.to_numeric(df[c])
             except (ValueError, TypeError):
                 pass
+        if pd.api.types.is_datetime64_any_dtype(df[c]) or _looks_like_epoch_ns(
+            df[c]
+        ):
+            _ts_to_micros(df, c)
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
@@ -54,7 +97,12 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> str:
             ok = np.allclose(
                 av.astype(float), bv.astype(float), rtol=1e-9, atol=1e-9, equal_nan=True
             )
-            exact = np.array_equal(av.astype(float), bv.astype(float))
+            # equal_nan: aligned NaNs are bit-equal for our purposes —
+            # without it every nullable float column reported a
+            # spurious OK~ (the r7 valid_to noise)
+            exact = np.array_equal(
+                av.astype(float), bv.astype(float), equal_nan=True
+            )
             if not ok:
                 bad = np.where(
                     ~np.isclose(av.astype(float), bv.astype(float), rtol=1e-9, atol=1e-9)
