@@ -1916,7 +1916,18 @@ def q_tpch_min_cost_supplier(spark, sf_dir):
         )
         .select("s_suppkey", "s_name", "n_name")
     )
-    ps = _partsupp(li).join(
+    # the dim chain lands BELOW the pair aggregate (r8, closing the r7
+    # plan/docstring mismatch): a broadcast left-semi on the fact's own
+    # l_suppkey drops non-European rows before the groupBy — the
+    # dominant shuffle shrinks to one region's share (~5x at 100 TB).
+    # Safe because the filter key IS a grouping key: it keeps or drops
+    # whole (partkey, suppkey) groups, never changes a survivor's sum.
+    li_eu = li.join(
+        F.broadcast(eu.select("s_suppkey")),
+        li.l_suppkey == eu.s_suppkey,
+        "left_semi",
+    )
+    ps = _partsupp(li_eu).join(
         F.broadcast(eu), F.col("ps_suppkey") == eu.s_suppkey
     )
     minc = ps.groupBy("ps_partkey").agg(
@@ -1958,10 +1969,13 @@ def q_tpch_important_stock(spark, sf_dir):
         )
         .select("s_suppkey")
     )
-    ps = _partsupp(li).join(
-        F.broadcast(asia), F.col("ps_suppkey") == asia.s_suppkey, "left_semi"
+    # Asian-supplier semi-join BELOW the pair aggregate (r8): the
+    # grouping-key filter commutes with the groupBy (whole pairs kept
+    # or dropped), and the dominant shuffle carries one region's rows.
+    li_asia = li.join(
+        F.broadcast(asia), li.l_suppkey == asia.s_suppkey, "left_semi"
     )
-    val = ps.groupBy("ps_partkey").agg(
+    val = _partsupp(li_asia).groupBy("ps_partkey").agg(
         dec_sum(F.col("ps_supplycost") * F.col("ps_availqty")).alias("value")
     )
     mean = val.agg(
@@ -1990,18 +2004,6 @@ def q_tpch_excess_stock_supplier(spark, sf_dir):
     region = load_table(spark, sf_dir, "region")
     part = load_table(spark, sf_dir, "part")
     red = part.where(F.col("p_name").contains("red")).select("p_partkey")
-    ps = (
-        _partsupp(li)
-        .join(
-            F.broadcast(red),
-            F.col("ps_partkey") == red.p_partkey,
-            "left_semi",
-        )
-        .where(
-            F.col("ps_availqty").cast("double")
-            > 0.5 * F.col("ps_shipped_qty")
-        )
-    )
     am = (
         supplier.join(
             F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
@@ -2011,6 +2013,20 @@ def q_tpch_excess_stock_supplier(spark, sf_dir):
             F.col("n_regionkey") == F.col("r_regionkey"),
         )
         .select("s_suppkey", "s_name", "n_name")
+    )
+    # both grouping-key filters land BELOW the pair aggregate (r8):
+    # red parts on l_partkey, American suppliers on l_suppkey — each a
+    # broadcast left-semi that keeps or drops whole (partkey, suppkey)
+    # groups, so the aggregate sees only the qualifying slice.
+    li_f = li.join(
+        F.broadcast(red), li.l_partkey == red.p_partkey, "left_semi"
+    ).join(
+        F.broadcast(am.select("s_suppkey")),
+        F.col("l_suppkey") == am.s_suppkey,
+        "left_semi",
+    )
+    ps = _partsupp(li_f).where(
+        F.col("ps_availqty").cast("double") > 0.5 * F.col("ps_shipped_qty")
     )
     hits = ps.groupBy("ps_suppkey").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_excess_parts")
