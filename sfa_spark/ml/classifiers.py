@@ -290,6 +290,15 @@ def _fit_mllib_lr(
     from pyspark.ml.linalg import Vectors, VectorUDT
     from pyspark.sql.functions import udf
 
+    # Vector assembly must cross into Python (no JVM SQL constructor
+    # for sparse vectors), but not row-at-a-time over pickle:
+    # useArrow=True ships the grouped (cidx, cnt) arrays to the worker
+    # as Arrow batches. A @pandas_udf cannot be used here — Arrow-based
+    # pandas serialization rejects UDT return types (VectorUDT), while
+    # the arrow-optimized scalar UDF carries the UDT through its SQL
+    # representation. This is the one Python boundary on the
+    # distributed-solve path; it runs once per training series.
+
     spark = kept.sparkSession
     n_train = labels.select("series_id").distinct().count()
     label_map = [
@@ -309,7 +318,7 @@ def _fit_mllib_lr(
     ).cache()
     d = kidx.count()
 
-    @udf(VectorUDT())
+    @udf(VectorUDT(), useArrow=True)
     def _to_vec(iv):
         iv = sorted((int(i), float(c)) for i, c in iv or [])
         return Vectors.sparse(d, [i for i, _ in iv], [c for _, c in iv])
