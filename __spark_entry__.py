@@ -43,60 +43,44 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Coverage rotation: the driver's correctness gate records the FIRST
 # 50 registered queries each round; the union of rounds must cover all
-# registered queries with no stale greens. Round-7 gate leads with
-# (a) q_boss_grid_predict — the ONE query with no green gate row ever
-# (r3 row = no_oracle; its r4 oracle was never re-gated — VERDICT r6
-# task 1), (b) the four NEW r7 queries (TPC-H Q17/Q21/Q22/Q15 shapes),
-# (c) every query whose implementation changed in r7 (the scd2_apply
-# in-plan ordering guard; the bucketed-manifest rewrite of both
-# streaming MERGE sinks; the drift_psi quantile all-NULL guard),
-# (d) ALL 24 queries whose newest gate rows are round 3 (oldest
-# coverage — closes the r3 age tier entirely), and (e) round-4-aged
-# queries alphabetically filling to exactly 50 (the remaining 26 r4
-# rows — q_latest_state, q_lm_perplexity alphabetically onward — lead
-# r8's fill; all were replayed green this round in the sf0.1 sweep
-# AND the full sf0.01 registry replay).
-# Demoted queries keep their green r4/r5/r6 rows and are replayed with
+# registered queries with no stale greens. After r7 the union covers
+# all 172 registered queries (age tiers: r4 = 35, r5 = 40, r6 = 47,
+# r7 = 50). Round-8 gate leads with (a) every query whose
+# implementation changed in r8 — the Q2/Q11/Q20 shapes whose region/
+# part semi-joins moved below the derived-partsupp pair aggregate, and
+# both streaming MERGE sinks, whose manifest commit is now serialized
+# under the state lock — then (b) the ENTIRE r4 age tier (35 queries,
+# the oldest coverage; retires that tier, oldest becomes r5), and
+# (c) the r5 tier alphabetically filling to exactly 50.
+# Demoted queries keep their green r5/r6/r7 rows and are replayed with
 # tools/check_oracle.py before the round closes (log in COVERAGE.md).
 ROTATE_FIRST = [
-    # (a) the last query without a green driver gate row
-    "q_boss_grid_predict",
-    # (b) NEW in r7
-    "q_tpch_small_qty",          # Q17 shape (decorrelated per-part avg)
-    "q_tpch_waiting_supplier",   # Q21 shape (semi+anti join pair)
-    "q_tpch_sales_opportunity",  # Q22 shape (scalar subquery + anti)
-    "q_tpch_top_supplier",       # Q15 shape (scalar-max selection)
-    "q_tpch_forecast_revenue",   # Q6 shape (pure pushdown scan-agg)
-    "q_tpch_volume_shipping",    # Q7 shape (bilateral nation pair)
-    "q_tpch_product_profit",     # Q9 shape (multi-dim broadcast chain)
-    "q_tpch_customer_distribution",  # Q13 shape (left-join double agg)
-    "q_tpch_promo_effect",       # Q14 shape (conditional-agg ratio)
-    "q_tpch_discounted_brands",  # Q19 shape (disjunctive predicates)
-    "q_tpch_min_cost_supplier",  # Q2 shape (decorrelated min-per-part)
-    "q_tpch_important_stock",    # Q11 shape (share-of-global HAVING)
-    "q_tpch_excess_stock_supplier",  # Q20 shape (flattened EXISTS chain)
-    # (c) implementation touched in r7
-    "q_scd2_apply",              # structural ordering precondition
-    "q_stream_scd2",             # bucketed per-bucket merge sink
-    "q_stream_latest_state",     # bucketed per-bucket merge sink
-    "q_drift_psi_quantile",      # all-NULL reference abort guard
-    # (d) oldest coverage — newest gate rows are round 3 (all 24)
-    "q_anova_f", "q_boss_1nn", "q_cluster_balanced_sample",
-    "q_daily_revenue", "q_decontaminate", "q_dft_coefs",
-    "q_embed_clusters", "q_folds", "q_gopher_filter", "q_index_range",
-    "q_ivfpq_ann", "q_mft_sliding", "q_pla_segments", "q_pq_ann",
-    "q_repetition_stats", "q_revenue_by_nation", "q_sequence_pack",
-    "q_stream_ingest_gate", "q_stream_near_dup", "q_stream_sfa_words",
-    "q_stream_window_stats", "q_tfidf_accuracy", "q_top_customers",
-    "q_tpch_pricing",
-    # (e) round-4-aged fill to exactly 50 (alphabetical; the remaining
-    # r4 rows — q_dwt_coefs, q_event_cooccurrence, q_funnel,
-    # q_hard_negatives, q_hll_by_lang onward — lead r8's fill; all
-    # hold green r4 rows and were replayed green this round in the
-    # full 172-query sf0.01 sweep)
-    "q_ann_recall", "q_asof_join", "q_bloom_decontaminate",
-    "q_cdc_chunks", "q_corr_pricing", "q_countmin_tokens",
-    "q_doc_chunks", "q_dup_spans",
+    # (a) implementation touched in r8
+    "q_tpch_min_cost_supplier",  # Q2: semi-join below pair aggregate
+    "q_tpch_important_stock",    # Q11: same placement fix
+    "q_tpch_excess_stock_supplier",  # Q20: same + red-part pushdown
+    "q_stream_scd2",             # locked manifest commit
+    "q_stream_latest_state",     # locked manifest commit
+    # (b) the entire r4 age tier (35) — oldest gate rows, all replayed
+    # green in r7's full sf0.01 sweep
+    "q_dwt_coefs", "q_event_cooccurrence", "q_funnel",
+    "q_hard_negatives", "q_hll_by_lang", "q_hll_distinct",
+    "q_interval_join", "q_jsonl_roundtrip", "q_latency_quantiles",
+    "q_latest_state", "q_lm_perplexity", "q_mad_outliers",
+    "q_mixture_sample", "q_observed_quality",
+    "q_pattern_click_purchase", "q_pii_redact", "q_pivot_activity",
+    "q_random_projection", "q_retention", "q_rollup_revenue",
+    "q_salted_revenue", "q_scd2_history", "q_semantic_dedup",
+    "q_sfa_words_dft", "q_stream_attribution", "q_stream_countmin",
+    "q_stream_hll_distinct", "q_stream_lm_gate", "q_stream_sessionize",
+    "q_tpch_local_supplier", "q_tpch_shipping", "q_twap",
+    "q_unpivot_metrics", "q_value_outliers", "q_weighted_sample",
+    # (c) r5-aged fill to exactly 50 (alphabetical; the remaining 30
+    # r5 rows — q_drift_psi, q_edit1_pairs onward — lead r9's fill)
+    "q_apca_segments", "q_bm25_search", "q_column_profile",
+    "q_corpus_filter", "q_cosine_ivf", "q_cosine_kmeans",
+    "q_cosine_multiprobe", "q_cosine_topk", "q_dedup_exact",
+    "q_dedup_groups",
 ]
 
 
