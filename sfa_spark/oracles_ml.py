@@ -229,25 +229,42 @@ QUALIFY row_number() OVER (PARTITION BY series_id ORDER BY score DESC, label ASC
 # wins ties); winning norm's top (correct, w) member re-weighted with
 # the vote correct count (the fit() Score mutation); vote ties → larger
 # label.
-ORACLES["q_boss_grid_predict"] = f"""WITH {SERIES},
-corp AS (SELECT * FROM series WHERE n >= 32),
-combos AS (
+# r8: SHARDED into a multi-statement temp-table script, like the
+# shotgun mirror below and for the same reason: as ONE statement the
+# r7 sweep OOM'd DuckDB's temp budget at sf0.1 (reproduced this round:
+# >25 GB spill and climbing under memory_limit=16GB) — the multiply-
+# referenced CTEs (words feeds masked; bag self-joins; nn is read by
+# three consumers) keep the whole pipeline's working sets concurrently
+# live. Materializing each stage as a TEMP TABLE bounds peak memory to
+# one stage, the engine frees each working set at its statement
+# boundary, and the math is untouched (same expressions, same grouping
+# — only statement boundaries moved). The heavy LOO-pair stage is
+# additionally sharded per (norm, window) INSERT. fetchdf() returns
+# the final SELECT.
+_BGP_COMBOS = [(True, 12), (True, 16), (False, 12), (False, 16)]
+
+
+def _boss_grid_sharded() -> str:
+    head = f"""CREATE OR REPLACE TEMP TABLE bgp_corp AS
+WITH {SERIES} SELECT * FROM series WHERE n >= 32;
+CREATE OR REPLACE TEMP TABLE bgp_ck AS
+WITH combos AS (
   SELECT * FROM (VALUES (true, 12), (true, 16),
                         (false, 12), (false, 16)) AS t(nm, w)
 ),
-wvals AS (SELECT DISTINCT w FROM combos),
+ks AS (SELECT unnest(generate_series(0, 3)) AS k)
+SELECT cb.nm, cb.w, k.k,
+       CASE WHEN cb.nm THEN 2 * (k.k - 1) ELSE 2 * k.k END AS segb
+FROM combos cb CROSS JOIN ks k
+WHERE (cb.nm AND k.k BETWEEN 1 AND 3)
+   OR ((NOT cb.nm) AND k.k BETWEEN 0 AND 2);
+CREATE OR REPLACE TEMP TABLE bgp_bins AS
+WITH wvals AS (SELECT DISTINCT w FROM bgp_ck),
 ks AS (SELECT unnest(generate_series(0, 3)) AS k),
-ck AS (
-  SELECT cb.nm, cb.w, k.k,
-         CASE WHEN cb.nm THEN 2 * (k.k - 1) ELSE 2 * k.k END AS segb
-  FROM combos cb CROSS JOIN ks k
-  WHERE (cb.nm AND k.k BETWEEN 1 AND 3)
-     OR ((NOT cb.nm) AND k.k BETWEEN 0 AND 2)
-),
 chunk AS (
   SELECT wv.w, s.series_id, CAST(floor(s.pos / wv.w) AS BIGINT) AS ci,
          s.pos % wv.w AS poff, s.value
-  FROM corp s JOIN wvals wv ON s.pos < s.n - (s.n % wv.w)
+  FROM bgp_corp s JOIN wvals wv ON s.pos < s.n - (s.n % wv.w)
   WHERE s.series_id % 5 <> 0
 ),
 cstat AS (
@@ -267,10 +284,10 @@ cnorm AS (
 ),
 orderline AS (
   SELECT m.nm, m.w, CAST(m.segb AS INT) AS seg, round(t.re, 2) AS coef
-  FROM cnorm t JOIN ck m USING (w, k)
+  FROM cnorm t JOIN bgp_ck m USING (w, k)
   UNION ALL
   SELECT m.nm, m.w, CAST(m.segb + 1 AS INT) AS seg, round(t.im, 2) AS coef
-  FROM cnorm t JOIN ck m USING (w, k)
+  FROM cnorm t JOIN bgp_ck m USING (w, k)
 ),
 ranked AS (
   SELECT nm, w, seg, coef,
@@ -283,17 +300,18 @@ b1 AS (SELECT nm, w, seg, min(coef) AS b FROM ranked
 b2 AS (SELECT r.nm, r.w, r.seg, min(r.coef) AS b FROM ranked r JOIN b1 USING (nm, w, seg)
        WHERE r.rn > ceil(r.cnt / 4.0 * 2) AND r.coef > b1.b GROUP BY 1, 2, 3),
 b3 AS (SELECT r.nm, r.w, r.seg, min(r.coef) AS b FROM ranked r JOIN b2 USING (nm, w, seg)
-       WHERE r.rn > ceil(r.cnt / 4.0 * 3) AND r.coef > b2.b GROUP BY 1, 2, 3),
-bins AS (
-  SELECT DISTINCT r.nm, r.w, r.seg, b1.b AS bv1, b2.b AS bv2, b3.b AS bv3
-  FROM ranked r LEFT JOIN b1 USING (nm, w, seg) LEFT JOIN b2 USING (nm, w, seg)
-       LEFT JOIN b3 USING (nm, w, seg)
-),
+       WHERE r.rn > ceil(r.cnt / 4.0 * 3) AND r.coef > b2.b GROUP BY 1, 2, 3)
+SELECT DISTINCT r.nm, r.w, r.seg, b1.b AS bv1, b2.b AS bv2, b3.b AS bv3
+FROM ranked r LEFT JOIN b1 USING (nm, w, seg) LEFT JOIN b2 USING (nm, w, seg)
+     LEFT JOIN b3 USING (nm, w, seg);
+CREATE OR REPLACE TEMP TABLE bgp_words AS
+WITH wvals AS (SELECT DISTINCT w FROM bgp_ck),
+ks AS (SELECT unnest(generate_series(0, 3)) AS k),
 swin AS (
   SELECT wv.w, s.series_id, s.pos, s.value,
          unnest(generate_series(greatest(s.pos - wv.w + 1, 0),
                                 least(s.pos, s.n - wv.w))) AS win
-  FROM corp s JOIN wvals wv ON s.n >= wv.w
+  FROM bgp_corp s JOIN wvals wv ON s.n >= wv.w
 ),
 wstat AS (
   SELECT w, series_id, win, stddev_pop(value) AS sd FROM swin GROUP BY 1, 2, 3
@@ -312,64 +330,76 @@ wnorm AS (
 ),
 wlong AS (
   SELECT m.nm, m.w, t.series_id, t.win, CAST(m.segb AS INT) AS seg, t.re AS coef
-  FROM wnorm t JOIN ck m USING (w, k)
+  FROM wnorm t JOIN bgp_ck m USING (w, k)
   UNION ALL
   SELECT m.nm, m.w, t.series_id, t.win, CAST(m.segb + 1 AS INT) AS seg, t.im AS coef
-  FROM wnorm t JOIN ck m USING (w, k)
+  FROM wnorm t JOIN bgp_ck m USING (w, k)
 ),
 sym AS (
   SELECT l.nm, l.w, l.series_id, l.win, l.seg,
          (CASE WHEN l.coef >= b.bv1 THEN 1 ELSE 0 END +
           CASE WHEN l.coef >= b.bv2 THEN 1 ELSE 0 END +
           CASE WHEN l.coef >= b.bv3 THEN 1 ELSE 0 END) AS symbol
-  FROM wlong l JOIN bins b USING (nm, w, seg)
-),
-words AS (
-  SELECT nm, w, series_id, win,
-         CAST(sum(CAST(symbol AS BIGINT) << (2 * seg)) AS BIGINT) AS word
-  FROM sym GROUP BY 1, 2, 3, 4
-),
-fvals AS (SELECT unnest([4, 6]) AS f),
+  FROM wlong l JOIN bgp_bins b USING (nm, w, seg)
+)
+SELECT nm, w, series_id, win,
+       CAST(sum(CAST(symbol AS BIGINT) << (2 * seg)) AS BIGINT) AS word
+FROM sym GROUP BY 1, 2, 3, 4;
+CREATE OR REPLACE TEMP TABLE bgp_bag AS
+WITH fvals AS (SELECT unnest([4, 6]) AS f),
 masked AS (
   SELECT wd.nm, wd.w, fv.f, wd.series_id, wd.win,
          wd.word & ((CAST(1 AS BIGINT) << (2 * fv.f)) - 1) AS word
-  FROM words wd CROSS JOIN fvals fv
+  FROM bgp_words wd CROSS JOIN fvals fv
 ),
 nr AS (
   SELECT nm, w, f, series_id, win, word,
          lag(word) OVER (PARTITION BY nm, w, f, series_id ORDER BY win) AS prev
   FROM masked
-),
-bag AS (
-  SELECT nm, w, f, series_id, word, CAST(count(*) AS BIGINT) AS cnt
-  FROM nr WHERE prev IS NULL OR word <> prev
-  GROUP BY 1, 2, 3, 4, 5
-),
-sumsq AS (
-  SELECT nm, w, f, series_id AS q_id, sum(cnt * cnt) AS sumsq
-  FROM bag GROUP BY 1, 2, 3, 4
-),
-pairs AS (
-  SELECT q.nm, q.w, q.f, q.series_id AS q_id, c.series_id AS c_id,
-         sum(c.cnt * c.cnt - 2 * q.cnt * c.cnt) AS corr
-  FROM bag q JOIN bag c
-    ON q.nm = c.nm AND q.w = c.w AND q.f = c.f AND q.word = c.word
-   AND q.series_id <> c.series_id AND c.series_id % 5 <> 0
-  GROUP BY 1, 2, 3, 4, 5
-),
-nn AS (
+)
+SELECT nm, w, f, series_id, word, CAST(count(*) AS BIGINT) AS cnt
+FROM nr WHERE prev IS NULL OR word <> prev
+GROUP BY 1, 2, 3, 4, 5;
+CREATE OR REPLACE TEMP TABLE bgp_sumsq AS
+SELECT nm, w, f, series_id AS q_id, sum(cnt * cnt) AS sumsq
+FROM bgp_bag GROUP BY 1, 2, 3, 4;
+CREATE OR REPLACE TEMP TABLE bgp_nn1 (
+  nm BOOLEAN, w INTEGER, f INTEGER, q_id BIGINT, c_id BIGINT);
+"""
+    inserts = []
+    for nm, w in _BGP_COMBOS:
+        lit = "true" if nm else "false"
+        inserts.append(f"""INSERT INTO bgp_nn1
+SELECT nm, w, f, q_id, c_id FROM (
   SELECT p.nm, p.w, p.f, p.q_id, p.c_id,
          row_number() OVER (PARTITION BY p.nm, p.w, p.f, p.q_id
                             ORDER BY s.sumsq + p.corr ASC, p.c_id ASC) AS rk
-  FROM pairs p JOIN sumsq s USING (nm, w, f, q_id)
+  FROM (
+    SELECT q.nm, q.w, q.f, q.series_id AS q_id, c.series_id AS c_id,
+           sum(c.cnt * c.cnt - 2 * q.cnt * c.cnt) AS corr
+    FROM bgp_bag q JOIN bgp_bag c
+      ON q.f = c.f AND q.word = c.word
+     AND q.series_id <> c.series_id AND c.series_id % 5 <> 0
+    WHERE q.nm = {lit} AND q.w = {w} AND c.nm = {lit} AND c.w = {w}
+    GROUP BY 1, 2, 3, 4, 5
+  ) p JOIN bgp_sumsq s USING (nm, w, f, q_id)
   WHERE p.corr <> 0 AND s.sumsq + p.corr > 0
-),
-correct AS (
+) WHERE rk = 1;
+""")
+    # bgp_nn1 holds ONLY the rank-1 rows, which is all any consumer of
+    # the original nn CTE read (correct / votes_tr / votes_te all
+    # filtered rk = 1)
+    tail = """WITH correct AS (
   SELECT nm, w, f,
          CAST(count(*) FILTER (q_id % 3 = c_id % 3) AS BIGINT) AS correct
-  FROM nn WHERE rk = 1 AND q_id % 5 <> 0
+  FROM bgp_nn1 WHERE q_id % 5 <> 0
   GROUP BY 1, 2, 3
 ),
+combos AS (
+  SELECT * FROM (VALUES (true, 12), (true, 16),
+                        (false, 12), (false, 16)) AS t(nm, w)
+),
+fvals AS (SELECT unnest([4, 6]) AS f),
 grid_full AS (
   SELECT g.nm, g.w, g.f, coalesce(c.correct, 0) AS correct
   FROM (SELECT cb.nm, cb.w, fv.f FROM combos cb CROSS JOIN fvals fv) g
@@ -388,8 +418,8 @@ members AS (
 votes_tr AS (
   SELECT m.nm, n.q_id AS series_id, CAST(n.c_id % 3 AS DOUBLE) AS pred_label,
          CAST(m.correct AS DOUBLE) AS wt
-  FROM nn n JOIN members m USING (nm, w, f)
-  WHERE n.rk = 1 AND n.q_id % 5 <> 0
+  FROM bgp_nn1 n JOIN members m USING (nm, w, f)
+  WHERE n.q_id % 5 <> 0
 ),
 tally_tr AS (
   SELECT nm, series_id, pred_label, sum(wt) AS wsum
@@ -415,8 +445,8 @@ wmem AS (
 votes_te AS (
   SELECT n.q_id AS series_id, CAST(n.c_id % 3 AS DOUBLE) AS pred_label,
          CAST(m.weight AS DOUBLE) AS wt
-  FROM nn n JOIN wmem m USING (nm, w, f)
-  WHERE n.rk = 1 AND n.q_id % 5 = 0
+  FROM bgp_nn1 n JOIN wmem m USING (nm, w, f)
+  WHERE n.q_id % 5 = 0
 ),
 tally_te AS (
   SELECT series_id, pred_label, sum(wt) AS wsum
@@ -425,6 +455,11 @@ tally_te AS (
 SELECT series_id, pred_label FROM tally_te
 QUALIFY row_number() OVER (PARTITION BY series_id
                            ORDER BY wsum DESC, pred_label DESC) = 1"""
+    return head + "".join(inserts) + tail
+
+
+ORACLES["q_boss_grid_predict"] = _boss_grid_sharded()
+
 
 # Shotgun Ensemble predict (C8b) end to end. Chain mirrors
 # grid.shotgun_grid_fit(ensemble=True, factor=0.92, windows=[8,12,16])
@@ -436,56 +471,90 @@ QUALIFY row_number() OVER (PARTITION BY series_id
 # ties); the winning norm's top member is re-weighted with the vote
 # correct count (the reference fit() Score mutation); final vote ties
 # break to the LARGER label (Classifier.java:569-615).
-ORACLES["q_shotgun_ensemble_predict"] = f"""WITH {SERIES},
-corp AS (SELECT * FROM series WHERE n >= 32),
-combos AS (
+#
+# r8: SHARDED into a multi-statement temp-table script (DuckDB's
+# execute() runs the statements in order and fetchdf() returns the
+# last SELECT). The r7 single statement OOM'd the sf0.1 sweep at
+# >37 GiB temp: the all-windows distance aggregate's group domain is
+# every (q-window, c-window) cell — ~4-5e9 groups at sf0.1, a >250 GB
+# hash table. Materializing qz/cz once and computing the per-pair
+# distance in per-(norm, window, q-shard) INSERTs bounds each
+# statement's group count to cells/(6*16) (~80M, a few GB), DuckDB
+# frees the working set between statements, and the math is unchanged
+# (the same cells are produced, grouped, and min/summed — only the
+# statement boundaries moved). Total compute is identical; peak memory
+# is 1/96th.
+_SSE_COMBOS = [(True, 8), (True, 12), (True, 16),
+               (False, 8), (False, 12), (False, 16)]
+_SSE_NSHARD = 16
+
+
+def _shotgun_ensemble_sharded() -> str:
+    head = f"""CREATE OR REPLACE TEMP TABLE sse_corp AS
+WITH {SERIES} SELECT * FROM series WHERE n >= 32;
+CREATE OR REPLACE TEMP TABLE sse_qz AS
+WITH combos AS (
   SELECT * FROM (VALUES (true, 8), (true, 12), (true, 16),
                         (false, 8), (false, 12), (false, 16)) AS t(nm, w)
 ),
 qwin AS (
   SELECT cb.nm, cb.w, s.series_id, CAST(floor(s.pos / cb.w) AS INT) AS wi,
          s.pos % cb.w AS poff, s.value
-  FROM corp s JOIN combos cb ON s.pos < s.n - (s.n % cb.w)
-),
-qz AS (
-  SELECT nm, w, series_id, wi, poff,
-         (value - CASE WHEN nm THEN avg(value) OVER ww ELSE 0.0 END) *
-         (CASE WHEN stddev_pop(value) OVER ww <> 0
-               THEN 1.0 / stddev_pop(value) OVER ww ELSE 1.0 END) AS vz
-  FROM qwin WINDOW ww AS (PARTITION BY nm, w, series_id, wi)
+  FROM sse_corp s JOIN combos cb ON s.pos < s.n - (s.n % cb.w)
+)
+SELECT nm, w, series_id, wi, poff,
+       (value - CASE WHEN nm THEN avg(value) OVER wwq ELSE 0.0 END) *
+       (CASE WHEN stddev_pop(value) OVER wwq <> 0
+             THEN 1.0 / stddev_pop(value) OVER wwq ELSE 1.0 END) AS vz
+FROM qwin WINDOW wwq AS (PARTITION BY nm, w, series_id, wi);
+CREATE OR REPLACE TEMP TABLE sse_cz AS
+WITH combos AS (
+  SELECT * FROM (VALUES (true, 8), (true, 12), (true, 16),
+                        (false, 8), (false, 12), (false, 16)) AS t(nm, w)
 ),
 cwin AS (
   SELECT cb.nm, cb.w, s.series_id AS c_id, s.pos, s.value,
          unnest(generate_series(greatest(s.pos - cb.w + 1, 0),
                                 least(s.pos, s.n - cb.w))) AS ci
-  FROM corp s JOIN combos cb ON s.n >= cb.w
+  FROM sse_corp s JOIN combos cb ON s.n >= cb.w
   WHERE s.series_id % 5 <> 0
-),
-cz AS (
-  SELECT nm, w, c_id, ci, pos - ci AS poff,
-         (value - CASE WHEN nm THEN avg(value) OVER ww ELSE 0.0 END) *
-         (CASE WHEN stddev_pop(value) OVER ww > 0
-               THEN 1.0 / stddev_pop(value) OVER ww ELSE 1.0 END) AS vz
-  FROM cwin WINDOW ww AS (PARTITION BY nm, w, c_id, ci)
-),
-pair AS (
-  SELECT q.nm, q.w, q.series_id AS q_id, c.c_id, q.wi, c.ci,
-         sum(pow(q.vz - c.vz, 2)) AS sq
-  FROM qz q JOIN cz c ON q.nm = c.nm AND q.w = c.w AND q.poff = c.poff
-                      AND q.series_id <> c.c_id
-  GROUP BY 1, 2, 3, 4, 5, 6
-),
-bestw AS (
-  SELECT nm, w, q_id, c_id, wi, min(sq) AS minsq FROM pair GROUP BY 1, 2, 3, 4, 5
-),
-total AS (
-  SELECT nm, w, q_id, c_id, sum(minsq) AS dist FROM bestw GROUP BY 1, 2, 3, 4
-),
-nn AS (
+)
+SELECT nm, w, c_id, ci, pos - ci AS poff,
+       (value - CASE WHEN nm THEN avg(value) OVER wwc ELSE 0.0 END) *
+       (CASE WHEN stddev_pop(value) OVER wwc > 0
+             THEN 1.0 / stddev_pop(value) OVER wwc ELSE 1.0 END) AS vz
+FROM cwin WINDOW wwc AS (PARTITION BY nm, w, c_id, ci);
+CREATE OR REPLACE TEMP TABLE sse_total (
+  nm BOOLEAN, w INTEGER, q_id BIGINT, c_id BIGINT, dist DOUBLE);
+"""
+    inserts = []
+    for nm, w in _SSE_COMBOS:
+        for j in range(_SSE_NSHARD):
+            lit = "true" if nm else "false"
+            inserts.append(f"""INSERT INTO sse_total
+SELECT nm, w, q_id, c_id, sum(minsq) AS dist
+FROM (
+  SELECT nm, w, q_id, c_id, wi, min(sq) AS minsq
+  FROM (
+    SELECT q.nm, q.w, q.series_id AS q_id, c.c_id, q.wi, c.ci,
+           sum(pow(q.vz - c.vz, 2)) AS sq
+    FROM sse_qz q JOIN sse_cz c
+      ON q.poff = c.poff AND q.series_id <> c.c_id
+    WHERE q.nm = {lit} AND q.w = {w} AND c.nm = {lit} AND c.w = {w}
+      AND q.series_id % {_SSE_NSHARD} = {j}
+    GROUP BY 1, 2, 3, 4, 5, 6
+  ) GROUP BY 1, 2, 3, 4, 5
+) GROUP BY 1, 2, 3, 4;
+""")
+    tail = """WITH nn AS ("""
+    return head + "".join(inserts) + tail
+
+
+ORACLES["q_shotgun_ensemble_predict"] = _shotgun_ensemble_sharded() + f"""
   SELECT nm, w, q_id, c_id AS nn_id,
          row_number() OVER (PARTITION BY nm, w, q_id
                             ORDER BY dist ASC, c_id ASC) AS rk
-  FROM total
+  FROM sse_total
 ),
 correct AS (
   SELECT nm, w,
