@@ -325,12 +325,19 @@ def frame_sample(video: DataFrame, every_k: int) -> DataFrame:
       * 'mjpeg' — payload = concatenated JPEGs; frames split by SOI/EOI
         marker scan (real demux, codec-free); each emitted frame is a
         standalone JPEG blob for a downstream _decode_one.
+      * 'avi' — MJPEG-in-AVI, the REAL in-container compressed-video
+        branch (r8): RIFF chunk demux (operators/avi.py, public AVI
+        spec) yields per-frame JPEG blobs, and each SAMPLED frame is
+        pixel-decoded to raw RGB by the stdlib baseline-JPEG decoder —
+        container + codec both real with no library. Only the kept
+        (every k-th) frames are decoded; skipped frames cost only the
+        O(bytes) chunk walk.
       * 'gif' — decoded through the PIL hatch when Pillow is present
-        (frames re-emitted as raw RGB bytes); NotImplementedError
-        otherwise — the same env-gated contract as image decode.
+        (frames re-emitted as raw RGB bytes) or the stdlib LZW decoder.
       * 'mp4' / 'h264' / 'mkv' / 'webm' — decoded through the PyAV
         hatch (_video_frames) when installed; frames re-emitted as raw
-        RGB bytes, NotImplementedError otherwise.
+        RGB bytes, NotImplementedError otherwise (inter-frame entropy
+        codecs stay out of stdlib scope).
     """
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -339,8 +346,16 @@ def frame_sample(video: DataFrame, every_k: int) -> DataFrame:
             for _, r in pdf.iterrows():
                 payload = bytes(r["payload"])
                 fmt = r["format"]
+                decode_kept = None
                 if fmt == "mjpeg":
                     frames = split_mjpeg(payload)
+                elif fmt == "avi":
+                    from sfa_spark.operators.avi import split_avi_mjpeg
+
+                    frames = split_avi_mjpeg(payload)
+                    decode_kept = lambda blob: _decode_one(  # noqa: E731
+                        blob, "jpeg", r["width"], r["height"], 3
+                    ).tobytes()
                 elif fmt == "gif":
                     frames = [a.tobytes() for a in _gif_frames(payload)]
                 elif fmt in ("mp4", "h264", "mkv", "webm"):
@@ -353,7 +368,10 @@ def frame_sample(video: DataFrame, every_k: int) -> DataFrame:
                         for fi in range(n_frames)
                     ]
                 for fi in range(0, len(frames), every_k):
-                    rows.append((r["media_id"], fi, frames[fi]))
+                    blob = frames[fi]
+                    if decode_kept is not None:
+                        blob = decode_kept(blob)
+                    rows.append((r["media_id"], fi, blob))
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame"])
 
     return video.mapInPandas(fn, schema="media_id long, frame_idx int, frame binary")

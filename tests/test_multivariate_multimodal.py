@@ -1066,3 +1066,56 @@ def test_gif_lzw_roundtrip_property():
     from sfa_spark.operators.gif import _lzw_decode as dec
 
     assert dec(8, _gif_lzw_encode(8, big), len(big)) == big
+
+
+def test_avi_mjpeg_real_video_frame_sample(spark):
+    """The r8 real compressed-video branch: REAL baseline JPEGs packed
+    into a spec-shaped RIFF/AVI (header, movi list, idx1 index), RIFF-
+    demuxed and pixel-decoded to RGB by the stdlib JPEG decoder — no
+    codec library anywhere, not a fake path. frame_sample emits every
+    k-th frame as raw RGB bytes matching a direct _decode_one of the
+    same JPEG blob."""
+    from sfa_spark.operators import avi as A
+
+    rng = np.random.default_rng(7)
+    w = h = 16
+    raw = [
+        (rng.integers(0, 256, (h, w, 3)).astype(np.uint8) // 4 * 4)
+        for _ in range(5)
+    ]
+    jpegs = [_jpeg_encode(img) for img in raw]
+
+    payload = A.encode_avi_mjpeg(jpegs, w, h, fps=10)
+    # round trip: the demux recovers the exact frame blobs in order
+    assert A.split_avi_mjpeg(payload) == jpegs
+    # 'rec ' grouping (capture tools batch frames): same frames out
+    import struct as _struct
+
+    grouped = A._list(b"rec ", b"".join(A._chunk(b"00dc", f) for f in jpegs))
+    riff = b"AVI " + A._list(b"movi", grouped)
+    assert (
+        A.split_avi_mjpeg(b"RIFF" + _struct.pack("<I", len(riff)) + riff)
+        == jpegs
+    )
+    with pytest.raises(ValueError, match="RIFF"):
+        A.split_avi_mjpeg(b"\x00" * 64)
+
+    video = spark.createDataFrame(
+        [(9, payload, "avi", w, h, 3)], multimodal.MEDIA_SCHEMA
+    )
+    out = sorted(
+        multimodal.frame_sample(video, every_k=2).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    assert [r["frame_idx"] for r in out] == [0, 2, 4]
+    for r in out:
+        want = multimodal._decode_one(
+            jpegs[r["frame_idx"]], "jpeg", w, h, 3
+        ).tobytes()
+        assert bytes(r["frame"]) == want
+        # and the decode is a faithful reconstruction of the source
+        got = np.frombuffer(bytes(r["frame"]), dtype=np.uint8).reshape(h, w, 3)
+        err = np.abs(
+            got.astype(int) - raw[r["frame_idx"]].astype(int)
+        )
+        assert err.max() <= 8, err.max()
