@@ -47,11 +47,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # all 172 registered queries (age tiers: r4 = 35, r5 = 40, r6 = 47,
 # r7 = 50). Round-8 gate leads with (a) every query whose
 # implementation changed in r8 — the Q2/Q11/Q20 shapes whose region/
-# part semi-joins moved below the derived-partsupp pair aggregate, and
+# part semi-joins moved below the derived-partsupp pair aggregate,
 # both streaming MERGE sinks, whose manifest commit is now serialized
-# under the state lock — then (b) the ENTIRE r4 age tier (35 queries,
-# the oldest coverage; retires that tier, oldest becomes r5), and
-# (c) the r5 tier alphabetically filling to exactly 50.
+# under the state lock, and the two classifier mirrors whose oracles
+# were sharded into temp-table scripts (now sf0.1-green) — then
+# (b) the ENTIRE r4 age tier (35 queries, the oldest coverage; retires
+# that tier, oldest becomes r5), and (c) the r5 tier alphabetically
+# filling to exactly 50.
 # Demoted queries keep their green r5/r6/r7 rows and are replayed with
 # tools/check_oracle.py before the round closes (log in COVERAGE.md).
 ROTATE_FIRST = [
@@ -61,6 +63,8 @@ ROTATE_FIRST = [
     "q_tpch_excess_stock_supplier",  # Q20: same + red-part pushdown
     "q_stream_scd2",             # locked manifest commit
     "q_stream_latest_state",     # locked manifest commit
+    "q_boss_grid_predict",       # sharded temp-table oracle mirror
+    "q_shotgun_ensemble_predict",  # sharded temp-table oracle mirror
     # (b) the entire r4 age tier (35) — oldest gate rows, all replayed
     # green in r7's full sf0.01 sweep
     "q_dwt_coefs", "q_event_cooccurrence", "q_funnel",
@@ -75,12 +79,12 @@ ROTATE_FIRST = [
     "q_stream_hll_distinct", "q_stream_lm_gate", "q_stream_sessionize",
     "q_tpch_local_supplier", "q_tpch_shipping", "q_twap",
     "q_unpivot_metrics", "q_value_outliers", "q_weighted_sample",
-    # (c) r5-aged fill to exactly 50 (alphabetical; the remaining 30
-    # r5 rows — q_drift_psi, q_edit1_pairs onward — lead r9's fill)
+    # (c) r5-aged fill to exactly 50 (alphabetical; the remaining 32
+    # r5 rows — q_dedup_exact, q_dedup_groups, q_drift_psi onward —
+    # lead r9's fill)
     "q_apca_segments", "q_bm25_search", "q_column_profile",
     "q_corpus_filter", "q_cosine_ivf", "q_cosine_kmeans",
-    "q_cosine_multiprobe", "q_cosine_topk", "q_dedup_exact",
-    "q_dedup_groups",
+    "q_cosine_multiprobe", "q_cosine_topk",
 ]
 
 

@@ -8,10 +8,11 @@ Resource budget (r7, after the r6 sf0.1 sweep failures): the DuckDB
 side runs under an explicit memory_limit (SPARK_GRAFT_DUCK_MEM, default
 16GB) and spills to SPARK_GRAFT_DUCK_TMP (default /tmp/duck_spill) —
 NOT $CWD/.tmp, where a runaway oracle previously filled the root disk.
-The two heaviest classifier mirrors (q_boss_grid_predict,
-q_shotgun_ensemble_predict) OOM'd / spilled >30 GB at sf0.1 only when
-the sweep shared the box with an unbounded DuckDB and the Spark JVM;
-with the budget the spill is bounded and cleaned up on exit.
+r8: the two heaviest classifier mirrors (q_boss_grid_predict,
+q_shotgun_ensemble_predict), which previously exceeded even the spill
+cap at sf0.1, are sharded into staged temp-table scripts
+(oracles_ml.py) and pass the full sweep under the default budget — no
+exclusions are needed at any certified scale.
 """
 
 from __future__ import annotations
@@ -143,9 +144,9 @@ def _budgeted_connection() -> "duckdb.DuckDBPyConnection":
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    # positional names select queries; ^name excludes (e.g. the two
-    # classifier mirrors whose DuckDB replay exceeds this box's temp
-    # budget at sf0.1 — engine side clean, oracle side resource-bound)
+    # positional names select queries; ^name excludes (kept as an
+    # operator escape hatch — since r8's mirror sharding no registered
+    # query needs excluding at any certified scale)
     only = {a for a in sys.argv[2:] if not a.startswith("^")}
     skip = {a[1:] for a in sys.argv[2:] if a.startswith("^")}
 
