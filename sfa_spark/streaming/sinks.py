@@ -182,38 +182,46 @@ def _publish_buckets(
     stage = os.path.join(state_dir, f"_stage_{vname}")
     # one job writes every touched bucket's new version, partition-split
     merged.write.mode("overwrite").partitionBy("_bucket").parquet(stage)
-    for b in touched:
-        src = os.path.join(stage, f"_bucket={b}")
-        if not os.path.isdir(src):  # merge produced no rows for b
-            # cannot happen for upsert/scd2 (rows never disappear), but
-            # stage an empty dir rather than dangle a manifest entry
-            os.makedirs(src, exist_ok=True)
-        bdir = os.path.join(state_dir, f"bucket={b}")
-        os.makedirs(bdir, exist_ok=True)
-        dst = os.path.join(bdir, vname)
-        # crash recovery: a previous attempt at this batch that died
-        # between the renames and the manifest swap left an orphan
-        # v<batch_id> dir. It cannot be live (the manifest's applied id
-        # would have skipped this merge), so replace it.
-        if os.path.isdir(dst):
-            shutil.rmtree(dst)
-        os.rename(src, dst)
-        dfd = os.open(bdir, os.O_RDONLY)
-        try:  # directory entry of the new version dir must be durable
-            os.fsync(dfd)
-        finally:
-            os.close(dfd)
-    shutil.rmtree(stage, ignore_errors=True)
-    # Commit under the state lock, against a FRESH manifest read: a
-    # concurrent compact_state may have flipped buckets (touched or
-    # not) since this merge snapshotted ``manifest`` at batch start.
-    # Starting from the fresh pointer map keeps those flips; the
-    # retention keep-set uses the fresh previous version so a bucket
-    # compacted mid-merge retires its pre-compaction dir, not the
-    # live compacted one. (Merges of one stream are serialized by
-    # foreachBatch, so fresh.applied < batch_id always; max() is
-    # defensive.)
+    # Rename + commit + retain under the state lock, against a FRESH
+    # manifest read: a concurrent compact_state may have flipped
+    # buckets (touched or not) since this merge snapshotted
+    # ``manifest`` at batch start. The renames are INSIDE the lock —
+    # if they happened outside it, a concurrent compaction's locked
+    # _retain on the same bucket could sweep this merge's renamed-but-
+    # uncommitted v<batch_id> dir (only the live and previous versions
+    # are in its keep-set), and the merge would then commit a pointer
+    # to a deleted directory. The expensive work (the parquet write to
+    # the stage dir above) stays outside the lock; directory renames
+    # are O(1) metadata ops. Starting from the fresh pointer map keeps
+    # compaction's flips; the retention keep-set uses the fresh
+    # previous version so a bucket compacted mid-merge retires its
+    # pre-compaction dir, not the live compacted one. (Merges of one
+    # stream are serialized by foreachBatch, so fresh.applied <
+    # batch_id always; max() is defensive.)
     with _state_lock(state_dir):
+        for b in touched:
+            src = os.path.join(stage, f"_bucket={b}")
+            if not os.path.isdir(src):  # merge produced no rows for b
+                # cannot happen for upsert/scd2 (rows never disappear),
+                # but stage an empty dir rather than dangle a manifest
+                # entry
+                os.makedirs(src, exist_ok=True)
+            bdir = os.path.join(state_dir, f"bucket={b}")
+            os.makedirs(bdir, exist_ok=True)
+            dst = os.path.join(bdir, vname)
+            # crash recovery: a previous attempt at this batch that
+            # died between the renames and the manifest swap left an
+            # orphan v<batch_id> dir. It cannot be live (the manifest's
+            # applied id would have skipped this merge), so replace it.
+            if os.path.isdir(dst):
+                shutil.rmtree(dst)
+            os.rename(src, dst)
+            dfd = os.open(bdir, os.O_RDONLY)
+            try:  # directory entry of the new version must be durable
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
+        shutil.rmtree(stage, ignore_errors=True)
         fresh = _read_manifest(state_dir)
         fresh.setdefault("n_buckets", manifest["n_buckets"])
         prev = {str(b): fresh["buckets"].get(str(b)) for b in touched}
