@@ -138,6 +138,10 @@ def main() -> None:
 
     load_before = os.getloadavg()
 
+    # SPARK_GRAFT_BENCH_RUNS: one-shot scale points (e.g. the sf1 run)
+    # don't need the min-of-3 noise floor and would triple a long run
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
     def run_group(names: list[str]):
         # min of 3 runs: the box is shared, single-shot timings swing
         # ±20-50% under load; min-of-N is the standard noise-robust
@@ -152,7 +156,7 @@ def main() -> None:
                 continue
             best, n = None, 0
             samples: list[float] = []
-            for _ in range(3):
+            for _ in range(n_runs):
                 t0 = time.time()
                 n = qs[name](spark, sf_dir).count()  # force full execution
                 dt = time.time() - t0
@@ -185,7 +189,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                "runs_per_query": 3,
+                "runs_per_query": n_runs,
                 "all_runs": runs,
                 "maintenance_total": round(sum(m_timings.values()), 3),
                 "maintenance_queries": m_timings,
