@@ -366,8 +366,12 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     """32-bit SimHash over word tokens: per bit, majority vote of token
     hashes (+1/−1), bit set iff the vote is positive.
 
-    Pure SQL: token hash → explode bit positions → signed sum → pack.
-    Output: (doc_id, simhash bigint)."""
+    Pure SQL, NO per-bit row explosion: the signed vote for bit i is
+    2*count(tokens with bit i set) − n_tokens, so all `bits` votes
+    come from one groupBy(doc_id) carrying `bits` conditional sums —
+    token rows stay at corpus token count instead of ×bits (the r8
+    rewrite; the explode form made the signature stage dominate the
+    near-dup query at sf1). Output: (doc_id, simhash bigint)."""
     from sfa_spark.operators.text import with_tokens
 
     tok = (
@@ -375,21 +379,86 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
         .select("doc_id", F.explode("toks").alias("tok"))
         .select("doc_id", _hex32_to_int(F.md5("tok")).alias("h"))
     )
-    bit = tok.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("i"),
-        "h",
-    ).select(
-        "doc_id",
-        "i",
-        F.expr("cast(2 * ((h >> i) & 1) - 1 as bigint)").alias("vote"),
+    counts = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.expr(f"(h >> {i}) & 1")).alias(f"c{i}")
+            for i in range(bits)
+        ],
     )
-    votes = bit.groupBy("doc_id", "i").agg(F.sum("vote").alias("v"))
-    return votes.groupBy("doc_id").agg(
-        F.sum(
-            F.expr("if(v > 0, shiftleft(cast(1 as bigint), i), cast(0 as bigint))")
-        ).alias("simhash")
+    packed = " + ".join(
+        f"if(2 * c{i} > n, shiftleft(cast(1 as bigint), {i}),"
+        " cast(0 as bigint))"
+        for i in range(bits)
     )
+    return counts.select(
+        "doc_id", F.expr(packed).cast("bigint").alias("simhash")
+    )
+
+
+def simhash_bits(docs: DataFrame, bits: int = 64) -> DataFrame:
+    """Wide SimHash as an MSB-first bit STRING — the signature the
+    banded near-dup blocker (multimodal.phash_neardup_pairs) consumes.
+
+    Why a separate entry point from `simhash`: banded Hamming blocking
+    only keeps buckets O(1) when the band key space outgrows the
+    corpus — with b-bit signatures and d < n_bands bands the band is
+    b/n_bands bits, so you need b/n_bands ≳ log2(n_docs). 32 bits /
+    4 bands = 8-bit keys = 256 buckets per band: bucket occupancy
+    grows LINEARLY with the corpus and candidate pairs quadratically
+    (measured: the sf0.1→sf1 10× corpus scaled the 32-bit near-dup
+    query 20.8× while every other bench query stayed ≤ 9×). 64 bits /
+    4 bands = 16-bit keys holds buckets O(1) to ~10^6 docs; wider
+    signatures (bits=96/128, still md5-derived 32-bit words) extend
+    the same layout to corpus sizes where 2^(bits/n_bands) ≳ n_docs.
+
+    Token hash: consecutive 8-hex-char windows of md5(tok), one 32-bit
+    word per 32 signature bits — bit i votes with word i//32, bit
+    i%32. Word 0 is md5 chars 1-8, so the LOW 32 bits of the 64-bit
+    signature equal `simhash(docs, 32)` exactly (property-tested).
+    All arithmetic stays on non-negative <2^32 bigints — no sign-bit
+    portability trap between Spark's and DuckDB's >> on negatives.
+
+    Output: (doc_id, sig string of length `bits`, MSB first — same
+    orientation as lpad(bin(x), bits, '0')).
+    """
+    from sfa_spark.operators.text import with_tokens
+
+    assert bits % 32 == 0, "signature is packed from 32-bit md5 words"
+    n_words = bits // 32
+    assert n_words * 8 <= 32, "md5 yields 128 bits = four 32-bit words"
+    words = F.array(
+        *[
+            F.conv(F.substring(F.md5("tok"), w * 8 + 1, 8), 16, 10).cast(
+                "bigint"
+            )
+            for w in range(n_words)
+        ]
+    )
+    tok = (
+        with_tokens(docs)
+        .select("doc_id", F.explode("toks").alias("tok"))
+        .select("doc_id", words.alias("hw"))
+    )
+    # Same no-explosion layout as `simhash`: bit i's signed vote is
+    # 2*count(set) − n, so one groupBy carries all `bits` sums.
+    counts = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(
+                F.expr(f"(hw[{i // 32}] >> {i % 32}) & 1")
+            ).alias(f"c{i}")
+            for i in range(bits)
+        ],
+    )
+    # MSB-first bit string: highest i leftmost, matching bin()/lpad.
+    sig = F.concat(
+        *[
+            F.expr(f"if(2 * c{i} > n, '1', '0')")
+            for i in range(bits - 1, -1, -1)
+        ]
+    )
+    return counts.select("doc_id", sig.alias("sig"))
 
 
 def hamming_distance(col_a, col_b, bits: int = 32):

@@ -1438,24 +1438,27 @@ SELECT round(dot + 1e-9, 6) + 0.0 AS dot,
 FROM s"""
 
 
-# q_phash_neardup: SimHash-derived 32-bit signatures, 4-band blocking,
-# exact Hamming verify.
+# q_phash_neardup: SimHash-derived 64-bit signatures (two 32-bit md5
+# words — word 0 = md5 chars 1-8 votes bits 0-31, word 1 = chars 9-16
+# votes bits 32-63, mirroring dedup.simhash_bits), 4-band blocking
+# with 16-bit keys, exact Hamming verify.
 ORACLES["q_phash_neardup"] = f"""WITH tok AS (
-  SELECT doc_id, ('0x' || substr(md5(unnest({_TOKS})), 1, 8))::BIGINT AS h
-  FROM documents
+  SELECT doc_id,
+         ('0x' || substr(md5(t.tk), 1, 8))::BIGINT AS h0,
+         ('0x' || substr(md5(t.tk), 9, 8))::BIGINT AS h1
+  FROM (SELECT doc_id, unnest({_TOKS}) AS tk FROM documents) t
 ),
 votes AS (
-  SELECT doc_id, i, sum(2 * ((h >> i) & 1) - 1) AS v
-  FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS i) b
+  SELECT doc_id, i,
+         sum(2 * ((CASE WHEN i < 32 THEN h0 ELSE h1 END >> (i % 32)) & 1) - 1) AS v
+  FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) b
   GROUP BY doc_id, i
-), sh AS (
-  SELECT doc_id,
-         CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
-  FROM votes GROUP BY doc_id
 ), sig AS (
-  SELECT doc_id AS id, lpad(bin(simhash), 32, '0') AS h FROM sh
+  SELECT doc_id AS id,
+         string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY i DESC) AS h
+  FROM votes GROUP BY doc_id
 ), banded AS (
-  SELECT id, h, b AS band, substr(h, b * 8 + 1, 8) AS key
+  SELECT id, h, b AS band, substr(h, b * 16 + 1, 16) AS key
   FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)
 ), cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.h AS h_a, b.h AS h_b
@@ -1463,10 +1466,10 @@ votes AS (
   WHERE a.id < b.id
 )
 SELECT id_a, id_b,
-       CAST(list_sum(list_transform(generate_series(1, 32),
+       CAST(list_sum(list_transform(generate_series(1, 64),
          i -> CASE WHEN substr(h_a, i, 1) <> substr(h_b, i, 1) THEN 1 ELSE 0 END)) AS INT) AS hamming
 FROM cand
-WHERE list_sum(list_transform(generate_series(1, 32),
+WHERE list_sum(list_transform(generate_series(1, 64),
         i -> CASE WHEN substr(h_a, i, 1) <> substr(h_b, i, 1) THEN 1 ELSE 0 END)) <= 3"""
 
 

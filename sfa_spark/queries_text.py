@@ -167,19 +167,26 @@ def q_phash_neardup(spark, sf_dir):
     """Perceptual-hash near-dup pairs through the banded blocking +
     exact-Hamming-verify operator (multimodal.phash_neardup_pairs —
     the image-dedup layout, pigeonhole-complete for d < n_bands). The
-    32-bit signatures here are the documents' SimHashes (bit-string
-    form) so the whole pipeline is oracle-able in SQL and near-dup
-    docs actually land within the Hamming budget; the image path feeds
-    the SAME operator from extract_features' decoded pHashes
-    (tests/test_multivariate_multimodal.py)."""
+    signatures here are the documents' 64-bit SimHashes (bit-string
+    form, dedup.simhash_bits) so the whole pipeline is oracle-able in
+    SQL and near-dup docs actually land within the Hamming budget; the
+    image path feeds the SAME operator from extract_features' decoded
+    pHashes (tests/test_multivariate_multimodal.py).
+
+    Scale note (r8): 64 bits / 4 bands = 16-bit band keys. The
+    original 32-bit signature gave 8-bit keys = 256 buckets per band,
+    so bucket occupancy grew linearly with the corpus and the
+    candidate join quadratically — measured 20.8× walltime on the 10×
+    sf0.1→sf1 corpus while every other bench query stayed ≤ 9×. With
+    16-bit keys buckets stay O(1) up to ~10^6 docs; beyond that,
+    widen the signature (simhash_bits bits=96/128), not the bands —
+    pigeonhole completeness needs max_hamming < n_bands."""
     from sfa_spark.operators.multimodal import phash_neardup_pairs
 
-    sh = dedup.simhash(_docs(spark, sf_dir))
-    sig = sh.select(
-        F.col("doc_id").alias("media_id"),
-        F.lpad(F.bin("simhash"), 32, "0").alias("phash"),
+    sig = dedup.simhash_bits(_docs(spark, sf_dir), bits=64).select(
+        F.col("doc_id").alias("media_id"), F.col("sig").alias("phash")
     )
-    return phash_neardup_pairs(sig, max_hamming=3, n_bands=4, bits=32)
+    return phash_neardup_pairs(sig, max_hamming=3, n_bands=4, bits=64)
 
 
 def q_embedding_drift(spark, sf_dir):

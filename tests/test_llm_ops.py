@@ -177,6 +177,19 @@ def test_simhash_near_dup_close_in_hamming(spark, docs):
     assert ham(sh[0], sh[1]) < ham(sh[0], sh[3])
 
 
+def test_simhash_bits_low_word_matches_simhash32(spark, docs):
+    """simhash_bits packs word 0 from the SAME md5 window as the
+    32-bit simhash, so the low 32 chars of the 64-bit signature must
+    equal lpad(bin(simhash), 32, '0') — pins the word/bit orientation
+    the DuckDB oracle mirrors."""
+    sig = {r["doc_id"]: r["sig"] for r in dedup.simhash_bits(docs, bits=64).collect()}
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    assert all(len(s) == 64 for s in sig.values())
+    for d, s in sig.items():
+        assert s[32:] == format(sh[d], "032b")
+    assert sig[0] == sig[2]  # identical docs, identical signatures
+
+
 def test_token_stats_and_quality(docs):
     s = {r["doc_id"]: r for r in text.token_stats(docs).collect()}
     assert s[0]["n_tokens"] == 9
