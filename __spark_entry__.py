@@ -65,6 +65,8 @@ ROTATE_FIRST = [
     "q_stream_latest_state",     # locked manifest commit
     "q_boss_grid_predict",       # sharded temp-table oracle mirror
     "q_shotgun_ensemble_predict",  # sharded temp-table oracle mirror
+    "q_phash_neardup",           # 64-bit signature + no-explode votes
+    "q_simhash",                 # no-explode vote aggregation
     # (b) the entire r4 age tier (35) — oldest gate rows, all replayed
     # green in r7's full sf0.01 sweep
     "q_dwt_coefs", "q_event_cooccurrence", "q_funnel",
@@ -79,12 +81,12 @@ ROTATE_FIRST = [
     "q_stream_hll_distinct", "q_stream_lm_gate", "q_stream_sessionize",
     "q_tpch_local_supplier", "q_tpch_shipping", "q_twap",
     "q_unpivot_metrics", "q_value_outliers", "q_weighted_sample",
-    # (c) r5-aged fill to exactly 50 (alphabetical; the remaining 32
-    # r5 rows — q_dedup_exact, q_dedup_groups, q_drift_psi onward —
-    # lead r9's fill)
+    # (c) r5-aged fill to exactly 50 (alphabetical; the remaining 34
+    # r5 rows — q_cosine_multiprobe, q_cosine_topk, q_dedup_exact
+    # onward — lead r9's fill; two fewer fit after the two
+    # r8-touched simhash queries joined tier (a))
     "q_apca_segments", "q_bm25_search", "q_column_profile",
     "q_corpus_filter", "q_cosine_ivf", "q_cosine_kmeans",
-    "q_cosine_multiprobe", "q_cosine_topk",
 ]
 
 
