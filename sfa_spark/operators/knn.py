@@ -84,6 +84,142 @@ def boss_1nn(
     )
 
 
+def boss_1nn_blocked(
+    test_bags: DataFrame,
+    train_bags: DataFrame,
+    loo: bool = False,
+    n_chunks: int | None = None,
+    n_query_blocks: int = 1,
+) -> DataFrame:
+    """boss_1nn with the SAME semantics (exact integer BOSS distances,
+    reference acceptance rule corr ≠ 0 ∧ dist > 0, ties → smaller
+    nn_id) but a dense blocked-BLAS plan — the big-corpus path.
+
+    Why: the sparse word-join plan materializes Σ_w df_test(w)·df_train(w)
+    pair rows. SFA bags have a SMALL FIXED vocabulary (alphabet^len,
+    ~128 words here) that every series draws from, so df(w) ~ n and
+    the join is quadratic in SERIES COUNT — measured: at sf10 (150k
+    series) it wrote ~78 GB of shuffle spill and died, while the
+    dense form is two GEMMs per block:
+
+        dist(q, c) = sumsq(q) − 2·(Q Cᵀ)[q,c] + (M_q (C∘C)ᵀ)[q,c]
+
+    with M_q = (Q > 0) the query's word mask (the asymmetric "test
+    words only" term). The corpus is hash-chunked, queries replicated
+    per chunk (or hash-blocked too via n_query_blocks — shotgun_1nn's
+    grid layout), each (qblock, chunk) group densifies its long rows
+    into local matrices (widx is globally assigned, so per-group
+    scatter aligns; missing high columns are zero and cancel), and
+    resolves its LOCAL argmin in numpy without materializing the pair
+    matrix into the plan; a final min(struct(dist, nn_id)) merges
+    chunks. Shuffle volume is |bags_q|·n_chunks + |bags_c|·n_query_blocks
+    long rows — linear in the corpus, never pairs.
+
+    Counts are small ints so float64 GEMMs are exact; dist is cast
+    back to long. Zero-overlap candidates have corr == 0 (excluded),
+    identical-projection candidates dist == 0 (excluded) — matching
+    BOSSEnsembleClassifier.java:216 exactly like the sparse path.
+    Output: (series_id, nn_id, dist) — bit-identical to boss_1nn
+    (asserted by tests/test_knn equivalence test).
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = test_bags.sparkSession
+    P = int(n_chunks or spark.sparkContext.defaultParallelism)
+    B = max(1, int(n_query_blocks))
+
+    vocab = (
+        test_bags.select("word")
+        .unionByName(train_bags.select("word"))
+        .distinct()
+    )
+    vocab = vocab.select(
+        "word",
+        (F.row_number().over(Window.orderBy("word")) - 1).alias("widx"),
+    )
+
+    chunks = spark.range(P).select(F.col("id").cast("int").alias("chunk"))
+    qblocks = spark.range(B).select(F.col("id").cast("int").alias("qblock"))
+    q = (
+        test_bags.join(F.broadcast(vocab), "word")
+        .select(
+            F.col("series_id").alias("sid"),
+            "widx",
+            "cnt",
+            F.lit(True).alias("is_q"),
+            F.pmod(F.hash("series_id"), F.lit(B)).cast("int").alias("qblock"),
+        )
+        .join(F.broadcast(chunks))
+    )
+    c = (
+        train_bags.join(F.broadcast(vocab), "word")
+        .select(
+            F.col("series_id").alias("sid"),
+            "widx",
+            "cnt",
+            F.lit(False).alias("is_q"),
+            F.pmod(F.hash("series_id"), F.lit(P)).cast("int").alias("chunk"),
+        )
+        .join(F.broadcast(qblocks))
+    )
+
+    def _dense(pdf):
+        sids = np.sort(pdf["sid"].unique())
+        pos = {s: i for i, s in enumerate(sids)}
+        m = np.zeros((len(sids), int(pdf["widx"].max()) + 1))
+        m[
+            pdf["sid"].map(pos).to_numpy(),
+            pdf["widx"].to_numpy(dtype=np.int64),
+        ] = pdf["cnt"].to_numpy(dtype=np.float64)
+        return sids, m
+
+    def _group(kv, pdf):
+        qs, cs = pdf[pdf["is_q"]], pdf[~pdf["is_q"]]
+        if not len(qs) or not len(cs):
+            return pd.DataFrame({"q_id": [], "c_id": [], "dist": []})
+        V = int(pdf["widx"].max()) + 1
+        q_ids, Q = _dense(qs)
+        c_ids, C = _dense(cs)
+        if Q.shape[1] < V:
+            Q = np.pad(Q, ((0, 0), (0, V - Q.shape[1])))
+        if C.shape[1] < V:
+            C = np.pad(C, ((0, 0), (0, V - C.shape[1])))
+        corr = (Q > 0).astype(np.float64) @ (C * C).T - 2.0 * (Q @ C.T)
+        dist = (Q * Q).sum(axis=1)[:, None] + corr
+        invalid = (corr == 0.0) | (dist <= 0.0)
+        if loo:
+            invalid |= q_ids[:, None] == c_ids[None, :]
+        dist = np.where(invalid, np.inf, dist)
+        # c_ids ascend, argmin takes the FIRST minimum → smaller nn_id
+        # on ties, matching the sparse path's (dist asc, c_id asc).
+        j = dist.argmin(axis=1)
+        best = dist[np.arange(len(q_ids)), j]
+        keep = np.isfinite(best)
+        return pd.DataFrame(
+            {
+                "q_id": pd.Series(q_ids[keep], dtype="int64"),
+                "c_id": pd.Series(c_ids[j[keep]], dtype="int64"),
+                "dist": pd.Series(best[keep], dtype="float64"),
+            }
+        )
+
+    local = (
+        q.unionByName(c)
+        .groupBy("qblock", "chunk")
+        .applyInPandas(_group, schema="q_id bigint, c_id bigint, dist double")
+    )
+    return (
+        local.groupBy("q_id")
+        .agg(F.min(F.struct("dist", F.col("c_id").alias("c_id"))).alias("b"))
+        .select(
+            F.col("q_id").alias("series_id"),
+            F.col("b.c_id").alias("nn_id"),
+            F.col("b.dist").cast("bigint").alias("dist"),
+        )
+    )
+
+
 def shotgun_1nn(
     query_arrays: DataFrame,
     corpus_arrays: DataFrame,

@@ -297,8 +297,16 @@ def q_tfidf_accuracy(spark, sf_dir):
 
 
 def q_boss_1nn(spark, sf_dir):
+    """BOSS 1-NN over the corpus split — on the dense blocked-BLAS
+    path (knn.boss_1nn_blocked), which is semantically identical to
+    the sparse word-join boss_1nn but linear-shuffle: SFA's small
+    fixed vocabulary makes the word join quadratic in series count
+    (measured at sf10: ~78 GB spill, OOM-by-disk), while the blocked
+    form ships each bag once per corpus chunk and resolves block
+    argmins in two exact GEMMs. The sparse path remains the keyed
+    grid-fit route (bounded UCR-size inputs)."""
     train, test = _split_bags(spark, sf_dir)
-    nn = knn.boss_1nn(test, train)
+    nn = knn.boss_1nn_blocked(test, train)
     return nn.select("series_id", "nn_id", F.col("dist").cast("bigint").alias("dist"))
 
 

@@ -98,6 +98,65 @@ def test_boss_1nn_vs_bruteforce(spark):
     assert got == expected
 
 
+def test_boss_1nn_blocked_equals_sparse(spark):
+    """The dense blocked-BLAS path must be BIT-identical to the sparse
+    word-join path — same argmin, same exact integer distances, same
+    acceptance rule (zero-overlap and identical-bag candidates
+    skipped), same smaller-nn_id tie-break — including with multiple
+    chunks/query-blocks so the block merge is exercised."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    n_train, n_test, vocab = 40, 15, 30
+    train = {
+        i: {int(w): int(rng.integers(1, 6)) for w in rng.choice(vocab, 8, replace=False)}
+        for i in range(n_train)
+    }
+    test = {
+        100 + i: {int(w): int(rng.integers(1, 6)) for w in rng.choice(vocab, 8, replace=False)}
+        for i in range(n_test)
+    }
+    # planted edge cases: a candidate identical to one query's bag
+    # (dist 0 → skipped) and a candidate with no word overlap with it
+    # (corr 0 → skipped)
+    train[200] = dict(test[100])
+    train[201] = {w + vocab: 3 for w in range(4)}
+
+    to_df = lambda bags: spark.createDataFrame(
+        [(sid, w, c) for sid, b in bags.items() for w, c in b.items()],
+        "series_id long, word long, cnt long",
+    )
+    sparse = {
+        r["series_id"]: (r["nn_id"], r["dist"])
+        for r in knn.boss_1nn(to_df(test), to_df(train)).collect()
+    }
+    for n_chunks, n_qb in ((1, 1), (4, 1), (3, 2)):
+        blocked = {
+            r["series_id"]: (r["nn_id"], r["dist"])
+            for r in knn.boss_1nn_blocked(
+                to_df(test), to_df(train), n_chunks=n_chunks, n_query_blocks=n_qb
+            ).collect()
+        }
+        assert blocked == sparse, (n_chunks, n_qb)
+
+
+def test_boss_1nn_blocked_loo(spark):
+    """loo=True must skip self-matches on the blocked path too."""
+    bags = spark.createDataFrame(
+        [(0, 1, 2), (0, 2, 1), (1, 1, 2), (1, 2, 1), (2, 1, 5)],
+        "series_id long, word long, cnt long",
+    )
+    sparse = {
+        r["series_id"]: (r["nn_id"], r["dist"])
+        for r in knn.boss_1nn(bags, bags, loo=True).collect()
+    }
+    blocked = {
+        r["series_id"]: (r["nn_id"], r["dist"])
+        for r in knn.boss_1nn_blocked(bags, bags, loo=True, n_chunks=2).collect()
+    }
+    assert blocked == sparse
+
+
 def test_euclidean_knn_exact(spark):
     import numpy as np
 
