@@ -185,22 +185,36 @@ def boss_1nn_blocked(
             Q = np.pad(Q, ((0, 0), (0, V - Q.shape[1])))
         if C.shape[1] < V:
             C = np.pad(C, ((0, 0), (0, V - C.shape[1])))
-        corr = (Q > 0).astype(np.float64) @ (C * C).T - 2.0 * (Q @ C.T)
-        dist = (Q * Q).sum(axis=1)[:, None] + corr
-        invalid = (corr == 0.0) | (dist <= 0.0)
-        if loo:
-            invalid |= q_ids[:, None] == c_ids[None, :]
-        dist = np.where(invalid, np.inf, dist)
-        # c_ids ascend, argmin takes the FIRST minimum → smaller nn_id
-        # on ties, matching the sparse path's (dist asc, c_id asc).
-        j = dist.argmin(axis=1)
-        best = dist[np.arange(len(q_ids)), j]
-        keep = np.isfinite(best)
+        CC = (C * C).T
+        CT = C.T
+        # Slice the query side so the block distance matrix stays ~32 MB:
+        # the full |Q|×|C| matrix at 30k×4k is ~1 GB/task and with 32
+        # concurrent tasks thrashed memory (measured 339 s at sf10 for
+        # what is ~25 s of GEMM). The slices reuse the same C factors.
+        qstep = max(256, int(4_000_000 / max(1, len(c_ids))))
+        out_q, out_c, out_d = [], [], []
+        for s in range(0, len(q_ids), qstep):
+            Qs = Q[s : s + qstep]
+            qi = q_ids[s : s + qstep]
+            corr = (Qs > 0).astype(np.float64) @ CC - 2.0 * (Qs @ CT)
+            dist = (Qs * Qs).sum(axis=1)[:, None] + corr
+            invalid = (corr == 0.0) | (dist <= 0.0)
+            if loo:
+                invalid |= qi[:, None] == c_ids[None, :]
+            dist[invalid] = np.inf
+            # c_ids ascend, argmin takes the FIRST minimum → smaller
+            # nn_id on ties, matching sparse (dist asc, c_id asc).
+            j = dist.argmin(axis=1)
+            best = dist[np.arange(len(qi)), j]
+            keep = np.isfinite(best)
+            out_q.append(qi[keep])
+            out_c.append(c_ids[j[keep]])
+            out_d.append(best[keep])
         return pd.DataFrame(
             {
-                "q_id": pd.Series(q_ids[keep], dtype="int64"),
-                "c_id": pd.Series(c_ids[j[keep]], dtype="int64"),
-                "dist": pd.Series(best[keep], dtype="float64"),
+                "q_id": pd.Series(np.concatenate(out_q), dtype="int64"),
+                "c_id": pd.Series(np.concatenate(out_c), dtype="int64"),
+                "dist": pd.Series(np.concatenate(out_d), dtype="float64"),
             }
         )
 
