@@ -427,17 +427,18 @@ def simhash_bits(docs: DataFrame, bits: int = 64) -> DataFrame:
     assert bits % 32 == 0, "signature is packed from 32-bit md5 words"
     n_words = bits // 32
     assert n_words * 8 <= 32, "md5 yields 128 bits = four 32-bit words"
+    # project the md5 ONCE per token, then slice words from it — an
+    # inline F.md5 per word would hash every token n_words times
     words = F.array(
         *[
-            F.conv(F.substring(F.md5("tok"), w * 8 + 1, 8), 16, 10).cast(
-                "bigint"
-            )
+            F.conv(F.substring("hx", w * 8 + 1, 8), 16, 10).cast("bigint")
             for w in range(n_words)
         ]
     )
     tok = (
         with_tokens(docs)
         .select("doc_id", F.explode("toks").alias("tok"))
+        .select("doc_id", F.md5("tok").alias("hx"))
         .select("doc_id", words.alias("hw"))
     )
     # Same no-explosion layout as `simhash`: bit i's signed vote is
