@@ -26,7 +26,12 @@ faithful is the SHAPE of the data, not its values. Strategy per table:
 
 Deterministic: numpy seed 42 throughout.
 
-Usage: python tools/gen_sf1.py [dst_dir] [factor]
+Usage: python tools/gen_sf1.py [dst_dir] [factor] [table,table,...]
+
+Large factors (>= ~300) stream the row-heavy tables (orders, lineitem,
+events) through a ParquetWriter in <=20M-row chunks so peak memory
+stays bounded at any factor; the optional table filter lets an sf100
+TPC-H-only point skip the corpus tables entirely.
 """
 
 from __future__ import annotations
@@ -69,68 +74,88 @@ def _scaled_table(
     return pa.table(dict(zip(names, cols)))
 
 
+CHUNK = 20_000_000
+
+
+def _write_chunked(rng, name: str, dst: str, n: int, key_fn) -> None:
+    """Stream a scaled table in <=CHUNK-row pieces: key_fn(lo, size)
+    returns the key-override dict for rows [lo, lo+size)."""
+    writer = None
+    for lo in range(0, n, CHUNK):
+        size = min(CHUNK, n - lo)
+        t = _scaled_table(rng, name, size, key_fn(lo, size))
+        if writer is None:
+            writer = pq.ParquetWriter(f"{dst}/{name}.parquet", t.schema)
+        writer.write_table(t)
+    if writer is not None:
+        writer.close()
+    print(name, n)
+
+
 def main() -> None:
     dst = sys.argv[1] if len(sys.argv) > 1 else ".localdata/sf1"
     factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    want = lambda t: only is None or t in only
     os.makedirs(dst, exist_ok=True)
     rng = np.random.default_rng(42)
 
     # fixed dims: copy verbatim
     for t in ("region", "nation"):
-        pq.write_table(_read(t), f"{dst}/{t}.parquet")
-        print(t, "copied")
+        if want(t):
+            pq.write_table(_read(t), f"{dst}/{t}.parquet")
+            print(t, "copied")
 
     n_cust, n_supp, n_part = 15000 * factor, 1000 * factor, 20000 * factor
     n_ord, n_li = 150000 * factor, 600000 * factor
 
-    pq.write_table(
-        _scaled_table(
-            rng, "customer", n_cust,
-            {"c_custkey": np.arange(n_cust, dtype=np.int64)},
-        ),
-        f"{dst}/customer.parquet",
-    )
-    print("customer", n_cust)
-    pq.write_table(
-        _scaled_table(
-            rng, "supplier", n_supp,
-            {"s_suppkey": np.arange(n_supp, dtype=np.int64)},
-        ),
-        f"{dst}/supplier.parquet",
-    )
-    print("supplier", n_supp)
-    pq.write_table(
-        _scaled_table(
-            rng, "part", n_part,
-            {"p_partkey": np.arange(n_part, dtype=np.int64)},
-        ),
-        f"{dst}/part.parquet",
-    )
-    print("part", n_part)
-    pq.write_table(
-        _scaled_table(
-            rng, "orders", n_ord,
-            {
-                "o_orderkey": np.arange(n_ord, dtype=np.int64),
-                "o_custkey": rng.integers(0, n_cust, size=n_ord),
+    if want("customer"):
+        _write_chunked(
+            rng, "customer", dst, n_cust,
+            lambda lo, sz: {"c_custkey": np.arange(lo, lo + sz, dtype=np.int64)},
+        )
+    if want("supplier"):
+        pq.write_table(
+            _scaled_table(
+                rng, "supplier", n_supp,
+                {"s_suppkey": np.arange(n_supp, dtype=np.int64)},
+            ),
+            f"{dst}/supplier.parquet",
+        )
+        print("supplier", n_supp)
+    if want("part"):
+        _write_chunked(
+            rng, "part", dst, n_part,
+            lambda lo, sz: {"p_partkey": np.arange(lo, lo + sz, dtype=np.int64)},
+        )
+    if want("orders"):
+        _write_chunked(
+            rng, "orders", dst, n_ord,
+            lambda lo, sz: {
+                "o_orderkey": np.arange(lo, lo + sz, dtype=np.int64),
+                "o_custkey": rng.integers(0, n_cust, size=sz),
             },
-        ),
-        f"{dst}/orders.parquet",
-    )
-    print("orders", n_ord)
-    pq.write_table(
-        _scaled_table(
-            rng, "lineitem", n_li,
-            {
-                "l_orderkey": rng.integers(0, n_ord, size=n_li),
-                "l_partkey": rng.integers(0, n_part, size=n_li),
-                "l_suppkey": rng.integers(0, n_supp, size=n_li),
+        )
+    if want("lineitem"):
+        _write_chunked(
+            rng, "lineitem", dst, n_li,
+            lambda lo, sz: {
+                "l_orderkey": rng.integers(0, n_ord, size=sz),
+                "l_partkey": rng.integers(0, n_part, size=sz),
+                "l_suppkey": rng.integers(0, n_supp, size=sz),
             },
-        ),
-        f"{dst}/lineitem.parquet",
-    )
-    print("lineitem", n_li)
+        )
+    if not want("events"):
+        pass
+    else:
+        _gen_events(rng, dst, factor)
+    if want("documents"):
+        _gen_documents(rng, dst, factor)
+    if want("embeddings"):
+        _gen_embeddings(rng, dst, factor)
 
+
+def _gen_events(rng, dst: str, factor: int) -> None:
     # events: same span, 10x density, ts-ordered event ids
     ev = _read("events")
     n_ev = ev.num_rows * factor
@@ -156,6 +181,8 @@ def main() -> None:
     pq.write_table(pa.table(cols), f"{dst}/events.parquet")
     print("events", n_ev)
 
+
+def _gen_documents(rng, dst: str, factor: int) -> None:
     # documents: regenerate from the source vocabulary + length dist
     doc = _read("documents")
     n_doc = doc.num_rows * factor
@@ -191,6 +218,8 @@ def main() -> None:
     )
     print("documents", n_doc)
 
+
+def _gen_embeddings(rng, dst: str, factor: int) -> None:
     # embeddings: empirical labels, gaussian vectors at the source dim
     emb = _read("embeddings")
     n_emb = emb.num_rows * factor
