@@ -141,6 +141,15 @@ def main() -> None:
     # SPARK_GRAFT_BENCH_RUNS: one-shot scale points (e.g. the sf1 run)
     # don't need the min-of-3 noise floor and would triple a long run
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # SPARK_GRAFT_BENCH_GROUPS: comma list of headline/maintenance/tpch
+    # — scale points that only exercise one family (the sf100 TPC-H
+    # run skips the corpus tables entirely) shouldn't fail on missing
+    # inputs for the others. Default: all three.
+    groups = set(
+        os.environ.get(
+            "SPARK_GRAFT_BENCH_GROUPS", "headline,maintenance,tpch"
+        ).split(",")
+    )
 
     def run_group(names: list[str]):
         # min of 3 runs: the box is shared, single-shot timings swing
@@ -175,9 +184,11 @@ def main() -> None:
             )
         return timings, runs
 
-    timings, runs = run_group(HEADLINE)
-    m_timings, m_runs = run_group(MAINTENANCE)
-    t_timings, t_runs = run_group(TPCH)
+    timings, runs = run_group(HEADLINE if "headline" in groups else [])
+    m_timings, m_runs = run_group(
+        MAINTENANCE if "maintenance" in groups else []
+    )
+    t_timings, t_runs = run_group(TPCH if "tpch" in groups else [])
 
     load_after = os.getloadavg()
     total = round(sum(timings.values()), 3)
