@@ -57,29 +57,62 @@ def series_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 def coef_df(spark: SparkSession, sf_dir: str, fast: bool = False) -> DataFrame:
     """events → sliding windows → per-window znorm → PAA coefficients.
 
-    Two value-identical plans (division distributes over the segment
+    Three value-identical plans (division distributes over the segment
     mean, so z-norm-then-average ≡ average-then-normalize):
 
-    * fast=False (default): sliding explode (w× rows) → one window
-      z-norm + one aggregation. Both plans shuffle the data exactly
-      ONCE (series_id partitioning is reused); the explode amplifies
-      rows only executor-locally. MEASURED at sf0.1/w=16: 2.1 s vs
-      2.7 s — the single codegen'd aggregate beats l+1 sequential
-      WindowExec passes, so explode wins for small w.
+    * fast=False (default, r8): sliding explode (w× rows) → ONE hash
+      aggregate straight to (series, win, seg) running sums →
+      window-combine the l=4 segment partials into per-window
+      mean/std → coef = (seg_mean − win_mean)/win_std. The r1-r7 plan
+      z-normalized every exploded ROW first, which forced a Sort +
+      WindowExec over the w×-amplified rows (1.6M at sf0.1) BEFORE
+      the aggregate; partial-aggregating first shrinks the sorted/
+      windowed row count w/l = 4× (guide §2.3 "aggregate before you
+      shuffle" — here: before you SORT) while the single series_id
+      Exchange is unchanged. Measured sf0.1 (qtime, min-of-3):
+      q_sfa_words 0.81 → 0.55 s with this + the words_df persist.
     * fast=True: sliding PAA as SHIFTED ROLLING AGGREGATES —
       coef(win, j) = (avg(frame [j·w/l, (j+1)·w/l−1]) − mean([0,w−1]))
       / std([0,w−1]); no row amplification at all. The right plan when
       w is large (explode volume w× dominates) — e.g. w ≥ 64 windows
       over long series, or memory-constrained executors.
 
-    The DuckDB oracles mirror the explode formulation as the spec;
-    both plans hash-match it (verified at sf0.01).
+    The DuckDB oracles mirror the row-znorm explode formulation as the
+    spec; all plans hash-match it (the 4-dp rnd() nudge absorbs the
+    ulp-level reassociation differences exactly as it already absorbs
+    the Spark↔DuckDB aggregation-order differences; re-verified at
+    sf0.001/sf0.01/sf0.1 for every consumer of this chain).
+    σ-guard parity note: win_std here is sqrt(max(Σv²/w − mean², 0))
+    with the same <1e-8 → 1.0 guard; for a near-constant window the
+    two formulas can disagree about the guard, but such windows do
+    not occur in continuous-valued event data (verified by the
+    full-registry hash sweep).
     """
     s = series_df(spark, sf_dir)
     if not fast:
         sw = window.sliding_long(s, W)
-        z = window.window_znorm(sw)
-        return words.paa_long(z, W, L)
+        part = (
+            sw.withColumn("seg", F.floor(F.col("off") * L / W).cast("int"))
+            .groupBy("series_id", "win", "seg")
+            .agg(
+                F.sum("value").alias("_s1"),
+                F.sum(F.col("value") * F.col("value")).alias("_s2"),
+                F.count(F.lit(1)).alias("_c"),
+            )
+        )
+        wwin = Window.partitionBy("series_id", "win")
+        S = F.sum("_s1").over(wwin)
+        S2 = F.sum("_s2").over(wwin)
+        C = F.sum("_c").over(wwin)
+        mean = S / C
+        std_raw = F.sqrt(F.greatest(S2 / C - mean * mean, F.lit(0.0)))
+        std = F.when(std_raw < 1e-8, F.lit(1.0)).otherwise(std_raw)
+        return part.select(
+            "series_id",
+            "win",
+            "seg",
+            ((F.col("_s1") / F.col("_c") - mean) / std).alias("coef"),
+        )
     seg_len = W // L
     w_ord = Window.partitionBy("series_id").orderBy("pos")
     full = w_ord.rowsBetween(0, W - 1)
@@ -104,8 +137,21 @@ def coef_df(spark: SparkSession, sf_dir: str, fast: bool = False) -> DataFrame:
 
 
 def words_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PAA coefficients → equi-width symbols → packed SFA words."""
-    coef = coef_df(spark, sf_dir)
+    """PAA coefficients → equi-width symbols → packed SFA words.
+
+    The coef table is persisted (r8): equi-width binning is inherently
+    two-pass — a global per-seg min/max fit plus the quantize join —
+    and without the persist the ENTIRE upstream chain (scan → explode
+    → aggregate → window) executed twice, once under the broadcast
+    stats aggregate and once on the probe side (both subtrees visible
+    in plans/r08/q_bag_topk_before.txt; only the scan Exchange was
+    AQE-reused). Guide §5: the chain is reused and recomputation costs
+    more than the (series×windows×l)-row cache; MEMORY_AND_DISK
+    default spills gracefully at scale. Harnesses clear the cache
+    between queries (bench.py / check_oracle.py), matching the
+    existing _split_bags / incremental_lsh_dedup persist convention.
+    """
+    coef = coef_df(spark, sf_dir).persist()
     sym = quantize.equi_width_symbols(coef, A)
     return words.pack_words(sym.select("series_id", "win", "seg", "symbol"), A)
 
