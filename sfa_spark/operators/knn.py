@@ -90,6 +90,7 @@ def boss_1nn_blocked(
     loo: bool = False,
     n_chunks: int | None = None,
     n_query_blocks: int = 1,
+    assume_dense_vocab: bool = False,
 ) -> DataFrame:
     """boss_1nn with the SAME semantics (exact integer BOSS distances,
     reference acceptance rule corr ≠ 0 ∧ dist > 0, ties → smaller
@@ -121,6 +122,19 @@ def boss_1nn_blocked(
     BOSSEnsembleClassifier.java:216 exactly like the sparse path.
     Output: (series_id, nn_id, dist) — bit-identical to boss_1nn
     (asserted by tests/test_knn equivalence test).
+
+    assume_dense_vocab=True (r8): skip the global vocabulary index and
+    use the word id itself as the dense column index. Correct whenever
+    word ids are already small non-negative ints — packed SFA words
+    live in [0, alphabet^word_length), 256 here — because columns for
+    absent words are all-zero on both sides and cancel in every term
+    (mask·(C∘C), Q·Cᵀ, sumsq). The index chain it removes (union →
+    distinct → single-partition row_number window → broadcast join on
+    EACH side) is 3 driver-blocking stages; at sf0.1 it was ~1.2 s of
+    the query's 2.8 s — pure stage latency, not data work (guide §1.2:
+    fix the distributed algorithm first; fixed per-job overhead is the
+    'shuffle' of tiny inputs). Distances are bit-identical (asserted
+    by tests/test_models.py::test_boss_1nn_blocked_dense_vocab).
     """
     import numpy as np
     import pandas as pd
@@ -129,21 +143,34 @@ def boss_1nn_blocked(
     P = int(n_chunks or spark.sparkContext.defaultParallelism)
     B = max(1, int(n_query_blocks))
 
-    vocab = (
-        test_bags.select("word")
-        .unionByName(train_bags.select("word"))
-        .distinct()
-    )
-    vocab = vocab.select(
-        "word",
-        (F.row_number().over(Window.orderBy("word")) - 1).alias("widx"),
-    )
+    if assume_dense_vocab:
+        q_proj = test_bags.select(
+            "series_id", F.col("word").cast("int").alias("widx"), "cnt"
+        )
+        c_proj = train_bags.select(
+            "series_id", F.col("word").cast("int").alias("widx"), "cnt"
+        )
+    else:
+        vocab = (
+            test_bags.select("word")
+            .unionByName(train_bags.select("word"))
+            .distinct()
+        )
+        vocab = vocab.select(
+            "word",
+            (F.row_number().over(Window.orderBy("word")) - 1).alias("widx"),
+        )
+        q_proj = test_bags.join(F.broadcast(vocab), "word").select(
+            "series_id", "widx", "cnt"
+        )
+        c_proj = train_bags.join(F.broadcast(vocab), "word").select(
+            "series_id", "widx", "cnt"
+        )
 
     chunks = spark.range(P).select(F.col("id").cast("int").alias("chunk"))
     qblocks = spark.range(B).select(F.col("id").cast("int").alias("qblock"))
     q = (
-        test_bags.join(F.broadcast(vocab), "word")
-        .select(
+        q_proj.select(
             F.col("series_id").alias("sid"),
             "widx",
             "cnt",
@@ -153,8 +180,7 @@ def boss_1nn_blocked(
         .join(F.broadcast(chunks))
     )
     c = (
-        train_bags.join(F.broadcast(vocab), "word")
-        .select(
+        c_proj.select(
             F.col("series_id").alias("sid"),
             "widx",
             "cnt",

@@ -140,6 +140,44 @@ def test_boss_1nn_blocked_equals_sparse(spark):
         assert blocked == sparse, (n_chunks, n_qb)
 
 
+def test_boss_1nn_blocked_dense_vocab(spark):
+    """assume_dense_vocab=True (word id used directly as the dense
+    column index, no global vocab index) must stay bit-identical to
+    both the indexed blocked path and the sparse path — absent-word
+    columns are all-zero on both sides and cancel in every distance
+    term."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    vocab = 64  # dense-packed word space, ids in [0, vocab)
+    train = {
+        i: {int(w): int(rng.integers(1, 6)) for w in rng.choice(vocab, 8, replace=False)}
+        for i in range(30)
+    }
+    test = {
+        100 + i: {int(w): int(rng.integers(1, 6)) for w in rng.choice(vocab, 8, replace=False)}
+        for i in range(12)
+    }
+    train[200] = dict(test[100])  # dist 0 → skipped
+    to_df = lambda bags: spark.createDataFrame(
+        [(sid, w, c) for sid, b in bags.items() for w, c in b.items()],
+        "series_id long, word long, cnt long",
+    )
+    sparse = {
+        r["series_id"]: (r["nn_id"], r["dist"])
+        for r in knn.boss_1nn(to_df(test), to_df(train)).collect()
+    }
+    for n_chunks in (1, 4):
+        dense = {
+            r["series_id"]: (r["nn_id"], r["dist"])
+            for r in knn.boss_1nn_blocked(
+                to_df(test), to_df(train), n_chunks=n_chunks,
+                assume_dense_vocab=True,
+            ).collect()
+        }
+        assert dense == sparse, n_chunks
+
+
 def test_boss_1nn_blocked_loo(spark):
     """loo=True must skip self-matches on the blocked path too."""
     bags = spark.createDataFrame(
