@@ -231,23 +231,46 @@ def jaccard_verify(
     )
 
 
+def minhash_wide(docs: DataFrame, n_seeds: int = 8, k: int = 3) -> DataFrame:
+    """(doc_id, sigs array<string> in seed order): per-seed min over
+    md5(seed|shingle), all seeds folded in ONE groupBy(doc_id) of
+    `n_seeds` min aggregates (r8, guide §2.3 "aggregate before you
+    shuffle"): the former plan crossJoined a broadcast seed table
+    (8× row amplification through the aggregate) and shuffled on
+    (doc_id, seed) — a key downstream band grouping could not reuse,
+    costing a second Exchange. This form shuffles ONE row per doc on
+    doc_id alone, which every per-doc consumer (banding, probes)
+    reuses exchange-free. md5 evaluation count is unchanged (n_seeds
+    per shingle, as aggregate inputs)."""
+    sh = shingles(docs, k)
+    aggs = [
+        F.min(
+            F.md5(F.concat_ws("|", F.lit(i), F.col("shingle")))
+        ).alias(f"_m{i}")
+        for i in range(n_seeds)
+    ]
+    return (
+        sh.groupBy("doc_id")
+        .agg(*aggs)
+        .select(
+            "doc_id",
+            F.array(*[F.col(f"_m{i}") for i in range(n_seeds)]).alias("sigs"),
+        )
+    )
+
+
 def minhash_signatures(docs: DataFrame, n_seeds: int = 8, k: int = 3) -> DataFrame:
     """(doc_id, seed, minhash): per-seed min over md5(seed|shingle).
 
-    md5-string min is engine-portable and deterministic — no reliance on
-    engine-specific hash functions. One aggregation over the exploded
-    (shingle × seed) space; seeds are a tiny constant factor."""
-    sh = shingles(docs, k)
-    seeds = docs.sparkSession.range(n_seeds).select(F.col("id").cast("int").alias("seed"))
+    md5-string min is engine-portable and deterministic — no reliance
+    on engine-specific hash functions. Implemented over minhash_wide
+    (one groupBy(doc_id), seeds as parallel aggregates) + a row-local
+    posexplode — values identical to the former (shingle × seed)
+    crossJoin aggregation, one Exchange narrower."""
     return (
-        sh.crossJoin(F.broadcast(seeds))
-        .select(
-            "doc_id",
-            "seed",
-            F.md5(F.concat_ws("|", F.col("seed"), F.col("shingle"))).alias("h"),
-        )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("minhash"))
+        minhash_wide(docs, n_seeds=n_seeds, k=k)
+        .select("doc_id", F.posexplode("sigs").alias("seed", "minhash"))
+        .withColumn("seed", F.col("seed").cast("int"))
     )
 
 
