@@ -205,7 +205,11 @@ def jaccard_verify(
         .union(pairs.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sh_c = sh.join(cand_ids, "doc_id", "left_semi")
+    # persist (r8): the candidates-only shingle slice feeds sizes and
+    # both pair-expansion sides; it is small by construction (bounded
+    # by the candidate list), so one materialization beats three
+    # tokenize passes over the corpus + semi-join.
+    sh_c = sh.join(cand_ids, "doc_id", "left_semi").persist()
     sizes = sh_c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh_c.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh_c.select(F.col("doc_id").alias("doc_b"), "shingle")

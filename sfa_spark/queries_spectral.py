@@ -107,7 +107,10 @@ def q_sfa_words_dft(spark, sf_dir):
     """Full SFA: equi-depth bins fitted on disjoint windows → sliding
     words → bags. SQL oracle mirrors every stage (trig-sum MFT, 2-dp
     orderline, reference equi-depth scan, quantize, pack, bag)."""
-    arr = _arrays(spark, sf_dir).where(F.size("values") >= MFT_W)
+    # persist (r8): the array form feeds both the bin fit (disjoint
+    # chunks) and the sliding transform — one gather instead of two
+    # (the events→series window chain + collect_list ran twice).
+    arr = _arrays(spark, sf_dir).where(F.size("values") >= MFT_W).persist()
     model = sfa.fit(
         arr, window=MFT_W, word_length=MFT_L, alphabet=4,
         histogram="equi_depth", norm_mean=True,

@@ -406,8 +406,6 @@ def scd2_sink(
         man = _read_manifest(state_dir)
         if batch_id <= man["applied"]:
             return  # checkpoint replay of an already-published batch
-        if batch_df.isEmpty():
-            return
         nb = _effective_buckets(man, n_buckets)
         man["n_buckets"] = nb
         touched = sorted(
@@ -418,6 +416,10 @@ def scd2_sink(
             .distinct()
             .collect()
         )
+        if not touched:
+            return  # empty batch: nothing to merge or commit (this
+            # also covers the former isEmpty() pre-check — one fewer
+            # Spark job per micro-batch)
         live = _live_paths(state_dir, man, touched)
         if live:
             hist = spark.read.parquet(*live)
