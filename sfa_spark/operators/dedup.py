@@ -205,11 +205,7 @@ def jaccard_verify(
         .union(pairs.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    # persist (r8): the candidates-only shingle slice feeds sizes and
-    # both pair-expansion sides; it is small by construction (bounded
-    # by the candidate list), so one materialization beats three
-    # tokenize passes over the corpus + semi-join.
-    sh_c = sh.join(cand_ids, "doc_id", "left_semi").persist()
+    sh_c = sh.join(cand_ids, "doc_id", "left_semi")
     sizes = sh_c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh_c.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh_c.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -235,46 +231,34 @@ def jaccard_verify(
     )
 
 
-def minhash_wide(docs: DataFrame, n_seeds: int = 8, k: int = 3) -> DataFrame:
-    """(doc_id, sigs array<string> in seed order): per-seed min over
-    md5(seed|shingle), all seeds folded in ONE groupBy(doc_id) of
-    `n_seeds` min aggregates (r8, guide §2.3 "aggregate before you
-    shuffle"): the former plan crossJoined a broadcast seed table
-    (8× row amplification through the aggregate) and shuffled on
-    (doc_id, seed) — a key downstream band grouping could not reuse,
-    costing a second Exchange. This form shuffles ONE row per doc on
-    doc_id alone, which every per-doc consumer (banding, probes)
-    reuses exchange-free. md5 evaluation count is unchanged (n_seeds
-    per shingle, as aggregate inputs)."""
-    sh = shingles(docs, k)
-    aggs = [
-        F.min(
-            F.md5(F.concat_ws("|", F.lit(i), F.col("shingle")))
-        ).alias(f"_m{i}")
-        for i in range(n_seeds)
-    ]
-    return (
-        sh.groupBy("doc_id")
-        .agg(*aggs)
-        .select(
-            "doc_id",
-            F.array(*[F.col(f"_m{i}") for i in range(n_seeds)]).alias("sigs"),
-        )
-    )
-
-
 def minhash_signatures(docs: DataFrame, n_seeds: int = 8, k: int = 3) -> DataFrame:
     """(doc_id, seed, minhash): per-seed min over md5(seed|shingle).
 
-    md5-string min is engine-portable and deterministic — no reliance
-    on engine-specific hash functions. Implemented over minhash_wide
-    (one groupBy(doc_id), seeds as parallel aggregates) + a row-local
-    posexplode — values identical to the former (shingle × seed)
-    crossJoin aggregation, one Exchange narrower."""
+    md5-string min is engine-portable and deterministic — no reliance on
+    engine-specific hash functions. One aggregation over the exploded
+    (shingle × seed) space; seeds are a tiny constant factor.
+
+    r8 negative result, kept for the record: folding all seeds into ONE
+    groupBy(doc_id) of n_seeds min(md5(...)) aggregates (saving the 8×
+    row amplification and letting the band grouping reuse the doc_id
+    partitioning exchange-free) measured ~1.5× SLOWER on the signature
+    stage at sf1 (13.0 s vs 8.6 s noop-sink) and regressed
+    q_lsh_verified_dedup 10.6 → 16.5 s — eight variable-length
+    min-string buffers in a single aggregate lose more to the slow
+    var-length-buffer aggregation path than the narrower shuffle wins;
+    the (doc_id, seed) form keeps one fixed buffer per group and its
+    exchanges are AQE-reused across the multi-consumer plans. Reverted."""
+    sh = shingles(docs, k)
+    seeds = docs.sparkSession.range(n_seeds).select(F.col("id").cast("int").alias("seed"))
     return (
-        minhash_wide(docs, n_seeds=n_seeds, k=k)
-        .select("doc_id", F.posexplode("sigs").alias("seed", "minhash"))
-        .withColumn("seed", F.col("seed").cast("int"))
+        sh.crossJoin(F.broadcast(seeds))
+        .select(
+            "doc_id",
+            "seed",
+            F.md5(F.concat_ws("|", F.col("seed"), F.col("shingle"))).alias("h"),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("minhash"))
     )
 
 

@@ -151,11 +151,7 @@ def q_lsh_verified_dedup(spark, sf_dir):
     tests/test_llm_ops.py::test_lsh_verified_plan_has_no_allpairs)."""
     docs = _docs(spark, sf_dir)
     sig = dedup.minhash_signatures(docs, n_seeds=8, k=3)
-    # persist (r8): the candidate list is consumed twice (as the
-    # verify phase's input and in the final join) — without it the
-    # whole shingle→minhash→band chain executed twice. Candidates are
-    # tiny by construction (band-collision pairs only).
-    cand = dedup.lsh_candidate_pairs(sig, band_size=2).persist()
+    cand = dedup.lsh_candidate_pairs(sig, band_size=2)
     ver = dedup.jaccard_verify(docs, cand, k=3)
     return cand.join(ver, ["doc_a", "doc_b"]).select(
         "doc_a", "doc_b", "n_bands", "inter", "union_sz",
