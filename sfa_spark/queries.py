@@ -343,7 +343,7 @@ def q_tfidf_accuracy(spark, sf_dir):
 
 
 def _adaptive_chunks(
-    spark, sf_dir: str, table: str = "events", target_bytes: int = 4 << 20
+    spark, sf_dir: str, table: str = "events", target_bytes: int = 512 << 10
 ) -> int:
     """Scale-adaptive chunk count for the blocked kNN (guide §2:
     derive partitioning from input size, not a constant tuned for one
@@ -352,7 +352,13 @@ def _adaptive_chunks(
     [1, defaultParallelism]. Small inputs get few chunks (each chunk
     replicates the query side once and pays an applyInPandas group),
     large inputs saturate the cluster; a non-listable path (object
-    store) falls back to full parallelism, the operator default."""
+    store) falls back to full parallelism, the operator default.
+    512 KB/chunk measured best across the decade: sf0.1 (2 MB) → 4
+    chunks, sf1 (16 MB) → 30, sf10+ → clamped to the core count (a
+    first cut at 4 MB/chunk under-parallelized the sf1 GEMM —
+    q_boss_1nn 5.5 s → 12.1 s — because the blocked distance work
+    grows quadratically while the stat grows linearly; err toward
+    more chunks once the corpus outgrows a few MB)."""
     import os
 
     path = os.path.join(sf_dir, f"{table}.parquet")
