@@ -102,23 +102,31 @@ def lang_id(docs: DataFrame) -> DataFrame:
 
 
 def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
-    """Distinct word k-gram shingles per doc: (doc_id, shingle)."""
+    """Distinct word k-gram shingles per doc: (doc_id, shingle).
+
+    Shuffle-free (r8): shingle dedup is DOC-LOCAL, so the k-grams are
+    built and deduplicated inside the row (transform over the index
+    sequence + array_distinct) and then exploded. The previous shape —
+    explode → global ``distinct()`` — paid a full Exchange of the
+    shingle table (the dedup family's largest intermediate, feeding
+    jaccard/minhash/LSH/fingerprint/decontaminate) for a dedup the row
+    already determines (guide §2.4: remove shuffles outright). Same
+    rows out: doc_id is unique per input row, so per-row
+    array_distinct ≡ global distinct over (doc_id, shingle)."""
     d = with_tokens(docs)
     idx = F.when(
         F.size("toks") >= k,
         F.sequence(F.lit(0), F.size("toks") - k),
     ).otherwise(F.array())
-    sh = d.select(
-        "doc_id",
-        F.explode(idx).alias("i"),
-        "toks",
-    ).select(
-        "doc_id",
-        F.concat_ws(
-            " ", *[F.element_at("toks", F.col("i") + j + 1) for j in range(3)]
-        ).alias("shingle"),
+    grams = F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.get("toks", i + j) for j in range(3)]
+            ),
+        )
     )
-    return sh.distinct()
+    return d.select("doc_id", F.explode(grams).alias("shingle"))
 
 
 def fingerprint(docs: DataFrame, n_min: int = 4) -> DataFrame:

@@ -25,11 +25,15 @@ from pyspark.sql import functions as F
 from sfa_spark.ml import classifiers as C
 from sfa_spark.operators import knn
 from sfa_spark.queries import N_LABELS, TEST_MOD, series_df
-from sfa_spark.sources.events import series_to_arrays
+from sfa_spark.sources.events import load_table, series_arrays_from_events
 
 
 def _corpus(spark, sf_dir):
-    arrays = series_to_arrays(series_df(spark, sf_dir)).where(
+    # direct events→arrays gather (r8): skips the long-form Sort +
+    # row_number/count windows — see series_arrays_from_events
+    arrays = series_arrays_from_events(
+        load_table(spark, sf_dir, "events")
+    ).where(
         F.size("values") >= 32
     ).cache()
     labels = arrays.select(

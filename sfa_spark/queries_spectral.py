@@ -17,7 +17,10 @@ from pyspark.sql import functions as F
 from sfa_spark.functions import spectral
 from sfa_spark.operators import bags, sfa
 from sfa_spark.queries import rnd, series_df
-from sfa_spark.sources.events import series_to_arrays
+from sfa_spark.sources.events import (
+    load_table,
+    series_arrays_from_events,
+)
 
 DFT_L = 8      # whole-series DFT: coefficients 1..4 (8 interleaved values)
 MFT_W = 16     # sliding MFT window
@@ -25,7 +28,10 @@ MFT_L = 4      # values per window (coefficients 1..2, norm_mean drops DC)
 
 
 def _arrays(spark, sf_dir):
-    return series_to_arrays(series_df(spark, sf_dir))
+    # direct events→arrays gather (r8): same values/ordering as
+    # series_to_arrays(series_df(...)), minus the row_number Sort +
+    # two WindowExecs — see series_arrays_from_events
+    return series_arrays_from_events(load_table(spark, sf_dir, "events"))
 
 
 def q_dft_coefs(spark, sf_dir):

@@ -507,32 +507,56 @@ def q_stream_scd2(spark, sf_dir):
     from sfa_spark.sources.events import load_table
     from sfa_spark.streaming import sinks
 
-    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    # r8 prep consolidation: the changelog slice table is read ONCE.
+    # The old prep ran five jobs over the events scan (percentile +
+    # four filtered coalesce(1) writes); now the filtered changelog is
+    # persisted (tiny: 20 users), the percentile job runs over the
+    # cache, and ALL four slices land in one partitionBy("_slice")
+    # write whose partition column reproduces the same half-open
+    # percentile ranges — the written files are byte-compatible with
+    # the per-slice writes (partition columns are dropped from the
+    # files) and get the same names/mtimes below, so the stream
+    # delivers the identical four micro-batches in the identical order.
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id") < 20)
+        .persist()
+    )
     qs = list(
         ev.agg(
             F.expr("percentile(ts, array(0.25, 0.5, 0.75))")
         ).collect()[0][0]
     )
     src = tempfile.mkdtemp(prefix="sfa_scd2_src_")
-    bounds = [None, *qs, None]
+    q1, q2, q3 = (float(x) for x in qs)
+    slice_no = (
+        F.when(F.col("ts") < q1, 0)
+        .when(F.col("ts") < q2, 1)
+        .when(F.col("ts") < q3, 2)
+        .otherwise(3)
+    )
+    stage = f"{src}/_slices"
+    (
+        ev.withColumn("_slice", slice_no)
+        .coalesce(1)  # one task → exactly one file per slice dir
+        .write.mode("overwrite")
+        .partitionBy("_slice")
+        .parquet(stage)
+    )
+    ev.unpersist()
     for i in range(4):
-        lo, hi = bounds[i], bounds[i + 1]
-        sl = ev
-        if lo is not None:
-            sl = sl.where(F.col("ts") >= float(lo))
-        if hi is not None:
-            sl = sl.where(F.col("ts") < float(hi))
         path = f"{src}/slice_{i}.parquet"
-        sl.coalesce(1).write.mode("overwrite").parquet(path + ".dir")
-        part = next(
-            p for p in os.listdir(path + ".dir") if p.endswith(".parquet")
-        )
-        os.rename(os.path.join(path + ".dir", part), path)
-        shutil.rmtree(path + ".dir")
+        sdir = os.path.join(stage, f"_slice={i}")
+        if not os.path.isdir(sdir):  # degenerate tie-heavy quartile:
+            # reproduce the old per-slice write's empty file
+            ev.limit(0).coalesce(1).write.mode("overwrite").parquet(sdir)
+        part = next(p for p in os.listdir(sdir) if p.endswith(".parquet"))
+        os.rename(os.path.join(sdir, part), path)
         # mtime strictly increasing so the file source delivers the
         # slices in time order (scd2_apply's arrival-order contract)
         t = time.time() - 40 + i * 10
         os.utime(path, (t, t))
+    shutil.rmtree(stage)
     state_dir = tempfile.mkdtemp(prefix="sfa_scd2_state_")
     schema = spark.read.parquet(src).schema
     stream = (

@@ -88,6 +88,45 @@ def series_from_events(
     )
 
 
+def series_arrays_from_events(
+    events: DataFrame,
+    series_col: str = "user_id",
+    value_col: str = "value",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+) -> DataFrame:
+    """Array form gathered DIRECTLY from the event log — value-identical
+    to ``series_to_arrays(series_from_events(events))`` but one pass
+    shorter: ``pos`` exists only to order the gather, and
+    ``sort_array(collect_list(struct(*order_cols, value)))`` applies
+    exactly that order (struct comparison is lexicographic and
+    ``order_cols`` is a unique key, so ``value`` never participates in
+    a comparison) inside the aggregate itself. The long-form path pays
+    Exchange → Sort → Window(row_number, count) → HashAggregate; this
+    is Exchange → HashAggregate — the Sort over every event row and
+    both WindowExecs disappear (guide §2.4: remove passes the result
+    never needed). ``n`` = size of the gathered array == count(*).
+
+    Same memory caveat as series_to_arrays: one series must fit in
+    executor memory (classification corpora; not indexing-scale)."""
+    return (
+        events.select(
+            F.col(series_col).cast("bigint").alias("series_id"),
+            *[F.col(c) for c in order_cols],
+            F.col(value_col).cast("double").alias("value"),
+        )
+        .groupBy("series_id")
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(*order_cols, "value"))
+                ),
+                lambda s: s["value"],
+            ).alias("values"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+
+
 def series_to_arrays(long_df: DataFrame) -> DataFrame:
     """Gather long form into array form (series_id, values array<double>).
 

@@ -1930,3 +1930,31 @@ def test_incremental_lsh_dedup_statuses(spark, docs):
             else "near_batch" if hits_batch else "kept"
         )
         assert out[d] == want, (d, out[d], want)
+
+
+def test_shingles_shuffle_free_and_distinct(spark):
+    """r8: shingles dedups per-row (array_distinct) instead of a global
+    distinct() — rows must still be the distinct (doc_id, shingle)
+    pairs, and the plan must contain NO Exchange (the dedup is
+    doc-local)."""
+    from sfa_spark.operators.text import shingles
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c"),  # duplicate shingles within doc
+            (2, "a b c d"),
+            (3, "x y"),               # shorter than k → no shingles
+        ],
+        "doc_id long, text string",
+    )
+    sh = shingles(docs, k=3)
+    got = {(r["doc_id"], r["shingle"]) for r in sh.collect()}
+    assert got == {
+        (1, "a b c"), (1, "b c a"), (1, "c a b"),
+        (2, "a b c"), (2, "b c d"),
+    }
+    assert sh.count() == 5  # per-row dedup collapsed the repeats
+    plan = sh._sc._jvm.PythonSQLUtils.explainString(
+        sh._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan

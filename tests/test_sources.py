@@ -302,3 +302,38 @@ def test_read_evolved_parquet_null_fills_old_files(spark, tmp_path):
     )
     rows = {r["id"]: (r["s"], r["q"]) for r in m.collect()}
     assert rows == {1: ("a", None), 2: ("b", 0.5)}
+
+
+def test_series_arrays_from_events_matches_long_path(spark):
+    """The direct events→arrays gather (r8 fast path: sort_array over
+    (ts, event_id, value) structs, no row_number window) must be
+    value-identical to series_to_arrays(series_from_events(...)) —
+    including tie-breaking on duplicate ts within a series."""
+    from sfa_spark.sources.events import (
+        series_arrays_from_events,
+        series_from_events,
+        series_to_arrays,
+    )
+
+    rows = [
+        # (user_id, ts, event_id, value) — user 1 has duplicate ts
+        (1, 100, 7, 1.0),
+        (1, 100, 3, 2.0),   # same ts, smaller event_id → earlier
+        (1, 50, 9, 3.0),
+        (2, 10, 1, 4.0),
+        (2, 20, 2, 5.0),
+        (2, 15, 8, 6.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts long, event_id long, value double"
+    )
+    fast = {
+        r["series_id"]: (r["values"], r["n"])
+        for r in series_arrays_from_events(ev).collect()
+    }
+    slow = {
+        r["series_id"]: (r["values"], r["n"])
+        for r in series_to_arrays(series_from_events(ev)).collect()
+    }
+    assert fast == slow
+    assert fast[1] == ([3.0, 2.0, 1.0], 3)  # ts order, event_id tiebreak
