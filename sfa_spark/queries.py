@@ -1592,16 +1592,26 @@ def q_tpch_small_qty(spark, sf_dir):
     Reference anchor for the shape: TPC-H spec Q17 (public)."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    pavg = li.groupBy("l_partkey").agg(
-        (
-            dec_sum("l_quantity") / F.count(F.lit(1)).cast("double")
-        ).alias("avg_qty")
-    )
     sel = part.where(F.col("p_size") <= 10).select("p_partkey", "p_brand")
+    # per-part average as a WINDOW after the part semi-join (r8): the
+    # pre-aggregate + join-back form scanned lineitem TWICE (the pavg
+    # branch aggregated EVERY part, then the join pruned — 2 lineitem
+    # scans, 0 ReusedExchange in plans/r08/q_tpch_small_qty_before
+    # .txt). The broadcast part filter drops whole parts, never rows
+    # within a part, so the window average over the filtered rows is
+    # the identical per-part average (same dec_sum/count expression,
+    # decimal addition is order-independent); one lineitem scan, one
+    # l_partkey exchange.
+    w_part = Window.partitionBy("l_partkey")
     j = (
         li.select("l_partkey", "l_quantity", "l_extendedprice")
         .join(F.broadcast(sel), F.col("l_partkey") == sel.p_partkey)
-        .join(pavg, "l_partkey")
+        .withColumn(
+            "avg_qty",
+            F.sum(F.col("l_quantity").cast("decimal(18,6)")).over(w_part)
+            .cast("double")
+            / F.count(F.lit(1)).over(w_part).cast("double"),
+        )
         .where(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
     )
     return j.groupBy("p_brand").agg(
@@ -1722,11 +1732,16 @@ def q_tpch_top_supplier(spark, sf_dir):
         & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
     )
     supplier = load_table(spark, sf_dir, "supplier")
+    # persist (r8): rev feeds BOTH the scalar max and the equality
+    # filter; without it the whole lineitem scan + revenue aggregate
+    # ran twice (pruning made the copies non-identical, defeating
+    # exchange reuse). Supplier-sized — bounded at any scale (guide
+    # §5: reused AND cheaper to hold than recompute).
     rev = li.groupBy("l_suppkey").agg(
         dec_sum(
             F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
         ).alias("total_revenue")
-    )
+    ).persist()
     mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
     top = rev.crossJoin(F.broadcast(mx)).where(
         F.col("total_revenue") == F.col("max_revenue")
@@ -2030,12 +2045,19 @@ def q_tpch_min_cost_supplier(spark, sf_dir):
     ps = _partsupp(li_eu).join(
         F.broadcast(eu), F.col("ps_suppkey") == eu.s_suppkey
     )
-    minc = ps.groupBy("ps_partkey").agg(
-        F.min("ps_supplycost").alias("min_cost")
-    )
+    # per-part MIN as a WINDOW over ps instead of a groupBy + join-back
+    # (r8): the join-back form planned the whole lineitem→semi-join→
+    # pair-aggregate subtree TWICE (column pruning made the two copies
+    # non-identical, so exchange reuse never fired — 0 ReusedExchange,
+    # 2 lineitem scans in plans/r08/q_tpch_min_cost_supplier_before
+    # .txt). The window computes the identical min over the identical
+    # partition (exact doubles, key-derived costs) in ONE pass; the
+    # equality filter keeps exactly the same rows. Guide §2.4: two
+    # operations keyed the same way share one exchange.
+    w_part = Window.partitionBy("ps_partkey")
     sel = part.where(F.col("p_type") == "LARGE").select("p_partkey", "p_brand")
     return (
-        ps.join(minc, "ps_partkey")
+        ps.withColumn("min_cost", F.min("ps_supplycost").over(w_part))
         .where(F.col("ps_supplycost") == F.col("min_cost"))
         .join(F.broadcast(sel), F.col("ps_partkey") == sel.p_partkey)
         .select(
@@ -2075,9 +2097,13 @@ def q_tpch_important_stock(spark, sf_dir):
     li_asia = li.join(
         F.broadcast(asia), li.l_suppkey == asia.s_suppkey, "left_semi"
     )
+    # persist (r8): val feeds BOTH the scalar mean and the HAVING
+    # filter; without it the lineitem→semi-join→pair-aggregate subtree
+    # ran twice (0 ReusedExchange — see q_tpch_min_cost_supplier's
+    # identical pattern). Part-sized — bounded at any scale.
     val = _partsupp(li_asia).groupBy("ps_partkey").agg(
         dec_sum(F.col("ps_supplycost") * F.col("ps_availqty")).alias("value")
-    )
+    ).persist()
     mean = val.agg(
         (dec_sum("value") / F.count(F.lit(1)).cast("double")).alias("mean_value")
     )
