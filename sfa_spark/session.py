@@ -34,6 +34,25 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Join strategy (guide §3.1/§9, r8): let the planner pick a
+        # shuffled-hash join when one side fits a per-partition hash
+        # map — SMJ's sort pass is pure overhead for the keyed MERGE/
+        # diff shapes (measured sf0.1: q_merge_changes 0.65 → 0.50 s,
+        # SMJ→SHJ in-plan). AQE additionally rewrites SMJ→SHJ at
+        # runtime when every post-shuffle partition is under the local
+        # map threshold. Both parameterized: a cluster with small
+        # executor memory can restore sort-merge with
+        # SPARK_GRAFT_PREFER_SMJ=true / SPARK_GRAFT_SHJ_LOCALMAP=0
+        # (sort-merge spills gracefully; hash maps must fit — §3.1's
+        # documented trade).
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+        )
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_LOCALMAP", "64m"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # driver testdata parquet carries TIMESTAMP(NANOS) — read as
