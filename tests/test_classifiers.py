@@ -71,6 +71,7 @@ def test_mllib_pipeline_composition(spark, cbf):
     assert out.select("series_id").distinct().count() == te_a.count()
 
 
+@pytest.mark.grid
 def test_weasel_grid_cbf(spark, cbf):
     tr_a, tr_l, te_a, te_l = cbf
     model = C.weasel_fit_grid(

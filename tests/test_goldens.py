@@ -23,6 +23,11 @@ from pyspark.sql import functions as F
 
 from sfa_spark.sources.ucr import read_ucr
 
+# Slow tier: full reference default-grid fits on the bundled UCR
+# fixtures. Deselected by the default gate (pytest.ini addopts); run
+# explicitly with `pytest -m golden`.
+pytestmark = pytest.mark.golden
+
 DATA = "/root/reference/src/main/resources/datasets/univariate"
 DELTA = 0.05
 

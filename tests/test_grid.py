@@ -10,6 +10,10 @@ from pyspark.sql import functions as F
 
 from sfa_spark.ml import grid
 
+# Slow tier: iterative grid-search fits. Deselected by the default gate
+# (pytest.ini addopts); run explicitly with `pytest -m grid`.
+pytestmark = pytest.mark.grid
+
 
 def _mk(n, label, seed, length=64):
     out = []

@@ -21,7 +21,20 @@ QUERIES = sorted(E.queries().items())
 SQLS = E.oracle_sql()
 
 
-@pytest.mark.parametrize("name,fn", QUERIES, ids=[n for n, _ in QUERIES])
+@pytest.mark.parametrize(
+    "name,fn",
+    [
+        # grid-fit queries run a full classifier grid under pytest —
+        # slow tier (pytest.ini), same boundary as the old -k filter
+        pytest.param(
+            n,
+            f,
+            id=n,
+            marks=[pytest.mark.grid] if "grid" in n else [],
+        )
+        for n, f in QUERIES
+    ],
+)
 def test_query_matches_oracle(name, fn, spark, sf_dir, duck):
     spdf = fn(spark, sf_dir).toPandas()
     if name not in SQLS:
