@@ -382,11 +382,17 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     come from one groupBy(doc_id) carrying `bits` conditional sums —
     token rows stay at corpus token count instead of ×bits (the r8
     rewrite; the explode form made the signature stage dominate the
-    near-dup query at sf1). Output: (doc_id, simhash bigint)."""
+    near-dup query at sf1). Output: (doc_id, simhash bigint).
+
+    spread_scan (r9): the per-token md5 runs in the narrow chain on
+    the scan — serial on a single-row-group file; the guard
+    parallelizes it and the groupBy(doc_id) reuses the partitioning
+    (no second exchange). Identity at cluster scale."""
     from sfa_spark.operators.text import with_tokens
+    from sfa_spark.sources.events import spread_scan
 
     tok = (
-        with_tokens(docs)
+        with_tokens(spread_scan(docs, "doc_id"))
         .select("doc_id", F.explode("toks").alias("tok"))
         .select("doc_id", _hex32_to_int(F.md5("tok")).alias("h"))
     )
@@ -432,9 +438,14 @@ def simhash_bits(docs: DataFrame, bits: int = 64) -> DataFrame:
 
     Output: (doc_id, sig string of length `bits`, MSB first — same
     orientation as lpad(bin(x), bits, '0')).
+
+    spread_scan (r9): same rationale as `simhash` — the per-token md5
+    chain otherwise runs serially on an under-split scan.
     """
     from sfa_spark.operators.text import with_tokens
+    from sfa_spark.sources.events import spread_scan
 
+    docs = spread_scan(docs, "doc_id")
     assert bits % 32 == 0, "signature is packed from 32-bit md5 words"
     n_words = bits // 32
     assert n_words * 8 <= 32, "md5 yields 128 bits = four 32-bit words"

@@ -56,12 +56,18 @@ def _brute_cosine_rank(
     the corpus once, score cosine, rank per query. ``q_carry``/
     ``c_carry`` pass extra columns through; ``pair_filter`` prunes
     pairs BEFORE scoring (e.g. hard_negatives' label exclusion)."""
+    from sfa_spark.sources.events import spread_scan
+
     q = with_norm(queries, vec_col).select(
         F.col(id_col).alias("q_id"),
         _as_double(F.col(vec_col)).alias("qv"),
         F.col("norm").alias("qn"),
         *q_carry,
     )
+    # spread_scan (r9): the per-pair dot-product folds run in the
+    # corpus scan's narrow chain — serial on a single-row-group file;
+    # identity at cluster scale (guide §2.5).
+    corpus = spread_scan(corpus, id_col)
     c = with_norm(corpus, vec_col).select(
         F.col(id_col).alias(nn_id),
         _as_double(F.col(vec_col)).alias("cv"),

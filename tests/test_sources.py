@@ -337,3 +337,35 @@ def test_series_arrays_from_events_matches_long_path(spark):
     }
     assert fast == slow
     assert fast[1] == ([3.0, 2.0, 1.0], 3)  # ts order, event_id tiebreak
+
+
+def test_spread_scan_under_split_scan_repartitions(spark, sf_dir):
+    """A single-row-group parquet scan (one task) gets spread to
+    defaultParallelism by a deterministic hash repartition; rows are
+    unchanged."""
+    from sfa_spark.sources.events import load_table, spread_scan
+
+    docs = load_table(spark, sf_dir, "documents")
+    assert docs.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism
+    spread = spread_scan(docs, "doc_id")
+    assert (
+        spread.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+    assert spread.count() == docs.count()
+    a = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    b = {r["doc_id"] for r in spread.select("doc_id").collect()}
+    assert a == b
+
+
+def test_spread_scan_identity_when_parallel_or_disabled(spark, sf_dir, monkeypatch):
+    """The guard is the identity when the input already has enough
+    partitions (the cluster-scale case) and when disabled by env."""
+    from sfa_spark.sources.events import load_table, spread_scan
+
+    docs = load_table(spark, sf_dir, "documents")
+    wide = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    assert spread_scan(wide, "doc_id") is wide
+
+    monkeypatch.setenv("SPARK_GRAFT_SPREAD_SCAN", "off")
+    assert spread_scan(docs, "doc_id") is docs
