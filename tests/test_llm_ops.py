@@ -227,6 +227,47 @@ def test_cosine_topk_matches_numpy(spark):
         assert S[r["q_id"], r["nn_id"]] == pytest.approx(r["cosine"], abs=1e-9)
 
 
+def test_brute_cosine_gemm_matches_fold(spark, monkeypatch):
+    """r9: the Arrow GEMM scorer must return the SAME rows as the JVM
+    fold path — ids and ranks exactly, cosine to fp tolerance — for
+    both the plain top-k and the excl_pair (hard_negatives) shapes."""
+    rng = np.random.default_rng(11)
+    E = rng.normal(0, 1, (60, 16))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row], int(i % 3)) for i, row in enumerate(E)],
+        "vec_id long, embedding array<double>, label int",
+    )
+
+    def rows(res, keys):
+        return sorted(
+            (tuple(r[k] for k in keys), round(r["cosine"], 9))
+            for r in res.collect()
+        )
+
+    monkeypatch.setenv("SPARK_GRAFT_COSINE_GEMM", "on")  # force: tiny corpus
+    gemm = similarity.cosine_topk(df.where("vec_id < 4"), df, k=5)
+    monkeypatch.setenv("SPARK_GRAFT_COSINE_GEMM", "off")
+    fold = similarity.cosine_topk(df.where("vec_id < 4"), df, k=5)
+    monkeypatch.delenv("SPARK_GRAFT_COSINE_GEMM")
+    assert rows(gemm, ("q_id", "nn_id", "rk")) == rows(fold, ("q_id", "nn_id", "rk"))
+
+    monkeypatch.setenv("SPARK_GRAFT_COSINE_GEMM", "on")
+    gemm_hn = similarity.hard_negatives(df.where("vec_id < 4"), df, k=5)
+    monkeypatch.setenv("SPARK_GRAFT_COSINE_GEMM", "off")
+    fold_hn = similarity.hard_negatives(df.where("vec_id < 4"), df, k=5)
+    ks = ("q_id", "q_label", "neg_id", "neg_label", "rk")
+    assert rows(gemm_hn, ks) == rows(fold_hn, ks)
+    # the exclusion really applied
+    assert all(r["q_label"] != r["neg_label"] for r in gemm_hn.collect())
+
+    # plan shapes: forced GEMM crosses the Arrow boundary; auto on a
+    # tiny corpus stays on the JVM fold (below SPARK_GRAFT_GEMM_MIN_BYTES)
+    assert "MapInArrow" in gemm._jdf.queryExecution().executedPlan().toString()
+    monkeypatch.delenv("SPARK_GRAFT_COSINE_GEMM")
+    auto = similarity.cosine_topk(df.where("vec_id < 4"), df, k=5)
+    assert "MapInArrow" not in auto._jdf.queryExecution().executedPlan().toString()
+
+
 def test_bucketed_neighbors_subset_of_bucket(spark):
     rng = np.random.default_rng(4)
     E = rng.normal(0, 1, (50, 8))
