@@ -91,6 +91,16 @@ ROTATE_FIRST = [
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry-level cache contract: a registered query MAY persist()
+    intermediates reused within its own plan (words_df's coef table,
+    the TPC-H scalar-subquery aggregates, the spectral array gather)
+    WITHOUT unpersisting — the harness that runs a query to completion
+    (bench.py, tools/qtime.py, tools/check_oracle.py, the round
+    driver) calls spark.catalog.clearCache() between queries. A
+    long-lived session embedding these queries must do the same, or
+    cache entries accrete. Operators that both persist AND run to
+    completion inside one call (ml/grid.py, classifiers.py) still pair
+    persist with unpersist themselves."""
     regs: dict[str, Callable] = {}
     for modname in QUERY_MODULES:
         try:

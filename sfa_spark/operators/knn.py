@@ -205,6 +205,18 @@ def boss_1nn_blocked(
         if not len(qs) or not len(cs):
             return pd.DataFrame({"q_id": [], "c_id": [], "dist": []})
         V = int(pdf["widx"].max()) + 1
+        # assume_dense_vocab contract: word ids ARE the dense column
+        # index, so they must be small non-negative ints. A hashed or
+        # negative id would silently wrap on the int cast or allocate
+        # a max(widx)+1-wide zero matrix per group — fail fast instead
+        # (1<<22 ≈ 32 MB/row of float64, far above any packed-SFA
+        # vocabulary: alphabet**word_length is 256 here).
+        if int(pdf["widx"].min()) < 0 or V > (1 << 22):
+            raise ValueError(
+                f"dense word index out of range: [{pdf['widx'].min()}, "
+                f"{V - 1}] — boss_1nn_blocked(assume_dense_vocab=True) "
+                "requires word ids in [0, alphabet**word_length)"
+            )
         q_ids, Q = _dense(qs)
         c_ids, C = _dense(cs)
         if Q.shape[1] < V:

@@ -137,7 +137,7 @@ def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
         F.transform(
             idx,
             lambda i: F.concat_ws(
-                " ", *[F.get("toks", i + j) for j in range(3)]
+                " ", *[F.get("toks", i + j) for j in range(k)]
             ),
         )
     )

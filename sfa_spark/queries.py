@@ -82,11 +82,19 @@ def coef_df(spark: SparkSession, sf_dir: str, fast: bool = False) -> DataFrame:
     ulp-level reassociation differences exactly as it already absorbs
     the Spark↔DuckDB aggregation-order differences; re-verified at
     sf0.001/sf0.01/sf0.1 for every consumer of this chain).
-    σ-guard parity note: win_std here is sqrt(max(Σv²/w − mean², 0))
-    with the same <1e-8 → 1.0 guard; for a near-constant window the
-    two formulas can disagree about the guard, but such windows do
-    not occur in continuous-valued event data (verified by the
-    full-registry hash sweep).
+    σ-guard parity note (r9): the window std is combined from CENTERED
+    segment partials — per-seg var_pop (Spark's stable central-moment
+    aggregate) merged across the l segments with Chan's parallel
+    formula M2 = Σ cᵢ·varᵢ + Σ cᵢ·(meanᵢ − mean)² — so the computed
+    std cannot go negative and does not lose precision to the
+    E[x²]−E[x]² cancellation for near-constant or large-mean windows;
+    the <1e-8 → 1.0 guard therefore fires iff the window is genuinely
+    near-constant, matching the row-znorm spec's stddev_pop (itself
+    central-moment based) rather than relying on an input-domain
+    assumption. The combine is a second window layer over the SAME
+    (series_id, win) partitioning — no extra Exchange or Sort in the
+    plan, one extra WindowExec over the already-aggregated
+    (series×windows×l)-row table.
     """
     s = series_df(spark, sf_dir)
     if not fast:
@@ -95,23 +103,35 @@ def coef_df(spark: SparkSession, sf_dir: str, fast: bool = False) -> DataFrame:
             sw.withColumn("seg", F.floor(F.col("off") * L / W).cast("int"))
             .groupBy("series_id", "win", "seg")
             .agg(
-                F.sum("value").alias("_s1"),
-                F.sum(F.col("value") * F.col("value")).alias("_s2"),
+                F.avg("value").alias("_m"),
+                F.var_pop("value").alias("_v"),
                 F.count(F.lit(1)).alias("_c"),
             )
         )
         wwin = Window.partitionBy("series_id", "win")
-        S = F.sum("_s1").over(wwin)
-        S2 = F.sum("_s2").over(wwin)
         C = F.sum("_c").over(wwin)
-        mean = S / C
-        std_raw = F.sqrt(F.greatest(S2 / C - mean * mean, F.lit(0.0)))
-        std = F.when(std_raw < 1e-8, F.lit(1.0)).otherwise(std_raw)
-        return part.select(
+        mean = F.sum(F.col("_m") * F.col("_c")).over(wwin) / C
+        lay = part.select(
             "series_id",
             "win",
             "seg",
-            ((F.col("_s1") / F.col("_c") - mean) / std).alias("coef"),
+            "_m",
+            "_v",
+            "_c",
+            mean.alias("_mean"),
+            C.alias("_n"),
+        )
+        dm = F.col("_m") - F.col("_mean")
+        m2 = F.sum(F.col("_v") * F.col("_c") + F.col("_c") * dm * dm).over(
+            wwin
+        )
+        std_raw = F.sqrt(m2 / F.col("_n"))
+        std = F.when(std_raw < 1e-8, F.lit(1.0)).otherwise(std_raw)
+        return lay.select(
+            "series_id",
+            "win",
+            "seg",
+            (dm / std).alias("coef"),
         )
     seg_len = W // L
     w_ord = Window.partitionBy("series_id").orderBy("pos")

@@ -136,6 +136,47 @@ def test_fast_and_explode_coef_paths_agree(spark):
     assert a == b
 
 
+def test_coef_large_mean_stability(spark, tmp_path):
+    """r9 (ADVICE): the fast=False coef combine must not lose precision
+    to E[x²]−E[x]² cancellation. Values of magnitude 1e8 with
+    unit-scale structure make the old form's S2/C − mean² lose ~all
+    significant digits of the window variance (1e16·ulp ≈ O(1)); the
+    centered Chan combine must still match an exact two-pass numpy
+    z-norm/PAA reference to ~1e-7."""
+    import numpy as np
+
+    from sfa_spark import queries as Q
+
+    rng = np.random.default_rng(7)
+    n = 48
+    vals = 1e8 + np.cumsum(rng.normal(0.0, 1.0, n))
+    rows = [(1, int(i), int(i), float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts long, event_id long, value double"
+    )
+    sf = str(tmp_path)
+    df.coalesce(1).write.parquet(f"{sf}/events.parquet")
+
+    W, L = Q.W, Q.L
+    seg_len = W // L
+    ref = {}
+    for win in range(n - W + 1):
+        w = vals[win : win + W]
+        mean, std = w.mean(), w.std()
+        if std < 1e-8:
+            std = 1.0
+        for seg in range(L):
+            seg_mean = w[seg * seg_len : (seg + 1) * seg_len].mean()
+            ref[(1, win, seg)] = (seg_mean - mean) / std
+    got = {
+        (r["series_id"], r["win"], r["seg"]): r["coef"]
+        for r in Q.coef_df(spark, sf, fast=False).collect()
+    }
+    assert got.keys() == ref.keys()
+    for k, v in ref.items():
+        assert got[k] == pytest.approx(v, abs=5e-7), k
+
+
 def test_asof_join_semantics(spark):
     """Hand-checkable as-of: inclusive ties, latest-preceding pick,
     left-outer nulls, per-entity isolation."""

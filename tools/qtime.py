@@ -30,6 +30,12 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--explain-dir", default=None)
     ap.add_argument("--action", choices=["noop", "count"], default="noop")
+    ap.add_argument(
+        "--warmup-sf",
+        default=None,
+        help="scale dir for the JIT warmup run (default: the smallest "
+        "sf* sibling of --sf; pass --sf itself to warm at full scale)",
+    )
     args = ap.parse_args()
 
     import __spark_entry__ as E
@@ -38,11 +44,31 @@ def main() -> None:
     spark = get_spark("qtime")
     qs = E.queries()
 
-    # one warmup to move JVM JIT/codegen out of the first measured run
-    try:
-        qs[args.queries[0]](spark, args.sf.replace("sf0.1", "sf0.001")).count()
-    except Exception:  # noqa: BLE001
-        pass
+    # one warmup to move JVM JIT/codegen out of the first measured run,
+    # at the smallest available scale dir (the old sf-name string
+    # replace silently warmed at FULL scale for any --sf other than
+    # sf0.1 and mangled names like sf0.12)
+    warm_sf = args.warmup_sf
+    if warm_sf is None:
+        parent = os.path.dirname(os.path.abspath(args.sf))
+        sizes = []
+        for d in os.listdir(parent) if os.path.isdir(parent) else []:
+            if d.startswith("sf") and os.path.isdir(os.path.join(parent, d)):
+                try:
+                    sizes.append((float(d[2:]), os.path.join(parent, d)))
+                except ValueError:
+                    continue
+        warm_sf = min(sizes)[1] if sizes else args.sf
+    if args.queries[0] in qs:
+        try:
+            qs[args.queries[0]](spark, warm_sf).count()
+        except Exception as exc:  # noqa: BLE001 — warmup is best-effort,
+            # but surface the failure instead of hiding it
+            print(
+                f"warmup failed ({type(exc).__name__}): {exc}",
+                file=sys.stderr,
+                flush=True,
+            )
     spark.catalog.clearCache()
 
     for name in args.queries:
