@@ -310,13 +310,16 @@ def scd2_apply(
     untouched. apply(history(prefix), batch(suffix)) ==
     scd2_history(prefix ∪ suffix) exactly (property-tested).
 
-    Scale shape, O(delta): history is touched only via (a) one
-    broadcast-sized join of its CURRENT rows against the batch's
-    first-version/base-version table and (b) an anti-join key filter;
-    the window sort runs over the BATCH only. With history bucketed by
-    the key, the closed-row join and the pass-through filter keep the
-    bucketed partitioning (the apply_changes layout,
-    tests/test_bucketed_plans.py)."""
+    Scale shape, O(delta): the pass-through/close fold is ONE scan of
+    history left-joined against the batch's delta-sized firsts
+    table with a lazy per-row CASE (r9 — the previous shape was a
+    3-subtree union: close join + anti-join + non-current filter, each
+    re-scanning history, i.e. 3× the history I/O per merge and two
+    extra AQE stage jobs per streaming micro-batch); the base-version
+    lookup is a second, column-pruned scan of the current rows only.
+    The window sort runs over the BATCH only. With history bucketed by
+    the key, the single key join keeps the bucketed partitioning (the
+    apply_changes layout, tests/test_bucketed_plans.py)."""
     ts0 = order_cols[0]
     ob = [F.col(c).asc() for c in order_cols]
     firsts = batch.groupBy(key_col).agg(
@@ -326,40 +329,49 @@ def scd2_apply(
         history.where(F.col("is_current"))
         .select(key_col, F.col("version").alias("_base_v"))
     )
-    # close the open row of every affected key at the batch's arrival;
-    # the same join row carries the ordering guard — assert_true is
-    # NULL (filter passes every row) while the precondition holds and
-    # aborts the job with a named error the moment it doesn't
-    guard = F.assert_true(
-        F.col("_first") > F.struct(*order_cols),
-        F.concat(
-            F.lit(
-                "scd2_apply: out-of-order batch — key "
+    # one history pass: rows of keys the batch touches whose version is
+    # open get closed at the batch's arrival, everything else passes
+    # through unchanged. The ordering guard rides the same rows —
+    # CASE WHEN evaluates lazily, so assert_true runs exactly on the
+    # affected open rows (as the old close-join filter did): it is NULL
+    # (row passes) while the precondition holds and aborts the job
+    # with a named error the moment it doesn't.
+    affected_open = F.col("is_current") & F.col("_first").isNotNull()
+    guard = F.when(
+        affected_open,
+        F.assert_true(
+            F.col("_first") > F.struct(*order_cols),
+            F.concat(
+                F.lit(
+                    "scd2_apply: out-of-order batch — key "
+                ),
+                F.col(key_col).cast("string"),
+                F.lit(
+                    "'s first batch row does not sort strictly after its "
+                    "open (is_current) version; a late CDC row would "
+                    "create overlapping validity intervals. Re-slice the "
+                    "feed in (ts, event_id) order or rebuild with "
+                    "scd2_history."
+                ),
             ),
-            F.col(key_col).cast("string"),
-            F.lit(
-                "'s first batch row does not sort strictly after its "
-                "open (is_current) version; a late CDC row would "
-                "create overlapping validity intervals. Re-slice the "
-                "feed in (ts, event_id) order or rebuild with "
-                "scd2_history."
-            ),
-        ),
-    ).isNull()
-    closed = (
-        history.where(F.col("is_current"))
-        .join(firsts, key_col)
+        ).isNull(),
+    ).otherwise(F.lit(True))
+    hist_out = (
+        history.join(firsts, key_col, "left")
         .where(guard)
-        .withColumn("valid_to", F.col(f"_first.{ts0}"))
-        .withColumn("is_current", F.lit(False))
-        .drop("_first")
-    )
-    # history rows that stay as they are: every non-current row, plus
-    # current rows of keys the batch doesn't touch
-    untouched = history.where(~F.col("is_current")).unionByName(
-        history.where(F.col("is_current")).join(
-            firsts.select(key_col), key_col, "left_anti"
+        .withColumn(
+            "valid_to",
+            F.when(affected_open, F.col(f"_first.{ts0}")).otherwise(
+                F.col("valid_to")
+            ),
         )
+        .withColumn(
+            "is_current",
+            F.when(affected_open, F.lit(False)).otherwise(
+                F.col("is_current")
+            ),
+        )
+        .drop("_first")
     )
     w = Window.partitionBy(key_col).orderBy(*ob)
     new_rows = (
@@ -378,11 +390,7 @@ def scd2_apply(
     cols = [
         c for c in history.columns
     ]
-    return (
-        untouched.select(*cols)
-        .unionByName(closed.select(*cols))
-        .unionByName(new_rows.select(*cols))
-    )
+    return hist_out.select(*cols).unionByName(new_rows.select(*cols))
 
 
 def pattern_detect(

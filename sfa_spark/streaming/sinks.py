@@ -180,8 +180,23 @@ def _publish_buckets(
     """
     vname = f"v{batch_id}"
     stage = os.path.join(state_dir, f"_stage_{vname}")
-    # one job writes every touched bucket's new version, partition-split
-    merged.write.mode("overwrite").partitionBy("_bucket").parquet(stage)
+    # one job writes every touched bucket's new version, partition-split.
+    # Align the write to the buckets first (r9, guide §6 output file
+    # sizing / §2.2 fewer-larger tasks): without it the write stage
+    # inherits the merge plan's partitioning — every upstream task
+    # holding rows of a bucket opens its own file in that bucket's
+    # version dir (measured 65 write tasks for a 1000-row state at
+    # sf0.001, and one file per merge task per bucket accreting until
+    # compact_state rewrites them). One partition per touched bucket
+    # makes each version exactly one right-sized file — the bucket IS
+    # the layout's rewrite unit (state_bytes/n_buckets by design).
+    # Deterministic hash repartition (retry-safe, guide §2.5).
+    (
+        merged.repartition(max(len(touched), 1), "_bucket")
+        .write.mode("overwrite")
+        .partitionBy("_bucket")
+        .parquet(stage)
+    )
     # Rename + commit + retain under the state lock, against a FRESH
     # manifest read: a concurrent compact_state may have flipped
     # buckets (touched or not) since this merge snapshotted
@@ -408,26 +423,35 @@ def scd2_sink(
             return  # checkpoint replay of an already-published batch
         nb = _effective_buckets(man, n_buckets)
         man["n_buckets"] = nb
-        touched = sorted(
-            r[0]
-            for r in batch_df.select(
-                _bucket_of(key_col, nb).alias("_bucket")
+        # cache the batch (r9): the touched-bucket discovery job fills
+        # the cache, and scd2_apply's two batch subtrees (firsts +
+        # new_rows) read it back instead of re-scanning the source —
+        # one source scan per micro-batch instead of three (guide §5:
+        # the delta is tiny by definition and reused thrice)
+        b = batch_df.persist()
+        try:
+            touched = sorted(
+                r[0]
+                for r in b.select(
+                    _bucket_of(key_col, nb).alias("_bucket")
+                )
+                .distinct()
+                .collect()
             )
-            .distinct()
-            .collect()
-        )
-        if not touched:
-            return  # empty batch: nothing to merge or commit (this
-            # also covers the former isEmpty() pre-check — one fewer
-            # Spark job per micro-batch)
-        live = _live_paths(state_dir, man, touched)
-        if live:
-            hist = spark.read.parquet(*live)
-            nxt = scd2_apply(hist, batch_df, key_col, order_cols)
-        else:  # no touched bucket has prior state — fresh histories
-            nxt = scd2_history(batch_df, key_col, order_cols)
-        merged = nxt.withColumn("_bucket", _bucket_of(key_col, nb))
-        _publish_buckets(state_dir, merged, touched, batch_id, man)
+            if not touched:
+                return  # empty batch: nothing to merge or commit (this
+                # also covers the former isEmpty() pre-check — one fewer
+                # Spark job per micro-batch)
+            live = _live_paths(state_dir, man, touched)
+            if live:
+                hist = spark.read.parquet(*live)
+                nxt = scd2_apply(hist, b, key_col, order_cols)
+            else:  # no touched bucket has prior state — fresh histories
+                nxt = scd2_history(b, key_col, order_cols)
+            merged = nxt.withColumn("_bucket", _bucket_of(key_col, nb))
+            _publish_buckets(state_dir, merged, touched, batch_id, man)
+        finally:
+            b.unpersist()
 
     writer = stream.writeStream.foreachBatch(_merge).trigger(availableNow=True)
     if checkpoint_dir:
