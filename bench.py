@@ -116,10 +116,58 @@ def _load_gate() -> dict:
     }
 
 
+def _cpu_calibration() -> dict:
+    """Fixed single-core micro-benchmark recorded alongside the totals
+    (r9, VERDICT r8 item 7): the r1-r8 headline series spans 16.9-29.6s
+    on identical-or-improving code because it measures BOXES as much as
+    plans. This stamps each bench run with (a) the CPU model and (b)
+    the wall time of a deterministic workload — sha256 over 64 MiB
+    (stdlib, version-stable) plus a 512² float64 numpy GEMM — so a
+    reader can separate host speed from plan changes:
+    total/calib_sha256_sec is the host-normalized series. The timed
+    query region is UNCHANGED; this runs once, before the session."""
+    import hashlib
+    import platform
+
+    buf = bytes(range(256)) * 4096  # 1 MiB, deterministic
+    t0 = time.time()
+    h = hashlib.sha256()
+    for _ in range(64):
+        h.update(buf)
+    sha_sec = time.time() - t0
+    gemm_sec = None
+    try:
+        import numpy as np
+
+        a = np.arange(512 * 512, dtype=np.float64).reshape(512, 512) / 1e6
+        t0 = time.time()
+        for _ in range(8):
+            a = (a @ a) % 1.0 + 0.5
+        gemm_sec = round(time.time() - t0, 4)
+    except ImportError:
+        pass
+    model = ""
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith("model name"):
+                    model = line.split(":", 1)[1].strip()
+                    break
+    except OSError:
+        model = platform.processor()
+    return {
+        "calib_cpu_model": model,
+        "calib_nproc": os.cpu_count(),
+        "calib_sha256_sec": round(sha_sec, 4),
+        "calib_gemm_sec": gemm_sec,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").split("sf")[-1])
     gate_info = _load_gate()
+    gate_info.update(_cpu_calibration())
 
     import __spark_entry__ as E
     from sfa_spark.session import get_spark
@@ -192,6 +240,12 @@ def main() -> None:
 
     load_after = os.getloadavg()
     total = round(sum(timings.values()), 3)
+    # host-normalized totals (raw totals stay the series; these let
+    # PERF separate box speed from plan changes — VERDICT r8 item 7)
+    calib = gate_info.get("calib_sha256_sec") or None
+    gate_info["calibrated_headline"] = (
+        round(total / calib, 2) if calib else None
+    )
     print(
         json.dumps(
             {

@@ -1752,16 +1752,21 @@ def q_tpch_top_supplier(spark, sf_dir):
         & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
     )
     supplier = load_table(spark, sf_dir, "supplier")
-    # persist (r8): rev feeds BOTH the scalar max and the equality
-    # filter; without it the whole lineitem scan + revenue aggregate
-    # ran twice (pruning made the copies non-identical, defeating
-    # exchange reuse). Supplier-sized — bounded at any scale (guide
-    # §5: reused AND cheaper to hold than recompute).
+    # NO persist (r9, reverting r8): rev feeds both the scalar max and
+    # the equality filter, and r8 persisted it to halve the lineitem
+    # scan — but the interleaved noop A/B is a LOSS at both measured
+    # scales (sf0.1: 0.85× in the r8 driver bench; sf1: min 0.853 s
+    # persisted vs 0.772 s two-scan, 3 rounds). Mechanism: the two
+    # scan+agg subtrees run fully parallel and the filtered one-year
+    # scan is cheap, while the persist serializes the consumers behind
+    # a materialization barrier and pays the cache write. Guide §5's
+    # own test — "reused AND recomputing costs more than the memory
+    # pressure" — fails here; recomputation is the cheaper side.
     rev = li.groupBy("l_suppkey").agg(
         dec_sum(
             F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
         ).alias("total_revenue")
-    ).persist()
+    )
     mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
     top = rev.crossJoin(F.broadcast(mx)).where(
         F.col("total_revenue") == F.col("max_revenue")
