@@ -60,7 +60,17 @@ def jaccard_pairs(
     and costs one extra shingle aggregate, irrelevant for the
     exactness-oracle corpora it is meant for. Mirrors the reference's
     own hot-feature pruning (χ²/WORD_LIMIT cap,
-    transformation/WEASEL.java:287-324)."""
+    transformation/WEASEL.java:287-324).
+
+    NOT persisted (r9 negative result): the plan consumes the shingle
+    table four times (df cap/guard aggregate, per-doc sizes, both
+    sides of the inverted-index self-join) and a persist() looks like
+    the guide §5 move — measured, it is a 2× LOSS (sf0.1 interleaved
+    noop A/B: persisted min 4.19 s vs recompute min 2.23 s).
+    Post-spread_scan the four subtree recomputes run fully parallel
+    across all cores, while the cache serializes every consumer behind
+    one materialization pass and pays the cache write + memory
+    pressure. Same mechanism as the reverted Q15 persist."""
     sh = shingles(docs, k)
     if max_df is not None:
         df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
