@@ -195,3 +195,24 @@ def test_ranked_top_k_fewer_rows_than_k(spark):
         for r in ranked_top_k(df, [("v", True), ("id", False)], 10).collect()
     )
     assert got == [(1, 2), (2, 1)]
+
+def test_ranked_top_k_single_pass_plan(spark):
+    """r9: the rank attach must consume the top-k limit output exactly
+    once — one TakeOrderedAndProject, one source scan, and the window
+    sits above the limit (bounded by k rows), so the upstream pipeline
+    is never replayed for a second rank-join reference and no cache
+    entry is created (a persist here leaked warm final answers across
+    a harness's repeated runs of the same query)."""
+    df = spark.range(0, 300).select(
+        F.col("id"), (F.col("id") % 37).cast("double").alias("v")
+    )
+    out = ranked_top_k(df, [("v", True), ("id", False)], 10)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    cut = plan.find("== Initial Plan ==")
+    if cut >= 0:
+        plan = plan[:cut]
+    assert plan.count("TakeOrderedAndProject") == 1, plan
+    assert plan.count("Range (0, 300") == 1, plan
+    assert "Window" in plan, plan
+    assert "InMemoryRelation" not in plan, plan
